@@ -1,0 +1,64 @@
+package graft
+
+import graft.kg._
+import org.apache.spark.sql.SparkSession
+
+/** Production entry point (spark-submit): run the KG-construction pipeline
+  * over a transcript corpus with stage checkpoints in --workdir.
+  *
+  * Usage:
+  *   graft.Main --workdir DIR [--convs N] [--mega N] [--seed N]
+  *              [--golden] [--no-resume] [--score]
+  *
+  * --golden uses the hand-traced golden corpus; otherwise a deterministic
+  * synthetic corpus of N conversations (+ optional mega-conversation for
+  * skew) is generated distributedly. --score prints triple P/R against the
+  * corpus oracle. Re-running with the same --workdir resumes from completed
+  * stage checkpoints unless --no-resume.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val flags = args.filter(a => a.startsWith("--")).toSet
+    val workDir = opts.getOrElse("--workdir",
+      sys.error("--workdir required"))
+    val nConvs = opts.getOrElse("--convs", "100").toInt
+    val mega = opts.getOrElse("--mega", "0").toInt
+    val seed = opts.getOrElse("--seed", "42").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-kg-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val (turns, expected) =
+      if (flags.contains("--golden"))
+        (Transcripts.goldenTurns(spark), Transcripts.goldenExpected(spark))
+      else Transcripts.corpus(spark, nConvs, seed, mega)
+
+    val nTurns = turns.count()
+    val res = Pipeline.run(spark, turns, workDir,
+      resume = !flags.contains("--no-resume"))
+    val nEdges = res.edges.count()
+    val nNodes = res.nodes.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[graft] turns=$nTurns edges=$nEdges nodes=$nNodes " +
+      f"wall=$secs%.1fs throughput=${nTurns / secs}%.1f turns/sec")
+    res.lineage.groupBy("stage").count().orderBy("stage").show(20, false)
+
+    if (flags.contains("--score")) {
+      val pr = Score.score(res.edges, expected.toDF())
+      println(s"[graft] triple score: $pr")
+    }
+    spark.stop()
+  }
+}

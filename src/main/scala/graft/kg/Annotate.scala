@@ -1,0 +1,142 @@
+package graft.kg
+
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Linguistic front-end: sentence split, tokenize, lemma-lite, dictionary/trie
+  * NER. Stand-in for the reference's BioNLPProcessor.annotate
+  * (reference: ReachSystem.scala:54-59) — self-contained and deterministic
+  * because no CoreNLP/processors dependency exists in the sandbox
+  * (SURVEY.md §7.0).
+  *
+  * Everything is row-local (one turn in, one annotated turn out): a pure `map`,
+  * no shuffle. This is the stage where a 100 TB scan is embarrassingly parallel;
+  * the per-partition trie is built once per partition from a broadcast lexicon.
+  */
+object Annotate {
+
+  /** Longest-match trie over lexicon phrases (tokenized). Node children keyed by
+    * lower-cased token. The reference analogue is the HashTrie rescan used for
+    * aliases (coref/InstanceFinder.scala:9-34); here it drives primary NER.
+    */
+  final class Trie extends Serializable {
+    final class Node extends Serializable {
+      var children: Map[String, Node] = Map.empty
+      var label: String = null // non-null => phrase ends here
+      var caseSensitive: Boolean = false
+      var surface: String = null
+    }
+    val root = new Node
+
+    def add(phrase: String, label: String): Unit = {
+      val toks = Tokenizer.tokenize(phrase).map(_._1)
+      var cur = root
+      toks.foreach { t =>
+        val k = t.toLowerCase
+        cur = cur.children.getOrElse(k, {
+          val n = new Node; cur.children += k -> n; n
+        })
+      }
+      cur.label = label
+      cur.surface = phrase
+      // short all-caps/mixed gene symbols match case-sensitively to avoid
+      // matching common words; lowercase dictionary words match any case
+      cur.caseSensitive = phrase.exists(_.isUpper) && phrase.length <= 6
+    }
+
+    /** Scan tokens; return (startTok, endTokExcl, label) for longest matches. */
+    def scan(words: Array[String]): List[(Int, Int, String)] = {
+      val out = List.newBuilder[(Int, Int, String)]
+      var i = 0
+      while (i < words.length) {
+        var cur = root
+        var j = i
+        var best = -1
+        var bestLabel: String = null
+        var ok = true
+        while (ok && j < words.length) {
+          cur.children.get(words(j).toLowerCase) match {
+            case Some(n) =>
+              cur = n; j += 1
+              if (n.label != null) {
+                val exact = !n.caseSensitive ||
+                  words.slice(i, j).mkString(" ") == n.surface
+                if (exact) { best = j; bestLabel = n.label }
+              }
+            case None => ok = false
+          }
+        }
+        if (best > 0) { out += ((i, best, bestLabel)); i = best }
+        else i += 1
+      }
+      out.result()
+    }
+  }
+
+  object Tokenizer {
+    // word chars incl. biomedical symbol chars (hyphen/slash/dot inside tokens),
+    // or single punctuation
+    private val tokenRe =
+      """[A-Za-z0-9](?:[A-Za-z0-9/\-\.]*[A-Za-z0-9])?|[^\sA-Za-z0-9]""".r
+
+    /** (token, charStart) pairs. */
+    def tokenize(text: String): Array[(String, Int)] =
+      tokenRe.findAllMatchIn(text).map(m => (m.matched, m.start)).toArray
+
+    private val sentSplit = """(?<=[.!?])\s+(?=[A-Z0-9])""".r
+    def sentences(text: String): Array[String] = {
+      val t = text.trim
+      if (t.isEmpty) Array.empty else sentSplit.split(t)
+    }
+  }
+
+  /** Rule-based lemma-lite: enough for trigger matching (phosphorylates /
+    * phosphorylated / phosphorylation -> phosphorylat-family handled by the rule
+    * regexes; here we just normalize inflection).
+    */
+  def lemma(word: String): String = {
+    val w = word.toLowerCase
+    if (w.length <= 3) w
+    else if (w.endsWith("ies") && w.length > 4) w.dropRight(3) + "y"
+    else if (w.endsWith("sses")) w.dropRight(2)
+    else if (w.endsWith("es") && (w.endsWith("ches") || w.endsWith("shes") || w.endsWith("xes"))) w.dropRight(2)
+    else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is")) w.dropRight(1)
+    else w
+  }
+
+  def buildTrie(lexicon: Seq[(String, String)]): Trie = {
+    val t = new Trie
+    lexicon.foreach { case (p, l) => t.add(p, l) }
+    t
+  }
+
+  def annotateText(trie: Trie, text: String): Array[Sent] = {
+    Tokenizer.sentences(text).zipWithIndex.map { case (stext, si) =>
+      val toks = Tokenizer.tokenize(stext)
+      val words = toks.map(_._1)
+      val starts = toks.map(_._2)
+      val lemmas = words.map(lemma)
+      val ner = Array.fill(words.length)("O")
+      trie.scan(words).foreach { case (s, e, lab) =>
+        ner(s) = "B-" + lab
+        var k = s + 1
+        while (k < e) { ner(k) = "I-" + lab; k += 1 }
+      }
+      Sent(si, words, lemmas, ner, starts, stext)
+    }
+  }
+
+  /** The annotate stage: Dataset[Turn] -> Dataset[AnnotatedTurn]. Tool turns are
+    * dropped (reference `ignoreSections` filtering, application.conf:42 — the
+    * role filter analogue) *before* any work, so the filter prunes the scan.
+    */
+  def apply(spark: SparkSession, turns: Dataset[Turn],
+            bTrie: Broadcast[Trie]): Dataset[AnnotatedTurn] = {
+    import spark.implicits._
+    turns
+      .filter(t => t.role != "tool" && t.text != null && t.text.nonEmpty)
+      .map(t => AnnotatedTurn(t.conv_id, t.turn_idx, t.role,
+        annotateText(bTrie.value, t.text)))
+  }
+}

@@ -1,0 +1,291 @@
+package graft.kg
+
+import graft.model._
+import scala.collection.mutable
+
+/** Structured (pre-canonicalization) triple: obj kept as components so the
+  * canonical-id rewrite in the materialize stage is a plain broadcast join +
+  * column expressions — no string surgery on nested event keys.
+  */
+final case class PreTriple(
+    subj_gid: String,
+    pred: String,
+    obj_gid: String,
+    obj_gid2: String, // Binding second participant, else ""
+    obj_pred: String, // controlled-event label for regulations, else ""
+    site: String,
+    negated: Boolean,
+    hypothesis: Boolean,
+    conv_id: String,
+    turn_idx: Int,
+    evidence_text: String,
+    found_by: String
+)
+
+final case class AliasEdge(a: String, b: String, conv_id: String)
+
+/** Tagged union row for the single-pass stage-B checkpoint. */
+final case class StageBRow(
+    kind: String, // "linked" | "triple" | "alias"
+    linked: Option[LinkedMention],
+    triple: Option[PreTriple],
+    alias: Option[AliasEdge]
+)
+
+/** Per-conversation ordered fold: context window -> coref sieves -> KB link ->
+  * triple emission. This is the one inherently *sequential* operator of the
+  * pipeline (SURVEY.md J4: coref sieves are order-dependent left-folds,
+  * DarpaLinks.scala:33-42) — it runs inside `groupByKey(conv_id)
+  * .flatMapGroups`, so the entire conversation is partition-local and the
+  * pipeline pays exactly ONE shuffle (the conv_id exchange) for context +
+  * coref + alias + link + emit together.
+  *
+  * Scale: per-conv state is O(mentions in conversation). Mega-conversations
+  * are handled by chunked processing ([[maxChunk]]) mirroring the reference's
+  * standoff grouping (ReachSystem.scala:143-145); context/coref never look
+  * forward, so chunk boundaries only truncate lookback windows.
+  */
+object ConvProcessor {
+
+  val contextBound = 3 // turns of species-context lookback (Policies.scala:8-64 bound)
+  val pronounGap = 1 // sentence gap for pronominal anaphora (DarpaLinks.scala:210)
+  val npGap = 3 // sentence gap for definite-NP anaphora
+  val maxChunk = 200000 // mentions per chunk for mega-conversations
+
+  private def normSpecies(s: String): String = s.toLowerCase match {
+    case "murine" => "mouse"
+    case x => x
+  }
+
+  def gidOf(g: Grounding): String = g.namespace + ":" + g.id
+
+  def process(convId: String, mentionsIn: Seq[MentionRow],
+              kb: Link.KbIndex): Seq[StageBRow] = {
+    if (mentionsIn.size <= maxChunk) processChunk(convId, mentionsIn, kb)
+    else {
+      // chunk on turn boundaries, preserving order
+      val sorted = sortMentions(mentionsIn)
+      val chunks = mutable.ArrayBuffer.empty[Seq[MentionRow]]
+      var cur = mutable.ArrayBuffer.empty[MentionRow]
+      var lastTurn = Int.MinValue
+      sorted.foreach { m =>
+        if (cur.size >= maxChunk && m.turn_idx != lastTurn) {
+          chunks += cur.toSeq; cur = mutable.ArrayBuffer.empty
+        }
+        cur += m; lastTurn = m.turn_idx
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.flatMap(c => processChunk(convId, c, kb)).toSeq
+    }
+  }
+
+  private def sortMentions(ms: Seq[MentionRow]): Seq[MentionRow] =
+    ms.sortBy(m => (m.turn_idx, m.sent_idx, m.start_tok, m.end_tok, m.mention_id))
+
+  private def processChunk(convId: String, mentionsIn: Seq[MentionRow],
+                           kb: Link.KbIndex): Seq[StageBRow] = {
+    val mentions = sortMentions(mentionsIn)
+    val byId = mutable.Map.empty[Long, MentionRow]
+    mentions.foreach(m => byId(m.mention_id) = m)
+
+    // ---- global sentence sequence (stable ordering over turn_idx, W1/W2) --
+    val sentSeq: Map[(Int, Int), Int] =
+      mentions.map(m => (m.turn_idx, m.sent_idx)).distinct.sorted.zipWithIndex.toMap
+
+    // ---- species context (turn-granular backward window, W1/A1) ----------
+    val speciesByTurn: Seq[(Int, String)] = mentions
+      .filter(m => !m.is_event && m.labels.head == "Species")
+      .map(m => (m.turn_idx, normSpecies(m.text)))
+    def ctxSpecies(turn: Int): String = {
+      var best: (Int, String) = null
+      speciesByTurn.foreach { case (t, s) =>
+        if (t <= turn && turn - t <= contextBound &&
+            (best == null || t >= best._1)) best = (t, s)
+      }
+      if (best == null) "" else best._2
+    }
+
+    // ---- coref sieves: generic mentions -> nearest preceding entity ------
+    // (LinearSelector semantics, AntecedentSelector.scala:14-31)
+    val corefMap = mutable.Map.empty[Long, Long]
+    val priorEntities = mutable.ArrayBuffer.empty[MentionRow] // in order
+    mentions.foreach { m =>
+      if (!m.is_event) {
+        val head = m.labels.head
+        if (head == "Generic_entity") {
+          val gSeq = sentSeq((m.turn_idx, m.sent_idx))
+          val gap = if (m.end_tok - m.start_tok == 1) pronounGap else npGap
+          // nearest preceding BioChemicalEntity within gap sentences
+          var i = priorEntities.length - 1
+          var found = false
+          while (i >= 0 && !found) {
+            val c = priorEntities(i)
+            val cSeq = sentSeq((c.turn_idx, c.sent_idx))
+            if (gSeq - cSeq > gap) i = -1 // sorted: all earlier are farther
+            else if (cSeq < gSeq || c.start_tok < m.start_tok) {
+              corefMap(m.mention_id) = c.mention_id
+              found = true
+            } else i -= 1
+          }
+        } else if (m.labels.contains("BioChemicalEntity")) {
+          priorEntities += m
+        }
+      }
+    }
+
+    // ---- rewrite event args through coref; recompute content ids ---------
+    val idRemap = mutable.Map.empty[Long, Long] ++ corefMap
+    var finalEvents = mentions.filter(_.is_event)
+    var pass = 0
+    while (pass < 3) {
+      finalEvents = finalEvents.map { e =>
+        val newArgs = e.args.map(a =>
+          a.copy(mention_id = idRemap.getOrElse(a.mention_id, a.mention_id)))
+        if (newArgs.sameElements(e.args)) e
+        else {
+          val trigText = e.trigger_text
+          val nid = Matcher.mentionId(e.conv_id, e.turn_idx, e.sent_idx,
+            e.start_tok, e.end_tok, e.labels.head, trigText, newArgs.toSeq,
+            e.negated, e.hypothesis)
+          idRemap(e.mention_id) = nid
+          val ne = e.copy(mention_id = nid, args = newArgs)
+          ne
+        }
+      }
+      pass += 1
+    }
+    finalEvents.foreach(e => byId(e.mention_id) = e)
+
+    // drop events with unresolved generic args (reference drops generic
+    // mentions without antecedents at output, Coref.scala:353-377)
+    val entityById = mentions.filter(!_.is_event)
+      .map(m => m.mention_id -> m).toMap
+    var kept = finalEvents
+    var changed = true
+    while (changed) {
+      val ids = kept.map(_.mention_id).toSet
+      val next = kept.filter(_.args.forall { a =>
+        byId.get(a.mention_id) match {
+          case Some(m) if m.is_event => ids.contains(a.mention_id)
+          case Some(m) => m.labels.head != "Generic_entity"
+          case None => false
+        }
+      })
+      changed = next.size != kept.size
+      kept = next
+    }
+
+    // ---- link stage: broadcast-KB first-hit lookup (J1) ------------------
+    val groundings = mutable.Map.empty[Long, Grounding]
+    entityById.values.foreach { m =>
+      Link.linkableLabel(m.labels) match {
+        case Some(label) =>
+          groundings(m.mention_id) =
+            kb.resolve(m.text, label, ctxSpecies(m.turn_idx))
+        case None => ()
+      }
+    }
+    def gid(id: Long): String =
+      groundings.get(id).map(gidOf).getOrElse("")
+
+    // ---- theme descent for event-valued roles ----------------------------
+    // (OutputDegrader.flattenMentions semantics, OutputDegrader.scala:16-48)
+    def descend(id: Long, depth: Int = 0): (String, String) = {
+      // returns (core entity gid, site text)
+      byId.get(id) match {
+        case Some(m) if !m.is_event => (gid(id), "")
+        case Some(m) if depth < 4 =>
+          val site = m.args.find(_.role == "site")
+            .flatMap(a => byId.get(a.mention_id)).map(_.text).getOrElse("")
+          val dest = m.args.find(_.role == "destination")
+            .flatMap(a => byId.get(a.mention_id))
+            .flatMap(d => groundings.get(d.mention_id)).map(gidOf)
+          val core = m.args.find(_.role == "theme")
+            .orElse(m.args.find(_.role == "controlled"))
+            .map(a => descend(a.mention_id, depth + 1)._1).getOrElse("")
+          val siteOut = if (site.nonEmpty) site else dest.getOrElse("")
+          (core, siteOut)
+        case _ => ("", "")
+      }
+    }
+
+    val out = mutable.ArrayBuffer.empty[StageBRow]
+
+    // ---- alias edges (J3/J5 — scoped per conversation) -------------------
+    kept.filter(_.labels.head == "Alias").foreach { al =>
+      val a = al.args.find(_.role == "a").map(x => gid(x.mention_id)).getOrElse("")
+      val b = al.args.find(_.role == "b").map(x => gid(x.mention_id)).getOrElse("")
+      if (a.nonEmpty && b.nonEmpty && a != b)
+        out += StageBRow("alias", None, None, Some(AliasEdge(a, b, convId)))
+    }
+
+    // ---- linked mentions (checkpoint payload) ----------------------------
+    entityById.values.toSeq.sortBy(_.mention_id).foreach { m =>
+      if (m.labels.head != "Generic_entity") {
+        val g = groundings.getOrElse(m.mention_id, Grounding("", "", ""))
+        out += StageBRow("linked", Some(LinkedMention(
+          m.mention_id, m.conv_id, m.turn_idx, m.sent_idx, m.start_tok,
+          m.end_tok, m.labels, m.text, m.found_by, false, "", m.args,
+          m.negated, m.hypothesis, g.namespace, g.id, g.species)), None, None)
+      }
+    }
+    kept.filter(_.labels.head != "Alias").foreach { e =>
+      out += StageBRow("linked", Some(LinkedMention(
+        e.mention_id, e.conv_id, e.turn_idx, e.sent_idx, e.start_tok,
+        e.end_tok, e.labels, e.text, e.found_by, true, e.trigger_text,
+        e.args, e.negated, e.hypothesis, "evt",
+        java.lang.Long.toHexString(e.mention_id), "")), None, None)
+    }
+
+    // ---- triple emission (S9 semantics) ----------------------------------
+    kept.filter(_.labels.head != "Alias").foreach { e =>
+      val head = e.labels.head
+      def argM(role: String): Option[MentionRow] =
+        e.args.find(_.role == role).flatMap(a => byId.get(a.mention_id))
+      val siteText = argM("site").map(_.text).getOrElse("")
+      val tri: Option[PreTriple] =
+        if (e.labels.contains("Regulation")) {
+          val ctl = e.args.find(_.role == "controller")
+          val cld = e.args.find(_.role == "controlled")
+          (ctl, cld) match {
+            case (Some(c), Some(d)) =>
+              val subjGid = descend(c.mention_id)._1
+              val cldM = byId.get(d.mention_id)
+              val (objCore, objSite) = descend(d.mention_id)
+              val objPred = cldM.map(_.labels.head).getOrElse("")
+              Some(PreTriple(subjGid, head, objCore, "", objPred, objSite,
+                e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+            case _ => None
+          }
+        } else if (e.labels.contains("ActivationEvent")) {
+          val subjGid = e.args.find(_.role == "controller")
+            .map(c => descend(c.mention_id)._1).getOrElse("")
+          val objGid = e.args.find(_.role == "controlled")
+            .map(c => descend(c.mention_id)._1).getOrElse("")
+          Some(PreTriple(subjGid, head, objGid, "", "", siteText,
+            e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+        } else if (head == "Binding") {
+          val themes = e.args.filter(_.role == "theme")
+            .map(a => descend(a.mention_id)._1).filter(_.nonEmpty).sorted
+          if (themes.length >= 2)
+            Some(PreTriple("", head, themes(0), themes(1), "", siteText,
+              e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+          else None
+        } else {
+          // simple events: theme(+site); Translocation carries destination gid
+          // in site when no residue site present
+          val themeGid = argM("theme").map(m => gid(m.mention_id)).getOrElse("")
+          val destGid = argM("destination")
+            .flatMap(d => groundings.get(d.mention_id)).map(gidOf).getOrElse("")
+          val st = if (siteText.nonEmpty) siteText else destGid
+          if (themeGid.nonEmpty)
+            Some(PreTriple("", head, themeGid, "", "", st,
+              e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+          else None
+        }
+      tri.foreach(t => out += StageBRow("triple", None, Some(t), None))
+    }
+
+    out.toSeq
+  }
+}

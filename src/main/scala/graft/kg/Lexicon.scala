@@ -1,0 +1,237 @@
+package graft.kg
+
+import graft.model.KBEntry
+
+/** Deterministic, embedded fixture knowledge: NER lexicon, grounding KB, and the
+  * label taxonomy. Stand-ins for the reference's bioresources TSV KBs
+  * (reference: main/.../grounding/ReachKBConstants.scala:46-97, loaded by
+  * TsvIMKBFactory.scala:32-51) and the YAML taxonomy
+  * (reference: biogrammar/taxonomy.yml via package.scala:10-22).
+  *
+  * Everything here is broadcast once per session — small dimension data, never
+  * shuffled (SURVEY.md J1: broadcast hash join is the scale-correct shape).
+  */
+object Lexicon {
+
+  /** Label taxonomy: child -> parents (single inheritance here). A mention carries
+    * its full hypernym closure in `labels`, so `m matches L` in the reference
+    * becomes `labels.contains(L)` / `array_contains`.
+    */
+  val taxonomyParents: Map[String, String] = Map(
+    "Gene_or_gene_product" -> "BioChemicalEntity",
+    "Generic_entity" -> "BioChemicalEntity",
+    "Family" -> "BioChemicalEntity",
+    "Complex" -> "BioChemicalEntity",
+    "Simple_chemical" -> "BioChemicalEntity",
+    "BioChemicalEntity" -> "PossibleController",
+    "PossibleController" -> "Entity",
+    "Site" -> "Entity",
+    "BioProcess" -> "PossibleController",
+    "Species" -> "Context",
+    "CellLine" -> "Context",
+    "CellType" -> "Context",
+    "Organ" -> "Context",
+    "TissueType" -> "Context",
+    "Cellular_component" -> "Context",
+    "Context" -> "Entity",
+    // events
+    "Phosphorylation" -> "AddModification",
+    "Dephosphorylation" -> "RemoveModification",
+    "Ubiquitination" -> "AddModification",
+    "Deubiquitination" -> "RemoveModification",
+    "Hydroxylation" -> "AddModification",
+    "Dehydroxylation" -> "RemoveModification",
+    "Sumoylation" -> "AddModification",
+    "Desumoylation" -> "RemoveModification",
+    "Glycosylation" -> "AddModification",
+    "Deglycosylation" -> "RemoveModification",
+    "Acetylation" -> "AddModification",
+    "Deacetylation" -> "RemoveModification",
+    "Farnesylation" -> "AddModification",
+    "Defarnesylation" -> "RemoveModification",
+    "Ribosylation" -> "AddModification",
+    "Deribosylation" -> "RemoveModification",
+    "Methylation" -> "AddModification",
+    "Demethylation" -> "RemoveModification",
+    "AddModification" -> "ModificationEvent",
+    "RemoveModification" -> "ModificationEvent",
+    "ModificationEvent" -> "SimpleEvent",
+    "Binding" -> "SimpleEvent",
+    "Transcription" -> "SimpleEvent",
+    "Translocation" -> "SimpleEvent",
+    "IncreaseAmount" -> "Amount",
+    "DecreaseAmount" -> "Amount",
+    "Amount" -> "SimpleEvent",
+    "SimpleEvent" -> "Event",
+    "Positive_regulation" -> "Regulation",
+    "Negative_regulation" -> "Regulation",
+    "Regulation" -> "ComplexEvent",
+    "Positive_activation" -> "ActivationEvent",
+    "Negative_activation" -> "ActivationEvent",
+    "ActivationEvent" -> "ComplexEvent",
+    "ComplexEvent" -> "Event",
+    "Event" -> "PossibleController"
+  )
+
+  /** Full hypernym closure for a head label, head first. */
+  def labelClosure(head: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer(head)
+    var cur = head
+    while (taxonomyParents.contains(cur)) {
+      cur = taxonomyParents(cur)
+      buf += cur
+    }
+    buf.toArray
+  }
+
+  private def g(names: String*): Seq[(String, String)] =
+    names.map(_ -> "Gene_or_gene_product")
+
+  /** NER dictionary: surface phrase -> head label. Multi-token phrases allowed
+    * (matched by the longest-match trie scan in Annotate).
+    */
+  val nerLexicon: Seq[(String, String)] =
+    g(
+      "AKT1", "AKT", "AKT2", "JAK3", "JAK1", "HuR", "ASPP2", "53BP2",
+      "optineurin", "OPTN", "MEK", "MEK1", "ERK", "ERK2", "p53", "TP53", "BRAF",
+      "KRAS", "HRAS", "mTOR", "STAT3", "EGFR", "HER2", "SRC", "JNK",
+      "GSK3", "PI3K", "PTEN", "MAPK1", "cortactin", "Gab1", "Grb2",
+      "SOS", "SAF-1", "Mad-Max", "cyclin D1", "SMAD2", "SMAD4", "TGFBR2",
+      "IGF-1R", "IRS-1", "Shc", "RhoA", "Rac1", "CDC42", "PLC-gamma",
+      "paxillin", "talin", "vinculin", "BAD", "BAX", "BCL2", "caspase-3",
+      "NF-kappaB", "IkB", "IKK", "TRAF2", "TRAF6", "RIP1", "FADD",
+      "beta-catenin", "GSK3beta", "APC", "axin", "LRP6", "DVL1"
+    ) ++ Seq(
+      "Ras" -> "Family",
+      "RAF" -> "Family",
+      "Rho" -> "Family",
+      "STAT" -> "Family",
+      "SMAD" -> "Family",
+      "Wnt" -> "Family",
+      "ERK1/2" -> "Family",
+      "14-3-3" -> "Family",
+      "ubiquitin" -> "Simple_chemical",
+      "ATP" -> "Simple_chemical",
+      "GTP" -> "Simple_chemical",
+      "rapamycin" -> "Simple_chemical",
+      "wortmannin" -> "Simple_chemical",
+      "staurosporine" -> "Simple_chemical",
+      "LY294002" -> "Simple_chemical",
+      "calcium" -> "Simple_chemical",
+      "human" -> "Species",
+      "mouse" -> "Species",
+      "murine" -> "Species",
+      "rat" -> "Species",
+      "yeast" -> "Species",
+      "HeLa" -> "CellLine",
+      "HEK293" -> "CellLine",
+      "MCF-7" -> "CellLine",
+      "NIH-3T3" -> "CellLine",
+      "fibroblast" -> "CellType",
+      "lymphocyte" -> "CellType",
+      "liver" -> "Organ",
+      "brain" -> "Organ",
+      "pancreas" -> "Organ",
+      "nucleus" -> "Cellular_component",
+      "cytoplasm" -> "Cellular_component",
+      "plasma membrane" -> "Cellular_component",
+      "mitochondria" -> "Cellular_component",
+      "endoplasmic reticulum" -> "Cellular_component",
+      "Golgi" -> "Cellular_component",
+      "apoptosis" -> "BioProcess",
+      "autophagy" -> "BioProcess",
+      "cell cycle" -> "BioProcess",
+      "proliferation" -> "BioProcess"
+    )
+
+  /** Grounding KB. Per-label KB search sequence encoded by kb_rank — first KB
+    * (lowest kb_rank) with a hit wins (reference: ReachEntityLookup.scala:58-69,
+    * InMemoryKB.scala:121-143). Within a KB, species ordering prefers
+    * human > no-species > non-human (ReachKBUtils.scala:107-108).
+    */
+  val kb: Seq[KBEntry] = {
+    def up(t: String, id: String, sp: String = "human") =
+      KBEntry(t, id, sp, "uniprot", 0, "Gene_or_gene_product", true, false)
+    def fam(t: String, id: String, forLabel: String = "Family", rank: Int = 0) =
+      KBEntry(t, id, "", "pfam", rank, forLabel, false, true)
+    def chem(t: String, id: String) =
+      KBEntry(t, id, "", "pubchem", 0, "Simple_chemical", false, false)
+    def sp(t: String, id: String) =
+      KBEntry(t, id, "", "taxonomy", 0, "Species", false, false)
+    def go(t: String, id: String, label: String) =
+      KBEntry(t, id, "", "go", 0, label, false, false)
+    def cl(t: String, id: String, label: String, ns: String) =
+      KBEntry(t, id, "", ns, 0, label, false, false)
+
+    Seq(
+      up("AKT1", "P31749"), up("AKT1", "P31750", "mouse"),
+      up("AKT", "P31749"), up("AKT2", "P31751"),
+      up("JAK3", "P52333"), up("JAK1", "P23458"),
+      up("HuR", "Q15717"), up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
+      up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
+      up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
+      up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),
+      up("BRAF", "P15056"), up("KRAS", "P01116"), up("HRAS", "P01112"),
+      up("mTOR", "P42345"), up("STAT3", "P40763"), up("EGFR", "P00533"),
+      up("HER2", "P04626"), up("SRC", "P12931"), up("JNK", "P45983"),
+      up("GSK3", "P49840"), up("PI3K", "P42336"), up("PTEN", "P60484"),
+      up("MAPK1", "P28482"), up("cortactin", "Q14247"), up("Gab1", "Q13480"),
+      up("Grb2", "P62993"), up("SOS", "Q07889"), up("SAF-1", "P84090"),
+      up("cyclin D1", "P24385"), up("SMAD2", "Q15796"), up("SMAD4", "Q13485"),
+      up("TGFBR2", "P37173"), up("IGF-1R", "P08069"), up("IRS-1", "P35568"),
+      up("Shc", "P29353"), up("RhoA", "P61586"), up("Rac1", "P63000"),
+      up("CDC42", "P60953"), up("PLC-gamma", "P19174"), up("paxillin", "P49023"),
+      up("talin", "Q9Y490"), up("vinculin", "P18206"), up("BAD", "Q92934"),
+      up("BAX", "Q07812"), up("BCL2", "P10415"), up("caspase-3", "P42574"),
+      up("NF-kappaB", "P19838"), up("IkB", "P25963"), up("IKK", "O15111"),
+      up("TRAF2", "Q12933"), up("TRAF6", "Q9Y4K3"), up("RIP1", "Q13546"),
+      up("FADD", "Q13158"), up("beta-catenin", "P35222"), up("GSK3beta", "P49841"),
+      up("APC", "P25054"), up("axin", "O15169"), up("LRP6", "O75581"),
+      up("DVL1", "O14640"), up("Mad-Max", "Q05195"),
+      // Ras is BOTH a protein-KB miss and a family-KB hit; as a
+      // Gene_or_gene_product label its search sequence falls through to pfam
+      // at rank 1 (family-vs-protein overlap fixture, FIXTURES.md §2)
+      fam("Ras", "PF00071", "Gene_or_gene_product", 1),
+      fam("Ras", "PF00071"), fam("RAF", "PF02196"),
+      fam("RAF", "PF02196", "Gene_or_gene_product", 1),
+      fam("Rho", "PF00071"), fam("STAT", "PF01017"),
+      fam("SMAD", "PF03165"), fam("Wnt", "PF00110"),
+      fam("ERK1/2", "PF00069"), fam("14-3-3", "PF00244"),
+      chem("ubiquitin", "CID3081416"), chem("ATP", "CID5957"),
+      chem("GTP", "CID6830"), chem("rapamycin", "CID5284616"),
+      chem("wortmannin", "CID312145"), chem("staurosporine", "CID44259"),
+      chem("LY294002", "CID3973"), chem("calcium", "CID271"),
+      sp("human", "9606"), sp("mouse", "10090"), sp("murine", "10090"),
+      sp("rat", "10116"), sp("yeast", "4932"),
+      go("nucleus", "GO:0005634", "Cellular_component"),
+      go("cytoplasm", "GO:0005737", "Cellular_component"),
+      go("plasma membrane", "GO:0005886", "Cellular_component"),
+      go("mitochondria", "GO:0005739", "Cellular_component"),
+      go("endoplasmic reticulum", "GO:0005783", "Cellular_component"),
+      go("Golgi", "GO:0005794", "Cellular_component"),
+      go("apoptosis", "GO:0006915", "BioProcess"),
+      go("autophagy", "GO:0006914", "BioProcess"),
+      go("cell cycle", "GO:0007049", "BioProcess"),
+      go("proliferation", "GO:0008283", "BioProcess"),
+      cl("HeLa", "CVCL_0030", "CellLine", "cellosaurus"),
+      cl("HEK293", "CVCL_0045", "CellLine", "cellosaurus"),
+      cl("MCF-7", "CVCL_0031", "CellLine", "cellosaurus"),
+      cl("NIH-3T3", "CVCL_0594", "CellLine", "cellosaurus"),
+      cl("fibroblast", "CL:0000057", "CellType", "cl"),
+      cl("lymphocyte", "CL:0000542", "CellType", "cl"),
+      cl("liver", "UBERON:0002107", "Organ", "uberon"),
+      cl("brain", "UBERON:0000955", "Organ", "uberon"),
+      cl("pancreas", "UBERON:0001264", "Organ", "uberon")
+    )
+  }
+
+  /** Deterministic failsafe grounding for strings absent from every KB
+    * (replaces the reference's stateful counter, AzFailsafeKBML.scala:18-27 —
+    * a counter is nondeterministic under parallelism; a content hash is the
+    * Spark-correct equivalent and enables resume).
+    */
+  def failsafeId(text: String): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(text.trim.toLowerCase)
+    "UAZ%08X".format(h)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.kg
+
+import graft.model._
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** Odin-style token-pattern matcher, re-implemented natively (the reference
+  * gets this from the external `processors` 6.0.5 library — Odin engine —
+  * main/build.sbt:5; we need only the surface token-pattern subset, SURVEY.md
+  * §7.0).
+  *
+  * Design notes for scale: rule matching is strictly *sentence-local* — the
+  * whole engine runs inside one `flatMap` over annotated turns (one
+  * JIT-compiled closure per partition, zero per-token UDF overhead, SURVEY.md
+  * §2.9). Priorities (the reference's staged fixpoint, events_master.yml:22+)
+  * become an ordered sequence of in-row passes over a growing [[State]] — the
+  * Odin `State.mentionsFor` probe (SURVEY.md J2) is a map-side lookup, never a
+  * shuffle.
+  */
+object Matcher {
+
+  // ---- pattern elements -------------------------------------------------
+
+  sealed trait PE extends Serializable
+
+  /** Word literal/regex (anchored, case-insensitive). */
+  final case class W(re: String) extends PE {
+    val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
+  }
+
+  /** Trigger token (like W but records the trigger span). */
+  final case class T(re: String) extends PE {
+    val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
+  }
+
+  /** Capture one existing mention with `label` in its closure, starting here.
+    * Mirrors Odin's `@role:Label` captures probing the State (SURVEY.md J2).
+    */
+  final case class M(role: String, label: String) extends PE
+
+  /** Capture a coordinated list of mentions: `X`, `X and Y`, `X, Y, and Z`.
+    * Implements the reference's coordination handling that yields one event
+    * per coordinated argument (DarpaActions.mkBinding:222-261 and the
+    * templatic-event tests). `commaOk=false` (prose lists) requires an and/or
+    * conjunction — a bare comma is a clause boundary, not coordination;
+    * `commaOk=true` (parenthesized site lists like "(Y63, Y68, Y200)") accepts
+    * bare commas.
+    */
+  final case class ML(role: String, label: String,
+                      commaOk: Boolean = false) extends PE
+
+  /** Optional group. */
+  final case class OptG(ps: PE*) extends PE
+
+  /** Alternation of sequences. */
+  final case class AltG(alts: Seq[PE]*) extends PE
+
+  /** Bounded wildcard: skip 0..max arbitrary tokens (shortest first). Used to
+    * bridge tokens an argument mention's span doesn't cover (e.g. the trailing
+    * "expression" of an Amount event) — the surface analogue of the
+    * reference's dependency-path hops.
+    */
+  final case class X(max: Int) extends PE
+
+  // ---- match state ------------------------------------------------------
+
+  final case class Bind(
+      trigger: (Int, Int),
+      caps: Map[String, List[MentionRow]]
+  ) {
+    def withTrigger(s: Int, e: Int): Bind = copy(trigger = (s, e))
+    def add(role: String, m: MentionRow): Bind =
+      copy(caps = caps + (role -> (caps.getOrElse(role, Nil) :+ m)))
+  }
+  val emptyBind: Bind = Bind((-1, -1), Map.empty)
+
+  /** Per-sentence mention index (Odin State analogue). */
+  final class State {
+    private val byStart = mutable.Map.empty[Int, List[MentionRow]]
+    private val ids = mutable.Set.empty[Long]
+    val all = mutable.ArrayBuffer.empty[MentionRow]
+
+    def add(m: MentionRow): Boolean = {
+      if (ids.contains(m.mention_id)) false
+      else {
+        ids += m.mention_id
+        all += m
+        byStart(m.start_tok) = (m :: byStart.getOrElse(m.start_tok, Nil))
+          .sortBy(x => (-(x.end_tok - x.start_tok), x.labels.head))
+        true
+      }
+    }
+
+    /** Mentions starting at `start` whose closure contains `label`,
+      * longest-first (deterministic).
+      */
+    def at(start: Int, label: String): List[MentionRow] =
+      byStart.getOrElse(start, Nil).filter(_.labels.contains(label))
+  }
+
+  // ---- matching ---------------------------------------------------------
+
+  private val sepAnd = Pattern.compile("and|or|&", Pattern.CASE_INSENSITIVE)
+
+  /** Match `pats` against `sent` starting at `pos`; returns all (endPos, bind)
+    * solutions (longest argument lists first). Backtracking recursive descent —
+    * sentences are short, rule sets small; this is CPU-cheap relative to I/O.
+    */
+  def tryMatch(pats: List[PE], words: Array[String], state: State,
+               pos: Int, b: Bind): List[(Int, Bind)] = pats match {
+    case Nil => List((pos, b))
+    case p :: rest =>
+      p match {
+        case w: W =>
+          if (pos < words.length && w.p.matcher(words(pos)).matches())
+            tryMatch(rest, words, state, pos + 1, b)
+          else Nil
+        case t: T =>
+          if (pos < words.length && t.p.matcher(words(pos)).matches())
+            tryMatch(rest, words, state, pos + 1, b.withTrigger(pos, pos + 1))
+          else Nil
+        case m: M =>
+          state.at(pos, m.label) match {
+            case Nil => Nil
+            case cand :: _ => // longest only — deterministic
+              tryMatch(rest, words, state, cand.end_tok, b.add(m.role, cand))
+          }
+        case ml: ML =>
+          mlMatch(ml, words, state, pos, b).flatMap { case (p2, b2) =>
+            tryMatch(rest, words, state, p2, b2)
+          }
+        case OptG(ps @ _*) =>
+          tryMatch(ps.toList ::: rest, words, state, pos, b) ++
+            tryMatch(rest, words, state, pos, b)
+        case AltG(alts @ _*) =>
+          alts.toList.flatMap(a =>
+            tryMatch(a.toList ::: rest, words, state, pos, b))
+        case X(max) =>
+          (0 to max).toList.flatMap { k =>
+            if (pos + k <= words.length)
+              tryMatch(rest, words, state, pos + k, b)
+            else Nil
+          }
+      }
+  }
+
+  /** Coordinated list: longest lists first, then shorter (backtracking). */
+  private def mlMatch(ml: ML, words: Array[String], state: State,
+                      pos: Int, b: Bind): List[(Int, Bind)] =
+    state.at(pos, ml.label) match {
+      case Nil => Nil
+      case cand :: _ =>
+        val b2 = b.add(ml.role, cand)
+        val end = cand.end_tok
+        // separators: "," | "and"/"or" | ", and"
+        val conts = mutable.ListBuffer.empty[(Int, Bind)]
+        if (end < words.length) {
+          if (words(end) == ",") {
+            if (end + 1 < words.length &&
+                sepAnd.matcher(words(end + 1)).matches())
+              conts ++= mlMatch(ml, words, state, end + 2, b2)
+            if (ml.commaOk)
+              conts ++= mlMatch(ml, words, state, end + 1, b2)
+          } else if (sepAnd.matcher(words(end)).matches()) {
+            conts ++= mlMatch(ml, words, state, end + 1, b2)
+          }
+        }
+        conts.toList ::: List((end, b2))
+    }
+
+  // ---- deterministic ids ------------------------------------------------
+
+  /** 64-bit deterministic content hash — mention identity that survives
+    * retries, repartitioning and resume (replaces the reference's object
+    * identity + custom hashCodes, BioMention.scala:18-21; SURVEY.md §1.2).
+    */
+  def contentId(parts: String*): Long = {
+    val s = parts.mkString("")
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  def mentionId(conv: String, turn: Int, sent: Int, s: Int, e: Int,
+                label: String, trig: String, args: Seq[Arg],
+                negated: Boolean, hypothesis: Boolean): Long =
+    contentId(conv, turn.toString, sent.toString, s.toString, e.toString,
+      label, trig,
+      args.sortBy(a => (a.role, a.mention_id))
+        .map(a => a.role + "=" + a.mention_id).mkString(","),
+      negated.toString, hypothesis.toString)
+}

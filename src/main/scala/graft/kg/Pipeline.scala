@@ -1,0 +1,201 @@
+package graft.kg
+
+import graft.io.TableIO
+import graft.model._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** The stage DAG (reference: ReachSystem.extractFrom, ReachSystem.scala:75-106,
+  * re-planned for Spark's execution model — SURVEY.md §3.1):
+  *
+  *   turns --(narrow: filter+annotate+rule-match flatMap, NO shuffle)--> mentions_raw
+  *   mentions_raw --(ONE exchange: salted conv grouping; context+coref+link+emit
+  *                   in a single partition-local fold)--> stage_b (linked/triples/aliases)
+  *   aliases --(tiny; CC)--> canon_map
+  *   stage_b + broadcast(canon_map) --(broadcast join, narrow)--> edges, nodes
+  *
+  * Checkpoint-resumable at every stage boundary via TableIO manifests
+  * (mention -> link -> canonicalize -> materialize, per the north rule).
+  *
+  * Skew: the conv grouping key is salted with `turn_idx / chunkTurns`, so a
+  * mega-conversation fans out across tasks in chunkTurns-sized spans; the
+  * backward-looking context (3 turns) and coref (<=3 sentences) windows only
+  * lose lookback at chunk edges. Small conversations get salt 0 — semantics
+  * unchanged.
+  */
+object Pipeline {
+
+  val chunkTurns = 1000
+
+  final case class Result(edges: DataFrame, nodes: DataFrame,
+                          lineage: DataFrame)
+
+  def sessionKb(): Link.KbIndex = new Link.KbIndex(Lexicon.kb)
+
+  /** Wrap a dataset so each task appends one per-partition lineage row on
+    * completion.
+    */
+  private def instrument[T](ds: Dataset[T], stage: String, runId: String,
+                            acc: CollectionAccumulator[Lineage])
+                           (implicit enc: Encoder[T]): Dataset[T] =
+    ds.mapPartitions { it =>
+      val t0 = System.currentTimeMillis()
+      var n = 0L
+      new Iterator[T] {
+        private var reported = false
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !reported) {
+            reported = true
+            acc.add(Lineage(stage, TaskContext.getPartitionId(), 0L, n,
+              System.currentTimeMillis() - t0, runId))
+          }
+          h
+        }
+        override def next(): T = { n += 1; it.next() }
+      }
+    }
+
+  // ---- stage functions (shared by checkpointed + in-memory paths) --------
+
+  def stageMentions(spark: SparkSession, turns: Dataset[Turn],
+                    runId: String, acc: CollectionAccumulator[Lineage]): Dataset[MentionRow] = {
+    import spark.implicits._
+    val bTrie = spark.sparkContext.broadcast(Annotate.buildTrie(Lexicon.nerLexicon))
+    val annotated = Annotate(spark, turns, bTrie)
+    instrument(annotated.flatMap(BioRules.extractTurn _), "mentions", runId, acc)
+  }
+
+  def stageB(spark: SparkSession, mentions: Dataset[MentionRow],
+             runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
+    import spark.implicits._
+    val bKb = spark.sparkContext.broadcast(sessionKb())
+    val grouped = mentions
+      .groupByKey(m => (m.conv_id, m.turn_idx / chunkTurns))
+      .flatMapGroups { (key, it) =>
+        ConvProcessor.process(key._1, it.toSeq, bKb.value).iterator
+      }
+    instrument(grouped, "link_coref_emit", runId, acc)
+  }
+
+  def stageCanon(spark: SparkSession, b: Dataset[StageBRow]): DataFrame = {
+    val aliases = b.filter(col("kind") === "alias")
+      .select(col("alias.a").as("a"), col("alias.b").as("b"))
+    Canon.connectedComponents(spark, aliases)
+  }
+
+  def stageMaterialize(spark: SparkSession, b: Dataset[StageBRow],
+                       canonMap: DataFrame): (DataFrame, DataFrame) = {
+    val canon = broadcast(canonMap)
+    def canonized(df: DataFrame, c: String): DataFrame =
+      df.join(canon.withColumnRenamed("gid", c)
+          .withColumnRenamed("canon_id", c + "_canon"), Seq(c), "left")
+        .withColumn(c, coalesce(col(c + "_canon"), col(c)))
+        .drop(c + "_canon")
+
+    val pre = b.filter(col("kind") === "triple").select("triple.*")
+    val canonized2 = canonized(canonized(canonized(pre, "subj_gid"), "obj_gid"), "obj_gid2")
+    val edges = canonized2
+      .withColumn("obj",
+        when(col("obj_pred") =!= "",
+          concat(col("obj_pred"), lit("("), col("obj_gid"),
+            when(col("site") =!= "", concat(lit("@"), col("site"))).otherwise(lit("")),
+            lit(")")))
+        .when(col("obj_gid2") =!= "",
+          concat_ws("&", array_sort(array(col("obj_gid"), col("obj_gid2")))))
+        .otherwise(col("obj_gid")))
+      .select(
+        col("subj_gid").as("subj"), col("pred"), col("obj"), col("site"),
+        col("negated"), col("hypothesis"), col("conv_id"), col("turn_idx"),
+        col("evidence_text"), col("found_by"))
+      .withColumn("edge_id", xxhash64(col("subj"), col("pred"), col("obj"),
+        col("site"), col("negated"), col("hypothesis"), col("conv_id"),
+        col("turn_idx")))
+      // content-level dedup (reference corefDistinct A4): the same semantic
+      // edge can be derived via multiple rule paths (entity-controller and
+      // flattened event-controller regulations)
+      .dropDuplicates("edge_id")
+
+    val linked = b.filter(col("kind") === "linked").select("linked.*")
+    val ents = linked.filter(col("is_event") === false && col("ns") =!= "")
+      .withColumn("gid", concat(col("ns"), lit(":"), col("ns_id")))
+    val entsCanon = canonized(ents.withColumnRenamed("gid", "canon_gid")
+      .withColumnRenamed("canon_gid", "gid"), "gid")
+      .withColumnRenamed("gid", "canon_id")
+    import org.apache.spark.sql.expressions.Window
+    val surfaceCounts = entsCanon.groupBy(col("canon_id"), col("text"),
+        col("ns"), col("ns_id"), col("species"), col("labels"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("canon_id"))
+      .orderBy(col("n").desc, col("text").asc)
+    val nodes = surfaceCounts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("canon_id"))
+      .agg(
+        max(when(col("rn") === 1, col("text"))).as("display"),
+        max(when(col("rn") === 1, col("labels")(0))).as("label"),
+        max(when(col("rn") === 1, col("ns"))).as("ns"),
+        max(when(col("rn") === 1, col("ns_id"))).as("ns_id"),
+        max(when(col("rn") === 1, col("species"))).as("species"),
+        collect_set(col("text")).as("alias_surface_forms"))
+    (edges, nodes)
+  }
+
+  // ---- checkpointed run (spark-submit path, resumable) -------------------
+
+  def run(spark: SparkSession, turns: Dataset[Turn], workDir: String,
+          resume: Boolean = true): Result = {
+    import spark.implicits._
+    val io = TableIO(workDir)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val acc = new CollectionAccumulator[Lineage]
+    spark.sparkContext.register(acc, "lineage")
+
+    if (!(resume && io.isComplete("mentions_raw"))) {
+      io.write(stageMentions(spark, turns, runId, acc).toDF(), "mentions_raw")
+    }
+    val mentionsRaw = io.read(spark, "mentions_raw").as[MentionRow]
+
+    if (!(resume && io.isComplete("stage_b"))) {
+      io.write(stageB(spark, mentionsRaw, runId, acc).toDF(), "stage_b")
+    }
+    val b = io.read(spark, "stage_b").as[StageBRow]
+
+    if (!(resume && io.isComplete("canon_map"))) {
+      io.write(stageCanon(spark, b), "canon_map")
+    }
+    val canonMap = io.read(spark, "canon_map")
+
+    if (!(resume && io.isComplete("edges") && io.isComplete("nodes"))) {
+      val (edges, nodes) = stageMaterialize(spark, b, canonMap)
+      io.write(edges, "edges")
+      io.write(nodes, "nodes")
+    }
+
+    val lineage = spark.createDataset(
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq).toDF()
+    io.write(lineage, "lineage")
+    Result(io.read(spark, "edges"), io.read(spark, "nodes"),
+      io.read(spark, "lineage"))
+  }
+
+  /** In-memory path for tests and small corpora — same stage functions, no
+    * checkpoint I/O.
+    */
+  def extract(spark: SparkSession, turns: Dataset[Turn]): Result = {
+    val runId = "mem"
+    val acc = new CollectionAccumulator[Lineage]
+    spark.sparkContext.register(acc, "lineage-mem")
+    val mentions = stageMentions(spark, turns, runId, acc)
+    val b = stageB(spark, mentions, runId, acc)
+    import spark.implicits._
+    val bCached = b.cache()
+    val canonMap = stageCanon(spark, bCached)
+    val (edges, nodes) = stageMaterialize(spark, bCached, canonMap)
+    val lineage = spark.createDataset(
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq).toDF()
+    Result(edges, nodes, lineage)
+  }
+}

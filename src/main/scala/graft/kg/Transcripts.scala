@@ -1,0 +1,309 @@
+package graft.kg
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.sql.Timestamp
+import scala.collection.mutable
+import scala.util.Random
+
+/** Deterministic synthetic transcript corpus (FIXTURES.md): golden
+  * conversations with hand-traced expected triples (the exactness gate) and a
+  * seeded template generator for P/R scoring + throughput benchmarks. No
+  * external data; everything derives from the embedded lexicon/KB.
+  *
+  * Expected triples for generated conversations come from template knowledge
+  * (the generator knows which template it emitted), NOT from running the
+  * pipeline — so the P/R score is a real oracle.
+  */
+object Transcripts {
+
+  private val epochMs = 1700000000000L // fixed base epoch (deterministic)
+
+  def mkTurn(conv: String, idx: Int, role: String, text: String,
+             tool: String = null): Turn =
+    Turn(conv, idx, role, text, tool, new Timestamp(epochMs + idx * 60000L))
+
+  private def tri(conv: String, turn: Int, subj: String, pred: String,
+                  obj: String, site: String = "", neg: Boolean = false,
+                  hyp: Boolean = false): Triple =
+    Triple(subj, pred, obj, site, neg, hyp, conv, turn, "", "")
+
+  // gid lookup via the same KbIndex the pipeline uses (its semantics are
+  // pinned independently by LinkSpec unit tests)
+  private lazy val kbIdx = new Link.KbIndex(Lexicon.kb)
+  def gidOf(name: String, label: String = "Gene_or_gene_product"): String = {
+    val g = kbIdx.resolve(name, label, "")
+    g.namespace + ":" + g.id
+  }
+
+  // ---- golden corpus (hand-traced; see FIXTURES.md §4) -------------------
+
+  lazy val golden: (Seq[Turn], Seq[Triple]) = {
+    val turns = mutable.ArrayBuffer.empty[Turn]
+    val triples = mutable.ArrayBuffer.empty[Triple]
+    def conv(id: String)(ts: (String, String)*)(exp: Triple*): Unit = {
+      ts.zipWithIndex.foreach { case ((role, text), i) =>
+        turns += mkTurn(id, i, role, text)
+      }
+      triples ++= exp
+    }
+    val AKT1 = gidOf("AKT1"); val JAK3 = gidOf("JAK3"); val HuR = gidOf("HuR")
+    val ASPP2 = gidOf("ASPP2"); val OPT = gidOf("optineurin")
+    val MEK = gidOf("MEK"); val MEK1 = gidOf("MEK1"); val ERK2 = gidOf("ERK2")
+    val JAK1 = gidOf("JAK1"); val PTEN = gidOf("PTEN")
+    val GSK3 = gidOf("GSK3"); val BAD = gidOf("BAD")
+    val mTOR = gidOf("mTOR"); val STAT3 = gidOf("STAT3")
+    val RAPA = gidOf("rapamycin", "Simple_chemical")
+    val CCND1 = gidOf("cyclin D1"); val BCAT = gidOf("beta-catenin")
+    val GRB2 = gidOf("Grb2"); val SOS = gidOf("SOS")
+    val RAS = gidOf("Ras", "Family")
+    val NUC = gidOf("nucleus", "Cellular_component")
+
+    conv("g01")("user" ->
+      "JAK3 phosphorylates three HuR residues (Y63, Y68, Y200).")(
+      tri("g01", 0, "", "Phosphorylation", HuR, "Y63"),
+      tri("g01", 0, "", "Phosphorylation", HuR, "Y68"),
+      tri("g01", 0, "", "Phosphorylation", HuR, "Y200"),
+      tri("g01", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR@Y63)", "Y63"),
+      tri("g01", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR@Y68)", "Y68"),
+      tri("g01", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR@Y200)", "Y200"))
+
+    conv("g02")("user" ->
+      "The deubiquitination of ASPP2 is promoted by optineurin.")(
+      tri("g02", 0, "", "Deubiquitination", ASPP2),
+      tri("g02", 0, OPT, "Positive_regulation", s"Deubiquitination($ASPP2)"))
+
+    conv("g03")("user" ->
+      "The ubiquitinated Ras protein phosphorylates AKT1.")(
+      tri("g03", 0, "", "Phosphorylation", AKT1),
+      tri("g03", 0, RAS, "Positive_regulation", s"Phosphorylation($AKT1)"))
+
+    conv("g04")("user" -> "AKT1 binds GSK3 and BAD.")(
+      tri("g04", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")),
+      tri("g04", 0, "", "Binding", Seq(AKT1, BAD).sorted.mkString("&")))
+
+    conv("g05")("user" -> "MEK does not phosphorylate ERK2.")(
+      tri("g05", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g05", 0, MEK, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        neg = true))
+
+    conv("g06")("user" -> "Without MEK, ERK2 is not phosphorylated.")(
+      tri("g06", 0, "", "Phosphorylation", ERK2, "", neg = false))
+
+    conv("g07")("user" ->
+      "These results suggest that MEK1 phosphorylates ERK2.")(
+      tri("g07", 0, "", "Phosphorylation", ERK2, "", hyp = true),
+      tri("g07", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        hyp = true))
+
+    conv("g08")(
+      "user" -> "AKT1 is expressed in HeLa cells.",
+      "assistant" -> "It is phosphorylated by MEK.")(
+      tri("g08", 1, "", "Phosphorylation", AKT1),
+      tri("g08", 1, MEK, "Positive_regulation", s"Phosphorylation($AKT1)"))
+
+    conv("g09")(
+      "user" -> "Optineurin (also known as OPTN) is involved in autophagy.",
+      "assistant" -> "OPTN is phosphorylated by JAK1.")(
+      tri("g09", 1, "", "Phosphorylation", OPT),
+      tri("g09", 1, JAK1, "Positive_regulation", s"Phosphorylation($OPT)"))
+
+    conv("g10")(
+      "user" -> "We studied mouse fibroblasts.",
+      "assistant" -> "ERK2 was phosphorylated at T669.")(
+      tri("g10", 1, "", "Phosphorylation", "uniprot:P63085", "T669"))
+
+    conv("g11")("user" -> "Loss of PTEN promotes phosphorylation of AKT1.")(
+      tri("g11", 0, "", "DecreaseAmount", PTEN),
+      tri("g11", 0, "", "Phosphorylation", AKT1),
+      tri("g11", 0, PTEN, "Negative_regulation", s"Phosphorylation($AKT1)"))
+
+    conv("g12")("user" -> "Rapamycin inhibits mTOR.")(
+      tri("g12", 0, RAPA, "Negative_activation", mTOR))
+
+    conv("g13")("user" -> "STAT3 translocates to the nucleus.")(
+      tri("g13", 0, "", "Translocation", STAT3, NUC))
+
+    conv("g14")("user" ->
+      "The transcription of cyclin D1 is induced by beta-catenin.")(
+      tri("g14", 0, "", "Transcription", CCND1),
+      tri("g14", 0, BCAT, "Positive_regulation", s"Transcription($CCND1)"))
+
+    conv("g15")("user" -> "Rapamycin decreases mTOR levels.")(
+      tri("g15", 0, "", "DecreaseAmount", mTOR))
+
+    conv("g16")("user" -> "MEK1 phosphorylates ERK2 at T669.")(
+      tri("g16", 0, "", "Phosphorylation", ERK2, "T669"),
+      tri("g16", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2@T669)",
+        "T669"))
+
+    conv("g17")("user" ->
+      "Decreased ERK2 expression increases phosphorylation of AKT1.")(
+      tri("g17", 0, "", "DecreaseAmount", ERK2),
+      tri("g17", 0, "", "Phosphorylation", AKT1),
+      tri("g17", 0, ERK2, "Negative_regulation", s"Phosphorylation($AKT1)"))
+
+    conv("g18")("user" -> "STAT3 is activated by JAK1.")(
+      tri("g18", 0, JAK1, "Positive_activation", STAT3))
+
+    conv("g19")("user" -> "The interaction of Grb2 with SOS was examined.")(
+      tri("g19", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&"), "",
+        hyp = true))
+
+    (turns.toSeq, triples.toSeq)
+  }
+
+  // ---- template generator ------------------------------------------------
+
+  /** Gene pool with pairwise-distinct groundings (asserted in tests). */
+  val genePool: Vector[String] = Vector(
+    "AKT1", "AKT2", "JAK3", "JAK1", "HuR", "optineurin", "MEK1", "ERK2",
+    "BRAF", "KRAS", "mTOR", "STAT3", "EGFR", "HER2", "SRC", "JNK", "GSK3",
+    "PI3K", "PTEN", "cortactin", "Gab1", "Grb2", "RhoA", "Rac1", "CDC42",
+    "paxillin", "talin", "vinculin", "BAD", "BAX", "BCL2", "TRAF2", "TRAF6",
+    "FADD", "axin", "LRP6", "DVL1", "SMAD2", "SMAD4", "TGFBR2")
+
+  private val fillers = Vector(
+    "We then repeated the experiment under identical conditions.",
+    "The samples were prepared as described previously.",
+    "Thanks, that makes sense to me.",
+    "Could you summarize the previous findings?",
+    "The cells were cultured for 48 hours before analysis.",
+    "Further work will be needed to confirm this observation.")
+
+  /** Emit one conversation's turns + expected triples. Deterministic per
+    * (seed, convIdx). `withCoref=false` for mega-conversations so chunk
+    * boundaries cannot truncate anaphora lookback.
+    */
+  def genConv(seed: Long, convIdx: Long, nTurns: Int,
+              withCoref: Boolean = true): (Seq[Turn], Seq[Triple]) = {
+    val rnd = new Random(seed * 1000003L + convIdx)
+    val conv = f"c$convIdx%06d"
+    val turns = mutable.ArrayBuffer.empty[Turn]
+    val triples = mutable.ArrayBuffer.empty[Triple]
+    def genes(n: Int): Seq[String] = {
+      val s = mutable.LinkedHashSet.empty[String]
+      while (s.size < n) s += genePool(rnd.nextInt(genePool.size))
+      s.toSeq
+    }
+    var t = 0
+    while (t < nTurns) {
+      val role = if (t % 2 == 0) "user" else "assistant"
+      val maxT = if (withCoref) 11 else 10
+      val kind = rnd.nextInt(maxT)
+      kind match {
+        case 0 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a phosphorylates $b.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 1 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a does not phosphorylate $b.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b), neg = true)
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})", neg = true)
+        case 2 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"The ubiquitination of $b is promoted by $a.")
+          triples += tri(conv, t, "", "Ubiquitination", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Ubiquitination(${gidOf(b)})")
+        case 3 =>
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role, s"$a binds $b and $c.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(c)).sorted.mkString("&"))
+        case 4 =>
+          val Seq(b) = genes(1)
+          turns += mkTurn(conv, t, role, s"Rapamycin inhibits $b.")
+          triples += tri(conv, t, gidOf("rapamycin", "Simple_chemical"),
+            "Negative_activation", gidOf(b))
+        case 5 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"These results suggest that $a activates $b.")
+          triples += tri(conv, t, gidOf(a), "Positive_activation", gidOf(b),
+            hyp = true)
+        case 6 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"Loss of $a promotes phosphorylation of $b.")
+          triples += tri(conv, t, "", "DecreaseAmount", gidOf(a))
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Negative_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 7 =>
+          val Seq(b) = genes(1)
+          turns += mkTurn(conv, t, role, s"$b translocates to the nucleus.")
+          triples += tri(conv, t, "", "Translocation", gidOf(b),
+            gidOf("nucleus", "Cellular_component"))
+        case 8 =>
+          turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
+        case 9 =>
+          // tool turn: filtered out by the role filter, must contribute nothing
+          turns += mkTurn(conv, t, "tool",
+            s"""{"status": "ok", "result": [${rnd.nextInt(100)}]}""",
+            "search")
+        case 10 if t + 1 < nTurns =>
+          val Seq(a, c) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a is expressed in HeLa cells.")
+          turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
+            s"It is phosphorylated by $c.")
+          triples += tri(conv, t + 1, "", "Phosphorylation", gidOf(a))
+          triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
+            s"Phosphorylation(${gidOf(a)})")
+          t += 1
+        case _ =>
+          turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
+      }
+      t += 1
+    }
+    (turns.toSeq, triples.toSeq)
+  }
+
+  /** Distributed corpus generation: turns are synthesized inside executors
+    * (spark.range -> flatMap), so a 10^12-turn corpus never materializes on
+    * the driver. Zipf-ish turn counts; optional mega-conversation for skew.
+    */
+  def corpus(spark: SparkSession, nConvs: Int, seed: Long,
+             megaTurns: Int = 0): (Dataset[Turn], Dataset[Triple]) = {
+    import spark.implicits._
+    val turns = spark.range(nConvs.toLong).flatMap { i =>
+      val n = 2 + (new Random(seed ^ i).nextInt(49) *
+        (if (i % 7 == 0) 1 else 0)) + new Random(seed ^ (i + 7)).nextInt(8)
+      genConv(seed, i, n)._1
+    }
+    val expected = spark.range(nConvs.toLong).flatMap { i =>
+      val n = 2 + (new Random(seed ^ i).nextInt(49) *
+        (if (i % 7 == 0) 1 else 0)) + new Random(seed ^ (i + 7)).nextInt(8)
+      genConv(seed, i, n)._2
+    }
+    if (megaTurns > 0) {
+      // one skewed mega-conversation, generated in parallel slices of
+      // chunk-aligned spans (no coref templates -> slice independence)
+      val slice = Pipeline.chunkTurns
+      val nSlices = (megaTurns + slice - 1) / slice
+      val mega = spark.range(nSlices.toLong).flatMap { s =>
+        val (ts, _) = genConv(seed * 31 + s, 999999L, math.min(slice, megaTurns - s.toInt * slice), withCoref = false)
+        ts.map(t => t.copy(conv_id = "mega",
+          turn_idx = s.toInt * slice + t.turn_idx))
+      }
+      (turns.union(mega), expected)
+    } else (turns, expected)
+  }
+
+  def goldenTurns(spark: SparkSession): Dataset[Turn] = {
+    import spark.implicits._
+    spark.createDataset(golden._1)
+  }
+  def goldenExpected(spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    spark.createDataset(golden._2)
+  }
+}
