@@ -1,13 +1,521 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.kg._
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2) + the training-data ops; `oracleSql` gives the DuckDB
+  * equivalent where the semantics are SQL-expressible (hash-dependent or
+  * sequential operators get rows-only checks and are pinned by ScalaTest
+  * specs instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared derivations -------------------------------------------------
+
+  /** Derive a transcript `turns` table from `documents` (same derivation in
+    * SQL below — the KG input-shape adapter over the driver's tables).
+    */
+  private def derivedTurns(dir: String)(implicit s: SparkSession): DataFrame =
+    t(dir, "documents").select(
+      concat(lit("c"), lpad((col("doc_id") % 40).cast("string"), 3, "0"))
+        .as("conv_id"),
+      floor(col("doc_id") / 40.0).cast("long").as("turn_idx"),
+      element_at(
+        array(lit("user"), lit("assistant"), lit("user"), lit("assistant"),
+          lit("tool")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")).as("role"),
+      col("text"))
+
+  private val derivedTurnsSql =
+    """SELECT concat('c', lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0')) AS conv_id,
+      |       CAST(floor(doc_id / 40.0) AS BIGINT) AS turn_idx,
+      |       (['user','assistant','user','assistant','tool'])[(doc_id % 5) + 1] AS role,
+      |       text
+      |FROM documents""".stripMargin
+
+  /** Inline NER micro-lexicon over the OLAP vocabulary of the synthetic docs
+    * (the trie NER itself is hash/token-based and pinned by MatcherSpec; this
+    * query demonstrates the substring-count mention scan relationally).
+    */
+  private val docLexicon = Seq(
+    ("spark", "Engine"), ("join", "Operator"), ("hash", "Algorithm"),
+    ("scan", "Operator"), ("window", "Operator"), ("stream", "Mode"),
+    ("vector", "Datatype"))
+
+  /** Link-stage demo mentions exercising every key-transform (F1-F3). */
+  private val linkMentions = Seq(
+    ("m01", "AKT1", "Gene_or_gene_product"),
+    ("m02", "AKT1-GFP", "Gene_or_gene_product"),
+    ("m03", "p53 protein", "Gene_or_gene_product"),
+    ("m04", "phosphorylated ERK2", "Gene_or_gene_product"),
+    ("m05", "RAF family", "Family"),
+    ("m06", "Ras", "Gene_or_gene_product"),
+    ("m07", "ERK2 T669A mutant", "Gene_or_gene_product"),
+    ("m08", "XYZ123", "Gene_or_gene_product"),
+    ("m09", "cyclin D1", "Gene_or_gene_product"),
+    ("m10", "mouse", "Species"),
+    ("m11", "the nucleus", "Cellular_component"),
+    ("m12", "rapamycin", "Simple_chemical"))
+
+  private def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
+
+  private def kbValuesSql: String =
+    Lexicon.kb.map { e =>
+      val key = Link.canonKey(e.text)
+      s"(${sqlQuote(key)}, ${sqlQuote(e.label)}, ${sqlQuote(e.namespace)}, " +
+        s"${sqlQuote(e.id)}, ${sqlQuote(e.species)}, ${e.kb_rank})"
+    }.mkString(",\n    ")
+
+  private def mentionValuesSql: String =
+    linkMentions.map { case (k, txt, lbl) =>
+      s"(${sqlQuote(k)}, ${sqlQuote(txt)}, ${sqlQuote(lbl)})"
+    }.mkString(",\n    ")
+
+  // ---- contract -----------------------------------------------------------
+
+  /** Flagship: full KG pipeline on the golden corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val res = Pipeline.extract(spark, Transcripts.goldenTurns(spark))
+    res.edges
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational operator families over the TPC-H-ish tables ----------
+    "q1_agg" -> { (s, dir) =>
+      implicit val sp = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    "q_join_broadcast" -> { (s, dir) =>
+      implicit val sp = s
+      val o = t(dir, "orders"); val c = t(dir, "customer"); val n = t(dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+    "q_window_running" -> { (s, dir) =>
+      implicit val sp = s
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(col("l_quantity")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          round(col("running_qty"), 2).as("running_qty"))
+    },
+    "q_semi_join" -> { (s, dir) =>
+      implicit val sp = s
+      t(dir, "customer").join(t(dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "q_anti_join" -> { (s, dir) =>
+      implicit val sp = s
+      t(dir, "customer").join(t(dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "q_setops" -> { (s, dir) =>
+      implicit val sp = s
+      val li = t(dir, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+      r.intersect(a).withColumn("op", lit("both"))
+        .unionByName(r.except(a).withColumn("op", lit("r_only")))
+    },
+    "q_topk" -> { (s, dir) =>
+      implicit val sp = s
+      t(dir, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    },
+    "q_events_window" -> { (s, dir) =>
+      implicit val sp = s
+      t(dir, "events")
+        .withColumn("window_start",
+          (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    },
+
+    // ---- KG pipeline stages ----------------------------------------------
+    "kg_turns" -> { (s, dir) =>
+      implicit val sp = s
+      derivedTurns(dir)
+    },
+    "kg_role_filter" -> { (s, dir) =>
+      implicit val sp = s
+      derivedTurns(dir).filter(col("role") =!= "tool")
+    },
+    "kg_mentions" -> { (s, dir) =>
+      implicit val sp = s
+      val lex = s.createDataFrame(docLexicon).toDF("phrase", "label")
+      derivedTurns(dir).filter(col("role") =!= "tool")
+        .crossJoin(broadcast(lex))
+        .withColumn("occurrences",
+          ((length(col("text")) -
+            length(expr("replace(text, phrase, '')"))) /
+            length(col("phrase"))).cast("long"))
+        .filter(col("occurrences") > 0)
+        .select(col("conv_id"), col("turn_idx"), col("phrase"), col("label"),
+          col("occurrences"))
+    },
+    "kg_link_firsthit" -> { (s, dir) =>
+      implicit val sp = s
+      val mentions = s.createDataFrame(linkMentions)
+        .toDF("mention_key", "text", "label")
+      Link.linkDF(s, mentions, s.createDataFrame(Lexicon.kb))
+        .select(col("mention_key"), col("ns"), col("ns_id"))
+    },
+    "kg_context_window" -> { (s, dir) =>
+      implicit val sp = s
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+        .rowsBetween(-3, 0)
+      derivedTurns(dir).filter(col("role") =!= "tool")
+        .withColumn("ctx_turn",
+          max(when(col("text").contains("spark"), col("turn_idx"))).over(w))
+        .select(col("conv_id"), col("turn_idx"), col("ctx_turn"))
+    },
+    "kg_context_defaults" -> { (s, dir) =>
+      implicit val sp = s
+      val toks = derivedTurns(dir).filter(col("role") =!= "tool")
+        .select(col("conv_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("conv_id"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("n").desc, col("tok").asc)
+      toks.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("conv_id"), col("tok").as("default_ctx"), col("n"))
+    },
+    "kg_pipeline_edges" -> { (s, dir) =>
+      // full pipeline, golden corpus (exactness pinned by GoldenSpec;
+      // rows-only check here)
+      Pipeline.extract(s, Transcripts.goldenTurns(s)).edges
+        .select("subj", "pred", "obj", "site", "negated", "hypothesis",
+          "conv_id", "turn_idx")
+    },
+    "kg_canonical_nodes" -> { (s, dir) =>
+      Pipeline.extract(s, Transcripts.goldenTurns(s)).nodes
+        .select(col("canon_id"), col("display"), col("label"),
+          size(col("alias_surface_forms")).as("n_aliases"))
+    },
+
+    // ---- dedup family ----------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.exact(t(dir, "documents"))
+    },
+    "dedup_jaccard" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.jaccardPairs(t(dir, "documents"), 0.9)
+    },
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.minhashLsh(t(dir, "documents"), 0.35)
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.simhashPairs(t(dir, "documents"), 10)
+    },
+    "dedup_embedding" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.embeddingPairs(t(dir, "embeddings"), 0.4)
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "ann_brute" -> { (s, dir) =>
+      implicit val sp = s
+      val emb = t(dir, "embeddings")
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 20), 10)
+    },
+    "ann_lsh" -> { (s, dir) =>
+      implicit val sp = s
+      val emb = t(dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 10)
+    },
+
+    // ---- text analysis ---------------------------------------------------
+    "text_tokens" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.tokenCounts(t(dir, "documents"))
+    },
+    "text_quality" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.quality(t(dir, "documents"))
+    },
+    "text_langid" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.langId(t(dir, "documents"))
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.fingerprint(t(dir, "documents"))
+        .select(col("doc_id"), col("fp_size"))
+    },
+
+    // ---- multimodal plumbing --------------------------------------------
+    "mm_attach" -> { (s, dir) =>
+      implicit val sp = s
+      Multimodal.attachMedia(t(dir, "documents"))
+        .select("doc_id", "width", "height", "format", "n_bytes")
+    },
+    "mm_resize" -> { (s, dir) =>
+      implicit val sp = s
+      Multimodal.resizeMeta(Multimodal.attachMedia(t(dir, "documents")), 224, 224)
+    },
+    "mm_features" -> { (s, dir) =>
+      implicit val sp = s
+      Multimodal.decodeFeatures(s, Multimodal.attachMedia(t(dir, "documents")))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, rn, l_orderkey, round(running_qty, 2) AS running_qty
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey,
+        |    row_number() OVER w AS rn,
+        |    sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_setops" ->
+      """SELECT l_partkey, 'both' AS op FROM
+        | ((SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |  INTERSECT
+        |  (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'))
+        |UNION ALL
+        |SELECT l_partkey, 'r_only' AS op FROM
+        | ((SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |  EXCEPT
+        |  (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'))""".stripMargin,
+    "q_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "kg_turns" -> derivedTurnsSql,
+    "kg_role_filter" ->
+      s"SELECT * FROM ($derivedTurnsSql) WHERE role <> 'tool'",
+    "kg_mentions" ->
+      s"""WITH turns AS ($derivedTurnsSql),
+         |lex(phrase, label) AS (VALUES ${docLexicon.map { case (p, l) =>
+            s"(${sqlQuote(p)}, ${sqlQuote(l)})" }.mkString(", ")})
+         |SELECT conv_id, turn_idx, phrase, label,
+         | CAST((length(text) - length(replace(text, phrase, ''))) / length(phrase) AS BIGINT) AS occurrences
+         |FROM turns CROSS JOIN lex
+         |WHERE role <> 'tool'
+         |  AND (length(text) - length(replace(text, phrase, ''))) / length(phrase) > 0""".stripMargin,
+    "kg_link_firsthit" ->
+      s"""WITH mentions(mention_key, mtext, label) AS (VALUES
+         |    $mentionValuesSql),
+         |base AS (SELECT mention_key, label, lower(trim(mtext)) AS b FROM mentions),
+         |keys0 AS (SELECT mention_key, label, b, [
+         |  regexp_replace(b, '[ ''/\\-\\.]', '', 'g'),
+         |  regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), '[ ''/\\-\\.]', '', 'g'),
+         |  regexp_replace(regexp_replace(b, '^(phosphorylated |phospho-|p-|ubiquitinated |u-|acetylated |methylated |activated )', ''), '[ ''/\\-\\.]', '', 'g'),
+         |  regexp_replace(regexp_replace(b, '(-gfp|-egfp|_human|-wt|-flag|-myc|-ha)$$', ''), '[ ''/\\-\\.]', '', 'g'),
+         |  regexp_replace(regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), ' [a-z]\\d{1,4}[a-z]?( mutant)?$$', ''), '[ ''/\\-\\.]', '', 'g'),
+         |  regexp_replace(regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), '^(phosphorylated |phospho-|p-|ubiquitinated |u-|acetylated |methylated |activated )', ''), '[ ''/\\-\\.]', '', 'g')
+         |  ] AS ks FROM base),
+         |exploded AS (
+         |  SELECT mention_key, label, b, unnest(ks) AS key,
+         |         generate_subscripts(ks, 1) AS idx
+         |  FROM keys0),
+         |dedup AS (
+         |  SELECT mention_key, label, b, key, idx,
+         |    row_number() OVER (PARTITION BY mention_key, key ORDER BY idx) AS occ
+         |  FROM exploded WHERE key <> ''),
+         |keyed AS (
+         |  SELECT mention_key, label, b, key,
+         |    row_number() OVER (PARTITION BY mention_key ORDER BY idx) AS key_rank
+         |  FROM dedup WHERE occ = 1),
+         |kb(kb_key, kb_label, namespace, id, species, kb_rank) AS (VALUES
+         |    $kbValuesSql),
+         |joined AS (
+         |  SELECT k.mention_key, k.b, kb.namespace, kb.id, kb.species, kb.kb_rank, k.key_rank
+         |  FROM keyed k LEFT JOIN kb ON k.key = kb.kb_key AND k.label = kb.kb_label),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY mention_key ORDER BY
+         |    kb_rank ASC NULLS LAST, key_rank ASC,
+         |    CASE WHEN species = 'human' THEN 1
+         |         WHEN species = '' OR species IS NULL THEN 2 ELSE 3 END ASC,
+         |    id ASC NULLS LAST) AS rn
+         |  FROM joined)
+         |SELECT mention_key,
+         |  coalesce(namespace, 'uaz') AS ns,
+         |  coalesce(id, concat('UAZ:', regexp_replace(b, '[ ''/\\-\\.]', '', 'g'))) AS ns_id
+         |FROM ranked WHERE rn = 1""".stripMargin,
+    "kg_context_window" ->
+      s"""SELECT conv_id, turn_idx,
+         |  max(CASE WHEN contains(text, 'spark') THEN turn_idx END)
+         |    OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ctx_turn
+         |FROM ($derivedTurnsSql) WHERE role <> 'tool'""".stripMargin,
+    "kg_context_defaults" ->
+      s"""WITH toks AS (
+         |  SELECT conv_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM ($derivedTurnsSql) WHERE role <> 'tool'),
+         |counts AS (SELECT conv_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+         |SELECT conv_id, tok AS default_ctx, n FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY conv_id
+         |    ORDER BY n DESC, tok ASC) AS rk FROM counts)
+         |WHERE rk = 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dupes
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM documents)
+        |GROUP BY t""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |ftok AS (SELECT t.doc_id, t.tok FROM tok t JOIN df USING (tok)
+        |         WHERE df.df BETWEEN 2 AND 1000000),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM ftok a JOIN ftok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b,
+        |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.9""".stripMargin,
+    "dedup_embedding" ->
+      """WITH prep AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> a.v[i] * b.v[i])) / (a.n * b.n), 4) AS cosine
+        |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, 65),
+        |    i -> a.v[i] * b.v[i])) / (a.n * b.n), 4) >= 0.4""".stripMargin,
+    "ann_brute" ->
+      """WITH prep AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> q.v[i] * c.v[i])) / (q.n * c.n), 4) AS sim
+        |  FROM prep q JOIN prep c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT qid, neighbor_id, rank FROM (
+        |  SELECT qid, neighbor_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens,
+        | length(text) AS chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(nt AS BIGINT) AS n_tokens,
+        | round((nc - (nt - 1)) / nt, 4) AS mean_word_len,
+        | round(al / nc, 4) AS alpha_ratio,
+        | round(st / nt, 4) AS stopword_ratio,
+        | round(dr, 4) AS distinct_ratio,
+        | round(least(1.0, nt / 100.0) * 0.3 + least(1.0, dr * 2.0) * 0.3 +
+        |       least(1.0, (al / nc) * 1.25) * 0.2 + least(1.0, st / nt * 5.0) * 0.1 +
+        |       (1.0 - least(1.0, pu / nc * 10.0)) * 0.1, 4) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nt,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS al,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS pu,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> lower(w) IN ('the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS DOUBLE) AS st,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) /
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dr
+        |  FROM documents)""".stripMargin,
+    "text_langid" -> {
+      val scoreExprs = TextAnalysis.langMarkers.map { case (lang, markers) =>
+        val list = markers.map(sqlQuote).mkString(", ")
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w IN ($list))) AS score_$lang"
+      }.mkString(",\n ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.reverse.foldLeft("'unknown'") { case (acc, l) =>
+        s"CASE WHEN score_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         | $pred AS pred_lang
+         |FROM (SELECT doc_id, $scoreExprs FROM documents)""".stripMargin
+    },
+    "mm_attach" ->
+      """SELECT doc_id,
+        | CAST((doc_id * 37 + length(text)) % 1280 + 32 AS INT) AS width,
+        | CAST((doc_id * 53 + length(text)) % 720 + 32 AS INT) AS height,
+        | (['jpeg','png','webp'])[(doc_id % 3) + 1] AS format,
+        | CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, width, height,
+        | CAST(floor(width * s) AS INT) AS out_width,
+        | CAST(floor(height * s) AS INT) AS out_height,
+        | round(s, 6) AS scale
+        |FROM (
+        |  SELECT doc_id, width, height,
+        |    least(224.0 / width, 224.0 / height, 1.0) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST((doc_id * 37 + length(text)) % 1280 + 32 AS INT) AS width,
+        |      CAST((doc_id * 53 + length(text)) % 720 + 32 AS INT) AS height
+        |    FROM documents))""".stripMargin
+  )
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All UDF-free (Catalyst expressions only) except the simhash kernel, so
+  * whole-stage codegen applies; every candidate-generation step is a
+  * hash-bucket groupBy (shuffle on the bucket key only) — never an O(n^2)
+  * cross join at corpus scale.
+  */
+object Dedup {
+
+  private def norm(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup: keep the min-id document per distinct normalized text.
+    * Classic hash-groupBy; at 100 TB this is one shuffle on xxhash64(text)
+    * with map-side partial aggregation.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), norm(col("text")).as("t"))
+      .groupBy(col("t"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dupes"))
+      .select(col("keep_id"), col("dupes"))
+
+  private def tokens(text: Column): Column =
+    split(norm(text), " ")
+
+  /** Word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // slide an n-window: transform over indices 0..size-n
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0))
+  }
+
+  /** Token-set (unigram) Jaccard near-dup pairs >= threshold.
+    * Inverted-index self-join on tokens: |A∩B| via groupBy(pair) count, then
+    * Jaccard from per-doc distinct counts. Candidate space = docs sharing a
+    * token (bounded by posting-list sizes — at web scale, drop ultra-common
+    * tokens first; here the filter on df keeps it honest).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   ngram: Int = 1, maxDf: Int = 1000000): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(array_distinct(if (ngram == 1) tokens(col("text"))
+          else shingles(col("text"), ngram))).as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val filtered = tok.join(
+      tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf && col("df") >= 2).select("tok"),
+      "tok")
+    val a = filtered.toDF("tok", "a")
+    val bdf = filtered.toDF("tok", "b")
+    val inter = a.join(bdf, "tok").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("jaccard",
+        col("common") / (col("sza") + col("szb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature matrix: for each of `numHashes` seeded hash functions,
+    * the min over the doc's shingles of xxhash64(shingle || seed).
+    * Pure Catalyst: transform + array aggregate.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles(text, n),
+        s => xxhash64(concat(s, lit("#"), seed)))))
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact n-gram
+    * Jaccard. Bands of r rows hash to buckets; docs sharing any band bucket
+    * are candidates (one shuffle on (band, bucket)); candidates then verified
+    * exactly. Scale shape: candidates << n^2 because only same-bucket docs
+    * pair up.
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double, ngram: Int = 3,
+                 numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(col("text"), ngram, numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * lit(r) + 1, lit(r)))))).as(Seq("band", "bucket")))
+    val cand = banded.toDF("a", "band", "bucket")
+      .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verify candidates with exact n-gram jaccard
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), ngram).as("sh"))
+    cand
+      .join(sh.toDF("a", "sha"), "a")
+      .join(sh.toDF("b", "shb"), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: sign-sum of per-token hash bits weighted by
+    * token frequency. Near-dup = Hamming distance <= k, found by pigeonhole
+    * banding (4 x 16-bit chunks: hamming<=3 implies one chunk equal).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per bit: sum(+w if bit set else -w); bit i of final = sum > 0
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("chunk", "ck")))
+    val cand = chunks.toDF("a", "ha", "chunk", "ck")
+      .join(chunks.toDF("b", "hb", "chunk", "ck"), Seq("chunk", "ck"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding near-dup: cosine >= threshold (dot/(|a||b|) in double —
+    * same formula and accumulation order as the SQL oracle).
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    def prep(idAs: String, vecAs: String, nAs: String) = {
+      val d = transform(col("embedding"), x => x.cast("double"))
+      embeddings.select(col("vec_id").as(idAs), d.as(vecAs),
+        sqrt(Similarity.dot(d, d)).as(nAs))
+    }
+    prep("a", "va", "na").crossJoin(prep("b", "vb", "nb"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Entirely Catalyst expressions (no UDFs) — each op is a narrow projection
+  * over the scan, so at 100 TB these run at parquet-read speed with column
+  * pruning (only `doc_id`, `text` are read).
+  */
+object TextAnalysis {
+
+  private def ws(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Whitespace token count + BPE-ish subword count (letter runs, digit runs,
+    * punctuation singles — a cheap proxy for BPE token count).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(ws(col("text"))).as("ws_tokens"),
+      // RE2-compatible pattern (no lookaround) so the DuckDB oracle matches
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .as("subword_tokens"),
+      length(col("text")).as("chars"))
+
+  /** Quality heuristics: length, mean word length, alpha ratio, punctuation
+    * ratio, stopword ratio, repetition ratio; composite score in [0,1].
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = ws(t)
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val stop = size(filter(toks, w =>
+      lower(w).isin("the", "a", "an", "of", "to", "and", "in", "is", "it",
+        "that", "for", "on", "with", "as"))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val meanWordLen = (nChar - (nTok - 1)) / nTok
+    val score =
+      least(lit(1.0), nTok / 100.0) * 0.3 +
+        least(lit(1.0), distinctRatio * 2.0) * 0.3 +
+        least(lit(1.0), (alpha / nChar) * 1.25) * 0.2 +
+        least(lit(1.0), stop / nTok * 5.0) * 0.1 +
+        (lit(1.0) - least(lit(1.0), punct / nChar * 10.0)) * 0.1
+    docs.select(col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(alpha / nChar, 4).as("alpha_ratio"),
+      round(stop / nTok, 4).as("stopword_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      round(score, 4).as("quality_score"))
+  }
+
+  /** Marker-word language-ID heuristic: per-language stopword lists; score =
+    * count of marker hits; argmax wins (deterministic tie-break by language
+    * code). A real system would use char n-gram profiles; the *shape* (score
+    * columns + greatest + chained when) is identical.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "dans", "que", "une", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = ws(lower(col("text")))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // argmax with deterministic order (first language in list order wins ties)
+    val pred = scores.reverse.foldLeft(lit("unknown")) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
+    }
+    docs.select((col("doc_id") +: scores.map { case (l, s) =>
+      s.as(s"score_$l") } :+ pred.as("pred_lang")): _*)
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): hash every k-gram of
+    * tokens, take the min hash in each window of w consecutive k-grams; the
+    * distinct set of selected hashes is the fingerprint.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 4, w: Int = 6): DataFrame = {
+    val toks = ws(lower(col("text")))
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      h => h.isNotNull)
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(windows)).as("fingerprint"))
+      .withColumn("fp_size", size(col("fingerprint")))
+  }
+}
