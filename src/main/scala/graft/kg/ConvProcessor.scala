@@ -88,10 +88,6 @@ object ConvProcessor {
     val byId = mutable.Map.empty[Long, MentionRow]
     mentions.foreach(m => byId(m.mention_id) = m)
 
-    // ---- global sentence sequence (stable ordering over turn_idx, W1/W2) --
-    val sentSeq: Map[(Int, Int), Int] =
-      mentions.map(m => (m.turn_idx, m.sent_idx)).distinct.sorted.zipWithIndex.toMap
-
     // ---- species context (turn-granular backward window, W1/A1) ----------
     val speciesByTurn: Seq[(Int, String)] = mentions
       .filter(m => !m.is_event && m.labels.head == "Species")
@@ -113,16 +109,22 @@ object ConvProcessor {
       if (!m.is_event) {
         val head = m.labels.head
         if (head == "Generic_entity") {
-          val gSeq = sentSeq((m.turn_idx, m.sent_idx))
-          val gap = if (m.end_tok - m.start_tok == 1) pronounGap else npGap
-          // nearest preceding BioChemicalEntity within gap sentences
+          // gap is measured in real turns/sentences (mention-free turns count:
+          // an entity three turns back is NOT an antecedent for a pronoun even
+          // if nothing was extracted in between)
+          val isPronoun = m.end_tok - m.start_tok == 1
           var i = priorEntities.length - 1
           var found = false
           while (i >= 0 && !found) {
             val c = priorEntities(i)
-            val cSeq = sentSeq((c.turn_idx, c.sent_idx))
-            if (gSeq - cSeq > gap) i = -1 // sorted: all earlier are farther
-            else if (cSeq < gSeq || c.start_tok < m.start_tok) {
+            val turnDiff = m.turn_idx - c.turn_idx
+            val eligible =
+              if (isPronoun)
+                (turnDiff == 0 && m.sent_idx - c.sent_idx <= pronounGap) ||
+                  turnDiff == 1
+              else turnDiff <= npGap
+            if (turnDiff > npGap) i = -1 // sorted: all earlier are farther
+            else if (eligible) {
               corefMap(m.mention_id) = c.mention_id
               found = true
             } else i -= 1

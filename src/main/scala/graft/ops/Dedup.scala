@@ -140,7 +140,8 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b", "ha", "hb").distinct()
     cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
   }

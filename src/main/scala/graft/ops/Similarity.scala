@@ -81,7 +81,7 @@ object Similarity {
     * (approximate); scale shape is groupBy-join on (table, bucket).
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 10): DataFrame = {
+              tables: Int = 16, bits: Int = 4): DataFrame = {
     val corpus = withUnitNorm(embeddings, "embedding")
       .select(col("vec_id").as("neighbor_id"), col("unit").as("cu"))
     val qs = withUnitNorm(queries, "embedding")

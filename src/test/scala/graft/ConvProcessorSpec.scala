@@ -1,0 +1,88 @@
+package graft
+
+import graft.kg._
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-conversation fold semantics (no Spark): coref gap limits, context
+  * window bound, alias edges, triple shapes.
+  */
+class ConvProcessorSpec extends AnyFunSuite {
+  private lazy val trie = Annotate.buildTrie(Lexicon.nerLexicon)
+  private lazy val kb = new Link.KbIndex(Lexicon.kb)
+
+  private def run(texts: String*): Seq[StageBRow] = {
+    val mentions = texts.zipWithIndex.flatMap { case (t, i) =>
+      BioRules.extractTurn(AnnotatedTurn("c", i, "user",
+        Annotate.annotateText(trie, t)))
+    }
+    ConvProcessor.process("c", mentions, kb)
+  }
+  private def triples(rows: Seq[StageBRow]): Seq[PreTriple] =
+    rows.filter(_.kind == "triple").flatMap(_.triple)
+
+  test("pronoun resolves to nearest prior entity within 1 sentence") {
+    val ts = triples(run(
+      "AKT1 is expressed in HeLa cells.",
+      "It is phosphorylated by MEK."))
+    assert(ts.exists(t => t.pred == "Phosphorylation" &&
+      t.obj_gid == "uniprot:P31749"))
+  }
+
+  test("pronoun beyond the sentence gap stays unresolved and event is dropped") {
+    val ts = triples(run(
+      "AKT1 is expressed in HeLa cells.",
+      "The samples were prepared as described previously.",
+      "We then repeated the experiment under identical conditions.",
+      "It is phosphorylated by MEK."))
+    assert(!ts.exists(_.pred == "Phosphorylation"))
+  }
+
+  test("species context applies within 3 turns, not beyond") {
+    val near = triples(run(
+      "We studied mouse fibroblasts.",
+      "ERK2 was phosphorylated at T669."))
+    assert(near.exists(_.obj_gid == "uniprot:P63085"))
+    val far = triples(run(
+      "We studied mouse fibroblasts.",
+      "The samples were prepared as described previously.",
+      "We then repeated the experiment under identical conditions.",
+      "Further work will be needed to confirm this observation.",
+      "ERK2 was phosphorylated at T669."))
+    assert(far.exists(_.obj_gid == "uniprot:P28482"))
+  }
+
+  test("alias rule emits an equivalence edge between groundings") {
+    val rows = run("Optineurin (also known as OPTN) is involved in autophagy.")
+    val aliases = rows.filter(_.kind == "alias").flatMap(_.alias)
+    assert(aliases.map(a => Set(a.a, a.b)) ==
+      Seq(Set("uniprot:Q96CV9", "uaz:UAZ:optn")))
+  }
+
+  test("binding triple has sorted pair participants") {
+    val ts = triples(run("AKT1 binds GSK3 and BAD."))
+      .filter(_.pred == "Binding")
+    assert(ts.size == 2)
+    ts.foreach(t => assert(t.obj_gid < t.obj_gid2))
+  }
+
+  test("event-valued controller flattens to its theme gid") {
+    val ts = triples(run(
+      "Decreased ERK2 expression increases phosphorylation of AKT1."))
+    val reg = ts.find(_.pred == "Negative_regulation").get
+    assert(reg.subj_gid == "uniprot:P28482")
+    assert(reg.obj_pred == "Phosphorylation" && reg.obj_gid == "uniprot:P31749")
+  }
+
+  test("fold is deterministic under input order shuffling") {
+    val texts = Seq("MEK1 phosphorylates ERK2 at T669.",
+      "AKT1 binds GSK3 and BAD.", "Rapamycin inhibits mTOR.")
+    val mentions = texts.zipWithIndex.flatMap { case (t, i) =>
+      BioRules.extractTurn(AnnotatedTurn("c", i, "user",
+        Annotate.annotateText(trie, t)))
+    }
+    val a = ConvProcessor.process("c", mentions, kb)
+    val b = ConvProcessor.process("c", scala.util.Random.shuffle(mentions.toList), kb)
+    assert(triples(a).toSet == triples(b).toSet)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data op specs over the driver testdata (sf0.001). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("dupes")).as[Long].head() == docs.count())
+  }
+
+  test("minhash LSH candidates recover exact trigram-jaccard pairs") {
+    val thr = 0.35
+    val exact = Dedup.jaccardPairs(docs, thr, ngram = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, thr, ngram = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision = 1
+    assert(lsh.subsetOf(exact))
+    // banding (32 hashes / 16 bands) should catch nearly all pairs >= thr
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      info(f"minhash-LSH recall=$recall%.3f over ${exact.size} true pairs")
+      assert(recall >= 0.8, f"recall $recall too low")
+    }
+  }
+
+  test("simhash pairs are within the hamming bound and symmetric-free") {
+    val p = Dedup.simhashPairs(docs, 10).collect()
+    assert(p.forall(r => r.getAs[Long]("hamming") <= 10))
+    assert(p.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
+  test("brute-force ANN self-consistency and LSH recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, queries, 10)
+    assert(brute.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+    val lsh = Similarity.lshTopK(emb, queries, 10)
+    val b = brute.select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val l = lsh.select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (b intersect l).size.toDouble / b.size
+    info(f"LSH ANN recall@10 = $recall%.3f")
+    assert(recall >= 0.3, f"LSH recall $recall unexpectedly low")
+  }
+
+  test("fingerprints are deterministic and non-trivial") {
+    val f1 = TextAnalysis.fingerprint(docs).select("doc_id", "fingerprint")
+      .as[(Long, Seq[Long])].collect().toMap
+    val f2 = TextAnalysis.fingerprint(docs).select("doc_id", "fingerprint")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.nonEmpty))
+  }
+
+  test("quality scores are bounded and langid scores count markers") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val l = TextAnalysis.langId(docs)
+    // synthetic docs are OLAP word salad containing 'the'/'a' -> en markers hit
+    assert(l.filter(col("score_en") > 0).count() > 0)
+  }
+
+  test("multimodal stub decode is deterministic, batched, and normalized") {
+    val media = Multimodal.attachMedia(docs)
+    val f1 = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    val f2 = Multimodal.decodeFeatures(spark, media.repartition(7)).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(f1 == f2)
+    // histogram features sum to ~1
+    assert(f1.values.forall(f => math.abs(f.sum - 1.0f) < 1e-3))
+    // resize respects aspect ratio and bounds
+    val rs = Multimodal.resizeMeta(media, 224, 224).collect()
+    rs.foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 224 && r.getAs[Int]("out_height") <= 224)
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.kg._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level pipeline specs: distributed CC, t2 P/R gate, determinism
+  * under repartitioning, checkpoint resume == cold run.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connected components: distributed label-prop equals union-find") {
+    val edges = Seq(
+      ("uniprot:A", "uaz:UAZ:x"), ("uaz:UAZ:x", "uaz:UAZ:y"),
+      ("uniprot:B", "uaz:UAZ:z"), ("uaz:UAZ:q", "uaz:UAZ:r"))
+      .toDF("a", "b")
+    val small = Canon.connectedComponents(spark, edges)
+      .as[(String, String)].collect().toMap
+    val dist = Canon.connectedComponents(spark, edges, driverThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(small == dist)
+    // grounded id wins as representative; chains collapse
+    assert(small("uaz:UAZ:y") == "uniprot:A")
+    assert(small("uaz:UAZ:z") == "uniprot:B")
+    assert(small("uaz:UAZ:r") == "uaz:UAZ:q")
+  }
+
+  test("t2 corpus: triple P/R >= 0.95 gate (expect exact)") {
+    val (turns, expected) = Transcripts.corpus(spark, 200, seed = 7)
+    val res = Pipeline.extract(spark, turns)
+    val pr = Score.score(res.edges.cache(), expected.toDF())
+    info(pr.toString)
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95, pr.toString)
+  }
+
+  test("extraction is invariant under input repartitioning") {
+    val (turns, _) = Transcripts.corpus(spark, 40, seed = 11)
+    val e1 = Pipeline.extract(spark, turns).edges
+    val e2 = Pipeline.extract(spark,
+      turns.repartition(17, col("ts"))).edges
+    assert(Score.score(e1, e2).f1 == 1.0)
+  }
+
+  test("resume from every stage boundary reproduces the cold run") {
+    val dir = java.nio.file.Files.createTempDirectory("kgresume").toString
+    val (turns, _) = Transcripts.corpus(spark, 30, seed = 3)
+    val cold = Pipeline.run(spark, turns, s"$dir/cold", resume = false)
+    val coldKeys = Score.keysOf(cold.edges).collect().toSet
+    val io = graft.io.TableIO(s"$dir/warm")
+    // cold-populate the warm dir once
+    Pipeline.run(spark, turns, s"$dir/warm", resume = false)
+    for (stage <- Seq("edges", "canon_map", "stage_b")) {
+      // simulate a kill after the preceding stage: wipe this stage and all
+      // later ones, then resume
+      io.delete(stage)
+      io.delete("edges"); io.delete("nodes")
+      val resumed = Pipeline.run(spark, turns, s"$dir/warm", resume = true)
+      assert(Score.keysOf(resumed.edges).collect().toSet == coldKeys,
+        s"resume after wiping $stage diverged")
+    }
+  }
+
+  test("mega-conversation chunking preserves non-boundary semantics") {
+    val (mega, _) = Transcripts.corpus(spark, 0, seed = 5, megaTurns = 2500)
+    val res = Pipeline.extract(spark, mega)
+    // salted grouping: three chunks processed independently; events exist in
+    // every chunk's turn range
+    val perChunk = res.edges.groupBy(floor(col("turn_idx") / Pipeline.chunkTurns))
+      .count().collect()
+    assert(perChunk.length == 3)
+  }
+}
