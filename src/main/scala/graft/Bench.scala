@@ -1,24 +1,63 @@
 package graft
+
+import graft.kg._
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline operator queries on SPARK_GRAFT_SF_DIR plus
+  * KG-pipeline throughput on a generated transcript corpus. Prints ONE JSON
+  * line. (Scaling-efficiency evidence at two parallelism levels lives in
+  * [[ScalingBench]] → BENCH/BASELINE.md.)
+  */
 object Bench {
+  // headline subset: heavy enough to measure, no quadratic blowups at sf0.1
+  private val headline = Seq(
+    "q1_agg", "q_join_broadcast", "q_window_running", "q_events_window",
+    "q_topk", "q_setops", "kg_turns", "kg_mentions", "kg_context_window",
+    "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding", "ann_brute", "ann_lsh", "text_tokens", "text_quality",
+    "text_langid", "text_fingerprint", "mm_attach", "mm_resize", "mm_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val sec = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }
+        name -> sec
+      }
+    }
+
+    // KG pipeline throughput: generated corpus incl. skewed mega-conversation
+    val (turns, _) = Transcripts.corpus(spark, 2000, seed = 42, megaTurns = 10000)
+    val turnsC = turns.cache()
+    val nTurns = turnsC.count()
+    var nEdges = 0L
+    val kgSec = time { nEdges = Pipeline.extract(spark, turnsC).edges.count() }
+    val kgRate = nTurns / kgSec
+
+    val all = results :+ ("kg_pipeline" -> kgSec)
+    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_edges":$nEdges,"kg_turns_per_sec":$kgRate%.1f}""")
     spark.stop()
   }
 }

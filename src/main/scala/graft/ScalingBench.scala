@@ -1,0 +1,115 @@
+package graft
+
+import graft.kg._
+import org.apache.spark.sql.SparkSession
+
+/** Two-cluster-size scaling evidence (north rule: throughput efficiency
+  * >= 0.8 from N to 4N executors; sandbox proxy = two local[N] levels on
+  * identical input — task instructions).
+  *
+  * One parallelism level per JVM invocation (fresh JVM -> no cross-level JIT
+  * or cache pollution):
+  *
+  *   sbt "runMain graft.ScalingBench gen /tmp/corpus 8000 40000"
+  *   sbt "runMain graft.ScalingBench run /tmp/corpus 8"
+  *   sbt "runMain graft.ScalingBench run /tmp/corpus 32"
+  *
+  * `run` does: count (touch input) -> full-pipeline warmup pass (JIT +
+  * codegen) -> clear the Spark cache (so the warmup's cached stage cannot be
+  * reused) -> timed full-pipeline pass. Prints one JSON line.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: dir :: nConvs :: mega :: Nil =>
+      val s = session(32)
+      val (turns, _) = Transcripts.corpus(s, nConvs.toInt, seed = 42,
+        megaTurns = mega.toInt)
+      turns.write.mode("overwrite").parquet(s"$dir/turns")
+      println(s"""{"generated":"$dir/turns"}""")
+      s.stop()
+    case "run" :: dir :: cpus :: Nil =>
+      val s = session(cpus.toInt)
+      import s.implicits._
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val turns = s.read.parquet(s"$dir/turns").as[graft.model.Turn]
+      val n = turns.count()
+      Pipeline.extract(s, turns).edges.count() // warmup (JIT + codegen)
+      s.sharedState.cacheManager.clearCache()
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val gc0 = gcMs
+      // measured pass, stage by stage (same stage functions as extract)
+      val (mentions, mSec) = timed {
+        val m = Pipeline.stageMentions(s, turns, "mentions", acc).cache()
+        m.count(); m
+      }
+      val (b, bSec) = timed {
+        val b0 = Pipeline.stageB(s, mentions, "fold", acc).cache()
+        b0.count(); b0
+      }
+      val (canonMap, cSec) = timed {
+        val c = Pipeline.stageCanon(s, b); c.count(); c
+      }
+      val (edges, eSec) = timed {
+        val (e, _) = Pipeline.stageMaterialize(s, b, canonMap)
+        e.count()
+      }
+      val fullSec = mSec + bSec + cSec + eSec
+      val gcSec = (gcMs - gc0) / 1000.0
+      val thr = n / fullSec
+      import scala.jdk.CollectionConverters._
+      val stageStats = acc.value.asScala.groupBy(_.stage).map { case (st, ls) =>
+        val ws = ls.map(_.wall_ms)
+        f""""$st":{"parts":${ls.size},"sum_task_ms":${ws.sum},"max_task_ms":${ws.max}}"""
+      }.mkString(",")
+      println(f"""{"cpus":$cpus,"turns":$n,"edges":$edges,"mentions_sec":$mSec%.1f,"fold_sec":$bSec%.1f,"canon_sec":$cSec%.1f,"mat_sec":$eSec%.1f,"sec":$fullSec%.1f,"turns_per_sec":$thr%.1f,"gc_sec":$gcSec%.1f,"stages":{$stageStats}}""")
+      s.stop()
+    case "fused" :: dir :: cpus :: reps :: Nil =>
+      // diagnosis mode: repeat the fused in-memory extract to expose variance
+      val s = session(cpus.toInt)
+      import s.implicits._
+      val turns = s.read.parquet(s"$dir/turns").as[graft.model.Turn]
+      turns.count()
+      (1 to reps.toInt).foreach { i =>
+        s.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val e = Pipeline.extract(s, turns).edges.count()
+        println(f"""{"rep":$i,"edges":$e,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      }
+      s.stop()
+    case _ =>
+      System.err.println("usage: ScalingBench gen DIR NCONVS MEGA | run DIR CPUS")
+      sys.exit(2)
+  }
+
+  private def session(cpus: Int): SparkSession = {
+    // shuffle/cache spill on tmpfs: the sandbox's virtio disk write-throttles,
+    // and accumulated writeback debt made successive identical runs degrade
+    // 52s -> 105s -> 271s. We are measuring compute scaling, not host disk
+    // throttling; a real cluster provisions NVMe shuffle volumes.
+    val localDir = "/dev/shm/graft-spark-local"
+    new java.io.File(localDir).mkdirs()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // small input splits: a 100MB+ parquet split of a mega-conversation
+      // becomes a single 90s task at low parallelism; 16MB splits keep the
+      // scan stage balanced at every level (skew guidance, SURVEY.md §4)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

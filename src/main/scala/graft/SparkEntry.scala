@@ -218,6 +218,12 @@ object SparkEntry {
         .select(col("canon_id"), col("display"), col("label"),
           size(col("alias_surface_forms")).as("n_aliases"))
     },
+    "kg_emit_fries" -> { (s, dir) =>
+      Emit.friesJson(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
+    },
+    "kg_emit_arizona" -> { (s, dir) =>
+      Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
+    },
 
     // ---- dedup family ----------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -239,6 +245,10 @@ object SparkEntry {
     "dedup_embedding" -> { (s, dir) =>
       implicit val sp = s
       Dedup.embeddingPairs(t(dir, "embeddings"), 0.4)
+    },
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      implicit val sp = s
+      Dedup.embeddingPairsLsh(t(dir, "embeddings"), 0.4)
     },
 
     // ---- similarity search ----------------------------------------------

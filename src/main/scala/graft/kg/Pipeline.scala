@@ -63,7 +63,7 @@ object Pipeline {
   def stageMentions(spark: SparkSession, turns: Dataset[Turn],
                     runId: String, acc: CollectionAccumulator[Lineage]): Dataset[MentionRow] = {
     import spark.implicits._
-    val bTrie = spark.sparkContext.broadcast(Annotate.buildTrie(Lexicon.nerLexicon))
+    val (bTrie, _) = Broadcasts.get(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
     instrument(annotated.flatMap(BioRules.extractTurn _), "mentions", runId, acc)
   }
@@ -71,7 +71,7 @@ object Pipeline {
   def stageB(spark: SparkSession, mentions: Dataset[MentionRow],
              runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
     import spark.implicits._
-    val bKb = spark.sparkContext.broadcast(sessionKb())
+    val (_, bKb) = Broadcasts.get(spark.sparkContext)
     val grouped = mentions
       .groupByKey(m => (m.conv_id, m.turn_idx / chunkTurns))
       .flatMapGroups { (key, it) =>

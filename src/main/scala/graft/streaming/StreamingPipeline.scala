@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.kg._
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mode of the KG pipeline (SURVEY.md §2.8): the batch
+  * pipeline's per-conversation operators are all *backward-looking* (context
+  * window <= 3 turns, coref <= 1 turn), so the streaming form keeps a bounded
+  * per-conversation state — the mentions of the last [[lookback]] turns — and
+  * re-runs the same partition-local fold over (state ++ new turns), emitting
+  * only the new turns' triples. Semantics match the batch pipeline exactly
+  * for in-order turn arrival (verified in StreamingSpec).
+  *
+  * The reference has no streaming; its analogue is whole-file reprocessing
+  * via the restart log (ReachCLI.scala:47-66). Here a late conversation turn
+  * simply extends the conversation's state.
+  *
+  * Scale: state is O(lookback x mentions-per-turn) per live conversation;
+  * with watermarking on `ts` (caller adds `withWatermark` upstream) idle
+  * conversations age out via the processing-time timeout.
+  */
+object StreamingPipeline {
+
+  val lookback = 4 // turns kept in state: covers context bound 3 + coref 1
+
+  final case class ConvState(mentions: Seq[MentionRow], maxTurn: Int)
+
+  def triples(spark: SparkSession, turns: Dataset[Turn],
+              idleTimeout: Option[String] = None): Dataset[PreTriple] = {
+    import spark.implicits._
+    val (bTrie, bKb) = Broadcasts.get(spark.sparkContext)
+
+    // stage 1 (stateless, streaming-safe): annotate + rule-match per turn
+    val mentions: Dataset[MentionRow] = turns
+      .filter(t => t.role != "tool" && t.text != null && t.text.nonEmpty)
+      .flatMap(t => BioRules.extractTurn(AnnotatedTurn(t.conv_id, t.turn_idx,
+        t.role, Annotate.annotateText(bTrie.value, t.text))))
+
+    // stage 2 (stateful): bounded-lookback conversation fold
+    mentions
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        (convId: String, it: Iterator[MentionRow], state: GroupState[ConvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = it.toSeq
+            val prior = state.getOption.map(_.mentions).getOrElse(Seq.empty)
+            val newMinTurn =
+              if (incoming.isEmpty) Int.MaxValue
+              else incoming.map(_.turn_idx).min
+            val all = prior ++ incoming
+            val out = ConvProcessor.process(convId, all, bKb.value)
+              .flatMap(_.triple)
+              .filter(_.turn_idx >= newMinTurn)
+            val maxTurn = all.map(_.turn_idx).max
+            state.update(ConvState(
+              all.filter(_.turn_idx > maxTurn - lookback), maxTurn))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+}

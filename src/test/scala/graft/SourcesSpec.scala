@@ -1,0 +1,56 @@
+package graft
+
+import graft.kg._
+import graft.sources.TranscriptSources
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source adapters (SURVEY.md §2.1 S1-S3) + export sinks (S8-S9). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dsv and jsonl sources normalize to the turn schema and extract identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kgsrc").toString
+    val golden = Transcripts.goldenTurns(spark)
+    golden.toDF().write.mode("overwrite")
+      .option("delimiter", "\t").option("header", "true")
+      .csv(s"$dir/tsv")
+    golden.toDF().write.mode("overwrite").json(s"$dir/jsonl")
+
+    val fromTsv = TranscriptSources.dsv(spark, s"$dir/tsv")
+    val fromJson = TranscriptSources.jsonl(spark, s"$dir/jsonl")
+    assert(fromTsv.count() == golden.count())
+    assert(fromJson.count() == golden.count())
+    // extraction parity: same triples from either source
+    val eGold = Score.keysOf(Pipeline.extract(spark, golden).edges).collect().toSet
+    val eTsv = Score.keysOf(Pipeline.extract(spark, fromTsv).edges).collect().toSet
+    val eJson = Score.keysOf(Pipeline.extract(spark, fromJson).edges).collect().toSet
+    assert(eTsv == eGold)
+    assert(eJson == eGold)
+  }
+
+  test("plain-text source: one file = one single-turn conversation") {
+    val dir = java.nio.file.Files.createTempDirectory("kgtxt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/doc1.txt"), "MEK1 phosphorylates ERK2.")
+    val turns = TranscriptSources.text(spark, dir)
+    val rows = turns.collect()
+    assert(rows.length == 1 && rows.head.conv_id == "doc1.txt" &&
+      rows.head.turn_idx == 0)
+    val edges = Pipeline.extract(spark, turns).edges
+    assert(edges.count() == 2) // Phosphorylation + Positive_regulation
+  }
+
+  test("fries json and arizona tsv sinks are well-formed and deterministic") {
+    import spark.implicits._
+    val edges = Pipeline.extract(spark, Transcripts.goldenTurns(spark)).edges.cache()
+    val fj = Emit.friesJson(edges).as[String].collect()
+    assert(fj.length == edges.count())
+    assert(fj.forall(s => s.startsWith("{") && s.contains("\"frame_type\":\"event-mention\"")))
+    val az = Emit.arizonaTsv(edges)
+    assert(az.columns.toSeq.take(4) == Seq("INPUT", "EVENT_LABEL", "CONTROLLER", "SITE"))
+    val a1 = az.collect().map(_.toSeq).toSet
+    val a2 = Emit.arizonaTsv(edges).collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.kg._
+import graft.model._
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming mode == batch mode on in-order turn arrival, including
+  * cross-turn coref carried through the bounded state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming triples match batch pipeline across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (goldenTurns, _) = Transcripts.golden
+    val batchRes = Pipeline.extract(spark,
+      Transcripts.goldenTurns(spark))
+    val batchKeys = batchRes.edges
+      .select("conv_id", "turn_idx", "pred", "negated").collect()
+      .map(_.toSeq).toSet
+
+    val stream = MemoryStream[Turn]
+    val out = StreamingPipeline.triples(spark, stream.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("triples_out")
+      .start()
+    try {
+      // feed turn 0s first, then turn 1s: cross-turn coref (g08/g09) must
+      // resolve via state, not within one batch
+      val (t0, t1) = goldenTurns.partition(_.turn_idx == 0)
+      stream.addData(t0)
+      q.processAllAvailable()
+      stream.addData(t1)
+      q.processAllAvailable()
+      val got = spark.table("triples_out")
+        .select("conv_id", "turn_idx", "pred", "negated").collect()
+        .map(_.toSeq).toSet
+      assert(got == batchKeys,
+        s"missing=${batchKeys -- got}\nspurious=${got -- batchKeys}")
+    } finally q.stop()
+  }
+}
