@@ -33,14 +33,28 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmup: session init + codegen + JIT otherwise bill the first
+    // timed query (q1_agg measured 11s for a 1s plan in round 1); cache is
+    // cleared afterwards so no warmup result can feed a measured query
+    Seq("q1_agg", "q_join_broadcast").foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    spark.sharedState.cacheManager.clearCache()
+
+    // a failed query must surface as a failure, not as a fast timing
+    // (ADVICE r1): value -1 + an errors list
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        var failed = false
         val sec = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }
-        name -> sec
+        if (failed) { errors += name; name -> -1.0 } else name -> sec
       }
     }
 
@@ -55,9 +69,10 @@ object Bench {
     val all = results :+ ("kg_pipeline" -> kgSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_edges":$nEdges,"kg_turns_per_sec":$kgRate%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","kg_turns":$nTurns,"kg_edges":$nEdges,"kg_turns_per_sec":$kgRate%.1f}""")
     spark.stop()
   }
 }

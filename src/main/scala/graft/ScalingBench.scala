@@ -102,9 +102,12 @@ object ScalingBench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       // small input splits: a 100MB+ parquet split of a mega-conversation
-      // becomes a single 90s task at low parallelism; 16MB splits keep the
-      // scan stage balanced at every level (skew guidance, SURVEY.md §4)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // becomes a single 90s task at low parallelism, and at 1.1M turns a
+      // 16MB split still yields only 16 scan tasks — 2 unbalanced waves on 8
+      // cores (measured max-task 10.6s vs 6.5s mean = the whole efficiency
+      // gap). 4MB splits give ~64 balanced tasks at every level (skew
+      // guidance, SURVEY.md §4)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

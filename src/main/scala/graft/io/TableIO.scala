@@ -22,11 +22,17 @@ final case class TableIO(root: String) {
     */
   def write(df: DataFrame, name: String,
             partitionBy: Seq[String] = Nil): Long = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // manifest row count observed from the write job itself (Observation =
+    // driver-collected accumulator metrics) — re-reading the table we just
+    // wrote would double checkpoint I/O at scale
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val w = observed.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tablePath(name))
-    val spark = df.sparkSession
-    val rows = spark.read.parquet(tablePath(name)).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     val json =
       s"""{"table":"$name","rows":$rows,"complete":true,"ts":${System.currentTimeMillis()}}"""
     Files.createDirectories(manifestPath(name).getParent)

@@ -111,6 +111,9 @@ object Annotate {
     t
   }
 
+  private val fusedPtmRe =
+    java.util.regex.Pattern.compile("(?i)(p|pp|phospho|phos|u)-(.+)")
+
   def annotateText(trie: Trie, text: String): Array[Sent] = {
     Tokenizer.sentences(text).zipWithIndex.map { case (stext, si) =>
       val toks = Tokenizer.tokenize(stext)
@@ -122,6 +125,23 @@ object Annotate {
         ner(s) = "B-" + lab
         var k = s + 1
         while (k < e) { ner(k) = "I-" + lab; k += 1 }
+      }
+      // fused PTM prefixes: "p-ERK2" / "phospho-AKT1" tokenize as ONE token
+      // (hyphen is token-internal), so the trie misses them; probe the
+      // stripped remainder and tag the full token — the PTM itself is
+      // attached as a modification downstream (BioRules.attachMods)
+      var i = 0
+      while (i < words.length) {
+        if (ner(i) == "O") {
+          val m = fusedPtmRe.matcher(words(i))
+          if (m.matches()) {
+            trie.scan(Array(m.group(2))) match {
+              case (0, 1, lab) :: _ => ner(i) = "B-" + lab
+              case _ => ()
+            }
+          }
+        }
+        i += 1
       }
       Sent(si, words, lemmas, ner, starts, stext)
     }

@@ -89,6 +89,36 @@ object BioRules {
     "decreas\\w+|loss|lack|absence|deficien\\w+|knock(ed|down|out)?|silenc\\w+|deplet\\w+|reduc(ed|tion)|diminish\\w+|defect(ive)?|delet(ed|ion)|disrupt\\w+|impair\\w+",
     Pattern.CASE_INSENSITIVE)
 
+  // ---- modifications lexicon (PTM / Mutant / EventSite) -------------------
+  // reference: biogrammar/modifications/modifications.yml + entities/mutants.yml
+  // + DarpaActions.storePTM/storeEventSite/storeMutants:59-121
+
+  /** PTM participle adjacent to an entity: "phosphorylated ERK2". */
+  private val ptmParticipleP = Pattern.compile(s"(de-?)?($stemsAlt)ed",
+    Pattern.CASE_INSENSITIVE)
+
+  /** Fused PTM prefix inside a single token: "p-ERK2", "phospho-AKT1". */
+  private val fusedPhosP = Pattern.compile("(p|pp|phospho|phos)-.+",
+    Pattern.CASE_INSENSITIVE)
+  private val fusedUbiqP = Pattern.compile("u-.+", Pattern.CASE_INSENSITIVE)
+
+  /** Mutation token shapes (reference: mutants.yml:5-80 — substitution short
+    * "K182L" / long "Ser43Val", deletion "W34del"/"414delCys", "DeltaN663";
+    * slash-coordinated alternatives stay one token = one Mutant mod, matching
+    * the reference's single-capture patterns).
+    */
+  private val aaLong =
+    "(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)"
+  private val mutantPart =
+    s"([ACDEFGHIKLMNPQRSTVWY]\\d+[ACDEFGHIKLMNPQRSTVWY]|$aaLong\\d+$aaLong|" +
+      s"[ACDEFGHIKLMNPQRSTVWY]?\\d+del[ACDEFGHIKLMNPQRSTVWY]?|" +
+      s"Delta[ACDEFGHIKLMNPQRSTVWY]\\d+)"
+  private val mutantTokP =
+    Pattern.compile(s"$mutantPart(/$mutantPart)*", Pattern.CASE_INSENSITIVE)
+  private val mutantWordP =
+    Pattern.compile("mutants?|mutations?", Pattern.CASE_INSENSITIVE)
+  private val mutantSepP = Pattern.compile(",|and|or", Pattern.CASE_INSENSITIVE)
+
   // ---- rule spec --------------------------------------------------------
 
   sealed trait Kind
@@ -99,6 +129,11 @@ object BioRules {
   case object RegulationK extends Kind // controlled is an Event
   case object ActivationK extends Kind // controlled is an entity
   case object AliasK extends Kind
+  // alias whose b-side is NOT a known entity: the trigger span captures the raw
+  // token; a new entity mention is synthesized for it and later re-scanned over
+  // the whole conversation (reference: coref/Alias.scala:12-75 + the HashTrie
+  // rescan, InstanceFinder.scala:9-34)
+  case object AliasUnknownK extends Kind
 
   final case class Rule(name: String, priority: Int, kind: Kind, pattern: List[PE])
 
@@ -117,6 +152,25 @@ object BioRules {
     Seq(W("on|at"), W("residues?|sites?"), ML("site", "Site", commaOk = true))))
   private val parenSites = OptG(OptG(W("residues?")), W("\\("),
     ML("site", "Site", commaOk = true), W("\\)"))
+  // appositive between subject and verb: "MEK1, a dual-specificity kinase,
+  // phosphorylates ..." — clause-skip surrogate for the reference's
+  // dependency-pattern rules (F8; nsubj hops over appositions). Requires a
+  // determiner after the comma so coordination ("MEK1, JAK3, and ...") is not
+  // swallowed.
+  private val appos = OptG(W(","), W("a|an|the|which"), X(5), W(","))
+  // "Site [residue] of" prefix before a nominal theme: tokens skipped here are
+  // recovered by the EventSite modification machinery (storeEventSite +
+  // siteSniffer semantics, DarpaActions.scala:90-110,266-297)
+  private val siteOfPre = OptG(OptG(W("the")),
+    ML("sitepre", "Site", commaOk = true), OptG(W("residues?")), W("of"))
+  // post-modifiers on an argument, skipped by the rule and recorded as
+  // modifications in attachMods: participial PTM ("AKT1 phosphorylated at
+  // Ser473 binds BAD") or mutation codes ("the ERK2 T669A mutant binds AKT1")
+  private val postMods = OptG(AltG(
+    Seq(W(s"(de-?)?($stemsAlt)ed"),
+      OptG(W("at|on"), ML("ptmsite", "Site", commaOk = true))),
+    Seq(W("[A-Za-z]*\\d+[A-Za-z][A-Za-z0-9/]*"),
+      OptG(W("mutants?|mutations?")))))
 
   val rules: List[Rule] = List(
     // -- p2: generic (anaphoric) entities --------------------------------
@@ -134,21 +188,26 @@ object BioRules {
     // -- p7: templatic simple events (modifications) ---------------------
     // active: [cause] TRIGGERs [quant] theme-list [residues (S1, S2)] [on/at site-list]
     Rule("mod_active", 7, SimpleModK,
-      List(M("cause", ENT), filler, adv, auxNeg, T(modVerb), quant,
+      List(M("cause", ENT), appos, filler, adv, auxNeg, T(modVerb), quant,
         ML("theme", ENT), parenSites, sitePrep)),
     // active without cause: "TRIGGER of ..." won't match this (T is verbal)
     // passive: theme-list is/was [not] TRIGGERed [on site] [by cause]
     Rule("mod_passive", 7, SimpleModK,
-      List(ML("theme", ENT), filler, W("is|are|was|were|be|been|being|gets?|got|becomes?|became"),
+      List(ML("theme", ENT), postMods, filler, W("is|are|was|were|be|been|being|gets?|got|becomes?|became"),
         notOpt, adv, T(modVerb), sitePrep,
         OptG(W("by"), M("cause", ENT)))),
     // nominal: TRIGGERion of theme-list [on/at site] [by cause]
     Rule("mod_nominal", 7, SimpleModK,
-      List(T(modNom), W("of"), quant, ML("theme", ENT), parenSites, sitePrep,
-        OptG(W("by"), M("cause", ENT)))),
+      List(T(modNom), W("of"), siteOfPre, quant, ML("theme", ENT), parenSites,
+        sitePrep, OptG(W("by"), M("cause", ENT)))),
     // pre-modifier nominal: "AKT phosphorylation" (theme before nominal trigger)
     Rule("mod_prenominal", 7, SimpleModK,
       List(M("theme", ENT), T(modNom))),
+    // relative clause: "ERK2, which is phosphorylated by MEK1" — clause-aware
+    // surrogate for the reference's *_syntax_* dependency rules (F8)
+    Rule("mod_relcl", 7, SimpleModK,
+      List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
+        adv, T(modVerb), sitePrep, OptG(W("by"), M("cause", ENT)))),
 
     // transcription
     Rule("transcription_nominal", 7, FixedEventK("Transcription"),
@@ -180,7 +239,7 @@ object BioRules {
 
     // -- p8: binding ------------------------------------------------------
     Rule("bind_active", 8, BindingK,
-      List(M("theme", ENT), filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?"),
+      List(M("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?"),
         OptG(W("to|with|directly")), OptG(W("to|with")), ML("theme2", ENT))),
     Rule("bind_nominal", 8, BindingK,
       List(T("binding|interaction|association|complex"), W("of|between"),
@@ -196,12 +255,23 @@ object BioRules {
         OptG(W("known")), OptG(W("as")), M("b", ENT), W("\\)"))),
     Rule("alias_comma", 10, AliasK,
       List(M("a", ENT), W(","), W("also"), W("known"), W("as"), M("b", ENT))),
+    // unknown-surface alias: "Optineurin-like kinase (OLK1)" where OLK1 is not
+    // in the NER lexicon — captured raw, entity synthesized, conversation-wide
+    // rescan in the pipeline (J3)
+    Rule("alias_unknown", 10, AliasUnknownK,
+      List(M("a", ENT), W("\\("), OptG(W("also")), OptG(W("also|aka|known")),
+        OptG(W("known")), OptG(W("as")), T("[A-Z][A-Za-z0-9-]{1,14}"),
+        W("\\)"))),
 
     // -- p12: regulations over events ------------------------------------
     // active: controller TRIGGERs controlled-event
     Rule("reg_active", 12, RegulationK,
-      List(M("controller", "PossibleController"), X(2), auxNeg,
+      List(M("controller", "PossibleController"), appos, X(2), auxNeg,
         T(regTriggers), OptG(W("the")), M("controlled", "Event"))),
+    // relative clause: "the phosphorylation of ERK2, which is blocked by PTEN"
+    Rule("reg_relcl", 12, RegulationK,
+      List(M("controlled", "Event"), W(","), W("which"), W("is|was|are|were"),
+        notOpt, T(regTriggers), W("by"), M("controller", "PossibleController"))),
     // passive: controlled-event is TRIGGERed by controller
     Rule("reg_passive", 12, RegulationK,
       List(M("controlled", "Event"), X(2), W("is|are|was|were"), notOpt, adv,
@@ -209,8 +279,12 @@ object BioRules {
 
     // -- p14: activations (controller/controlled entities) ---------------
     Rule("act_active", 14, ActivationK,
-      List(M("controller", "PossibleController"), X(2), auxNeg,
+      List(M("controller", "PossibleController"), appos, X(2), auxNeg,
         T(actTriggers), OptG(W("the")), M("controlled", ENT), filler)),
+    // relative clause: "STAT3, which is activated by JAK1"
+    Rule("act_relcl", 14, ActivationK,
+      List(M("controlled", ENT), W(","), W("which"), W("is|was|are|were"),
+        notOpt, T(actTriggers), W("by"), M("controller", "PossibleController"))),
     Rule("act_passive", 14, ActivationK,
       List(M("controlled", ENT), filler, W("is|are|was|were"), notOpt, adv,
         T(actTriggers), W("by"), M("controller", "PossibleController")))
@@ -298,7 +372,7 @@ object BioRules {
       mentionId(conv, turn, sentIdx, s, e, label, trigText, argRefs, neg, hyp),
       conv, turn, sentIdx, s, e, Lexicon.labelClosure(label),
       words.slice(s, e).mkString(" "), foundBy, true, trigText,
-      argRefs.toArray, neg, hyp)
+      argRefs.toArray, neg, hyp, trig._1, trig._2)
   }
 
   /** Assemble mentions from one rule match. Returns the new mentions
@@ -306,7 +380,8 @@ object BioRules {
     * DarpaActions.scala:306-340).
     */
   private def assemble(rule: Rule, b: Bind, conv: String, turn: Int,
-                       sent: Sent, startPos: Int, endPos: Int): Seq[MentionRow] = {
+                       sent: Sent, startPos: Int, endPos: Int,
+                       state: State): Seq[MentionRow] = {
     val words = sent.words
     lazy val hyp = isHypothesis(words)
     def trigWord: String =
@@ -329,13 +404,53 @@ object BioRules {
           case _ => Nil
         }
 
+      case AliasUnknownK =>
+        // only when the parenthesized token is NOT already an entity (else
+        // alias_paren covers it) — the NER-overlap anti-join shape (P3)
+        b.caps.get("a") match {
+          case Some(a :: _)
+              if b.trigger._1 >= 0 &&
+                state.at(b.trigger._1, "Entity").isEmpty &&
+                !words(b.trigger._1).equalsIgnoreCase(a.text) =>
+            val (s, e) = (b.trigger._1, b.trigger._2)
+            val label = a.labels.head
+            val bm = MentionRow(
+              mentionId(conv, turn, sent.sent_idx, s, e, label, "", Nil,
+                false, false),
+              conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
+              words.slice(s, e).mkString(" "), "alias_unknown_b", false, "",
+              Array.empty, false, false)
+            Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
+              Seq("a" -> a, "b" -> bm), rule.name, false))
+          case _ => Nil
+        }
+
       case SimpleModK =>
         val label = modLabel(trigWord)
         // mkUbiquitination guard: drop ubiq whose theme/cause is "ubiquitin"
         // (reference: DarpaActions.scala:128-137)
         val themes = b.caps.getOrElse("theme", Nil)
         val causes = b.caps.getOrElse("cause", Nil)
-        val sites = b.caps.getOrElse("site", Nil)
+        // explicit site captures, else EventSite mods sniffed off the theme
+        // (siteSniffer promotion, DarpaActions.scala:266-297: one event per
+        // distinct site — splitting matches the reference exactly)
+        val sitesCaptured = b.caps.getOrElse("site", Nil)
+        val sites =
+          if (sitesCaptured.nonEmpty) sitesCaptured
+          else themes.flatMap(_.mods.toSeq).filter(_.kind == "EventSite")
+            .flatMap(m => state.byId(m.site_id)).distinct
+        // keepIfValidArgs/proteinBetween guard (DarpaActions.scala:601-658,
+        // surface approximation): a chemical theme with a protein mention
+        // strictly between trigger and theme is a spurious capture
+        def proteinBetween(theme: MentionRow): Boolean =
+          theme.labels.head == "Simple_chemical" && b.trigger._1 >= 0 && {
+            val lo = math.min(b.trigger._2, theme.start_tok)
+            val hi = math.max(b.trigger._1, theme.end_tok)
+            state.all.exists(m => !m.is_event &&
+              m.labels.head == "Gene_or_gene_product" &&
+              m.start_tok >= lo && m.end_tok <= hi &&
+              (m.end_tok <= theme.start_tok || m.start_tok >= theme.end_tok))
+          }
         if (label.toLowerCase.contains("ubiquitin") &&
             (themes ++ causes).exists(_.text.equalsIgnoreCase("ubiquitin"))) Nil
         else {
@@ -345,6 +460,7 @@ object BioRules {
             theme <- themes
             siteOpt <- siteOpts
             if causes.forall(_.mention_id != theme.mention_id)
+            if !proteinBetween(theme)
             m <- {
               val baseArgs = Seq("theme" -> theme) ++ siteOpt.map("site" -> _)
               causes.headOption match {
@@ -431,27 +547,126 @@ object BioRules {
     }
   }
 
-  /** keepMostCompleteMentions (reference: darpa/MentionFilter.scala:12-28,
-    * 32-241): per (label, trigger-span) keep only max-arg-count events; then
-    * drop events that are a strict arg-subset of another same-label event.
+  /** keepMostCompleteMentions / filterRegulations (reference:
+    * darpa/MentionFilter.scala:12-28,32-241):
+    *   1. pruneMentions: per (label, trigger OCCURRENCE, sentence) keep only
+    *      max-arg-count events. The key is the trigger token span, not the
+    *      trigger string — the reference compares trigger *mentions*
+    *      (MentionFilter.scala:60-69), so "MEK1 phosphorylates ERK2 and JAK3
+    *      phosphorylates HuR" keeps both events.
+    *   2. controlled-substitution: a regulation whose controlled was pruned in
+    *      favor of a same-trigger superset event is redirected to the survivor
+    *      (MentionFilter.scala:48-125), instead of dangling and dying.
+    *   3. strict arg-subset drop within the same (label, trigger occurrence).
+    *   4. higher-order-regulation preference (preferRegulations,
+    *      MentionFilter.scala:151-195): a direct regulation is redundant when
+    *      a same-trigger regulation with the same controller wraps a
+    *      Regulation over the same controlled.
+    *   5. activation-vs-regulation preference; 6. dangling-arg fixpoint.
     * Sentence-local, so it runs in-row — no shuffle.
     */
   def mostComplete(ms: Seq[MentionRow]): Seq[MentionRow] = {
     val (events, tbms) = ms.partition(_.is_event)
-    val kept = events
-      .groupBy(e => (e.labels.head, e.trigger_text, e.sent_idx))
-      .values.flatMap { grp =>
-        val maxArgs = grp.map(_.args.length).max
-        grp.filter(_.args.length == maxArgs)
-      }.toSeq
-    // strict arg-subset drop (same label head)
-    val byLabel = kept.groupBy(_.labels.head)
-    var res = kept.filterNot { e =>
+    val grouped = events
+      .groupBy(e => (e.labels.head, e.trig_start, e.trig_end, e.sent_idx))
+    val kept = grouped.values.flatMap { grp =>
+      val maxArgs = grp.map(_.args.length).max
+      grp.filter(_.args.length == maxArgs)
+    }.toSeq
+    // controlled-substitution remap: pruned event -> same-trigger-occurrence
+    // survivor whose args are a superset (deterministic winner by id)
+    val subst: Map[Long, Long] = grouped.values.flatMap { grp =>
+      val maxArgs = grp.map(_.args.length).max
+      val survivors = grp.filter(_.args.length == maxArgs)
+      grp.filter(_.args.length < maxArgs).flatMap { d =>
+        survivors.filter(s => d.args.forall(a => s.args.contains(a)))
+          .sortBy(_.mention_id).headOption.map(s => d.mention_id -> s.mention_id)
+      }
+    }.toMap
+    val substituted =
+      if (subst.isEmpty) kept
+      else kept.map { e =>
+        val newArgs = e.args.map(a =>
+          a.copy(mention_id = subst.getOrElse(a.mention_id, a.mention_id)))
+        if (newArgs.sameElements(e.args)) e
+        else e.copy(
+          mention_id = mentionId(e.conv_id, e.turn_idx, e.sent_idx,
+            e.start_tok, e.end_tok, e.labels.head, e.trigger_text,
+            newArgs.toSeq, e.negated, e.hypothesis, e.mods.toSeq),
+          args = newArgs)
+      }.groupBy(_.mention_id).map(_._2.head).toSeq // remap can merge dupes
+    // rule variants (and substitution) can leave events with identical
+    // semantics — same trigger occurrence, same args — differing only in
+    // span; collapse to the widest (the reference's corefDistinct, A4)
+    val deduped = substituted
+      .groupBy(e => (e.labels.head, e.trig_start, e.trig_end, e.sent_idx,
+        e.args.map(a => (a.role, a.mention_id)).sortBy(x => (x._1, x._2)).toSeq,
+        e.negated, e.hypothesis))
+      .values.map(_.minBy(e => (-(e.end_tok - e.start_tok), e.mention_id)))
+      .toSeq
+    // strict arg-subset drop (same label head, same trigger occurrence)
+    val byLabel = deduped.groupBy(_.labels.head)
+    var res = deduped.filterNot { e =>
       byLabel(e.labels.head).exists { o =>
         (o.mention_id != e.mention_id) &&
         o.args.length > e.args.length &&
         e.args.forall(a => o.args.contains(a)) &&
-        o.trigger_text == e.trigger_text
+        o.trig_start == e.trig_start && o.trig_end == e.trig_end &&
+        o.sent_idx == e.sent_idx
+      }
+    }
+    // preferRegulations higher-order redundancy (MentionFilter.scala:151-195):
+    // drop reg r when a same-trigger-occurrence reg m with the same controller
+    // has a controlled that is itself a Regulation over r's controlled
+    val byIdPre = (tbms ++ res).map(m => m.mention_id -> m).toMap
+    res = res.filterNot { r =>
+      r.labels.contains("Regulation") && {
+        val rCtl = r.args.find(_.role == "controller").map(_.mention_id)
+        val rCld = r.args.find(_.role == "controlled").map(_.mention_id)
+        rCtl.nonEmpty && res.exists { m =>
+          m.mention_id != r.mention_id &&
+          m.labels.contains("Regulation") &&
+          m.trig_start == r.trig_start && m.trig_end == r.trig_end &&
+          m.sent_idx == r.sent_idx &&
+          m.args.find(_.role == "controller").map(_.mention_id) == rCtl && {
+            val inner = for {
+              cld <- m.args.find(_.role == "controlled")
+              cldM <- byIdPre.get(cld.mention_id)
+              if cldM.labels.contains("Regulation")
+              innerCld <- cldM.args.find(_.role == "controlled")
+            } yield innerCld.mention_id
+            inner == rCld
+          }
+        }
+      }
+    }
+    // clause-attachment disambiguation: among complex events sharing the same
+    // trigger occurrence and controlled, a controller strictly contained in
+    // another candidate's controller span is the relative-clause-internal
+    // reading ("ERK2, which is phosphorylated by MEK1, activates STAT3" must
+    // not read MEK1 as the activator) — the containing span is the
+    // main-clause subject, matching the reference's preference for the most
+    // complete mention
+    res = res.filterNot { e =>
+      e.labels.contains("ComplexEvent") && {
+        val cld = e.args.find(_.role == "controlled").map(_.mention_id)
+        e.args.find(_.role == "controller").exists { c =>
+          byIdPre.get(c.mention_id).exists { cm =>
+            res.exists { o =>
+              o.mention_id != e.mention_id &&
+              o.labels.contains("ComplexEvent") &&
+              o.trig_start == e.trig_start && o.trig_end == e.trig_end &&
+              o.sent_idx == e.sent_idx &&
+              o.args.find(_.role == "controlled").map(_.mention_id) == cld &&
+              o.args.find(_.role == "controller").exists { oc =>
+                byIdPre.get(oc.mention_id).exists { ocm =>
+                  ocm.start_tok <= cm.start_tok && cm.end_tok <= ocm.end_tok &&
+                  (ocm.start_tok < cm.start_tok || cm.end_tok < ocm.end_tok)
+                }
+              }
+            }
+          }
+        }
       }
     }
     // drop an Activation when a Regulation in the same sentence has the same
@@ -490,28 +705,216 @@ object BioRules {
     tbms ++ res
   }
 
-  /** Run all priorities over one sentence; returns every mention found. */
-  def extractSentence(conv: String, turn: Int, sent: Sent): Seq[MentionRow] = {
-    val state = new State
-    decodeIob(conv, turn, sent).foreach(state.add)
-    val n = sent.words.length
-    priorities.foreach { prio =>
-      val newMentions = mutable.ArrayBuffer.empty[MentionRow]
-      rules.filter(_.priority == prio).foreach { rule =>
-        var pos = 0
-        while (pos < n) {
-          tryMatch(rule.pattern, sent.words, state, pos, emptyBind)
-            .foreach { case (end, bind) =>
-              newMentions ++= assemble(rule, bind, conv, turn, sent, pos, end)
-            }
-          pos += 1
+  // ---- modification attachment pass (between entity and event priorities) --
+
+  /** Attach PTM / Mutant / EventSite modifications to entity mentions and
+    * split multi-mutant mentions (reference: the modification engine pass of
+    * extractEntitiesFrom, ReachSystem.scala:157-173 + storePTM/storeEventSite/
+    * storeMutants, DarpaActions.scala:59-121 + mutationsToMentions,
+    * ReachSystem.scala:203-221). The reference mutates mention objects in
+    * place; here each attachment produces a *new* mention row with a new
+    * deterministic id — events built afterwards reference the modified rows.
+    */
+  def attachMods(conv: String, turn: Int, sent: Sent,
+                 ms: Seq[MentionRow]): Seq[MentionRow] = {
+    val words = sent.words
+    val n = words.length
+    val siteByEnd: Map[Int, MentionRow] = ms
+      .filter(m => !m.is_event && m.labels.head == "Site")
+      .map(m => m.end_tok -> m).toMap
+    val siteByStart: Map[Int, MentionRow] = ms
+      .filter(m => !m.is_event && m.labels.head == "Site")
+      .map(m => m.start_tok -> m).toMap
+
+    ms.flatMap { m =>
+      val head = m.labels.head
+      if (m.is_event || head == "Site" || head == "Generic_entity" ||
+          !m.labels.contains("BioChemicalEntity")) Seq(m)
+      else {
+        val mods = mutable.ArrayBuffer.empty[Mod]
+
+        // PTM participle prefix: "phosphorylated ERK2" / "deubiquitinated X"
+        if (m.start_tok > 0 &&
+            ptmParticipleP.matcher(words(m.start_tok - 1)).matches())
+          mods += Mod("PTM", modLabel(words(m.start_tok - 1)), "", 0L)
+        // fused prefix in the token itself: "p-ERK2", "phospho-AKT1", "u-Ras"
+        else if (m.end_tok - m.start_tok == 1 &&
+                 fusedPhosP.matcher(words(m.start_tok)).matches())
+          mods += Mod("PTM", "Phosphorylation", "", 0L)
+        else if (m.end_tok - m.start_tok == 1 &&
+                 fusedUbiqP.matcher(words(m.start_tok)).matches())
+          mods += Mod("PTM", "Ubiquitination", "", 0L)
+
+        // PTM post-participle with site: "AKT1 phosphorylated at Ser473"
+        if (m.end_tok < n &&
+            ptmParticipleP.matcher(words(m.end_tok)).matches() &&
+            m.end_tok + 1 < n &&
+            (words(m.end_tok + 1) == "at" || words(m.end_tok + 1) == "on") &&
+            siteByStart.contains(m.end_tok + 2)) {
+          val s = siteByStart(m.end_tok + 2)
+          mods += Mod("PTM", modLabel(words(m.end_tok)), s.text, s.mention_id)
+        }
+
+        // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]"
+        var j = m.end_tok
+        var expectTok = true
+        while (j < n && (
+          (expectTok && mutantTokP.matcher(words(j)).matches()) ||
+          (!expectTok && mutantSepP.matcher(words(j)).matches()))) {
+          if (expectTok) {
+            mods += Mod("Mutant", "", words(j), 0L)
+            expectTok = false
+          } else expectTok = true
+          j += 1
+        }
+        // Mutants leftward: "the T669A mutant of ERK2"
+        if (m.start_tok >= 3 && words(m.start_tok - 1) == "of" &&
+            mutantWordP.matcher(words(m.start_tok - 2)).matches() &&
+            mutantTokP.matcher(words(m.start_tok - 3)).matches())
+          mods += Mod("Mutant", "", words(m.start_tok - 3), 0L)
+        // bare "mutant ERK2" marker (mutants.yml generic relation rules)
+        else if (m.start_tok > 0 &&
+                 mutantWordP.matcher(words(m.start_tok - 1)).matches() &&
+                 mods.forall(_.kind != "Mutant"))
+          mods += Mod("Mutant", "", "", 0L)
+
+        // EventSite: "[the] SITE [residue(s)] of|on|in [the] ENTITY" — stored
+        // on the entity, promoted to the event's site by siteSniffer later;
+        // coordinated site lists collect every site
+        var k = m.start_tok - 1
+        if (k >= 0 && words(k) == "the") k -= 1
+        if (k >= 0 && (words(k) == "of" || words(k) == "on" || words(k) == "in")) {
+          k -= 1
+          if (k >= 0 && (words(k) == "residue" || words(k) == "residues")) k -= 1
+          var expectSite = true
+          var cont = true
+          while (cont && k >= 0) {
+            if (expectSite && siteByEnd.contains(k + 1)) {
+              val s = siteByEnd(k + 1)
+              mods += Mod("EventSite", "", s.text, s.mention_id)
+              k = s.start_tok - 1
+              expectSite = false
+            } else if (!expectSite && k >= 0 &&
+                       mutantSepP.matcher(words(k)).matches()) {
+              k -= 1
+              expectSite = true
+            } else cont = false
+          }
+        }
+
+        if (mods.isEmpty) Seq(m)
+        else {
+          val mutants = mods.filter(_.kind == "Mutant").toSeq
+          val others = mods.filterNot(_.kind == "Mutant").toSeq
+          // mutationsToMentions: one mention per Mutant when several
+          // (ReachSystem.scala:203-221)
+          val variants: Seq[Seq[Mod]] =
+            if (mutants.size >= 2) mutants.map(mu => others :+ mu)
+            else Seq(others ++ mutants)
+          variants.map { mset =>
+            m.copy(
+              mention_id = mentionId(conv, turn, sent.sent_idx, m.start_tok,
+                m.end_tok, head, "", Nil, m.negated, m.hypothesis, mset),
+              mods = mset.toArray)
+          }
         }
       }
-      newMentions.foreach(state.add)
     }
-    mostComplete(state.all.toSeq)
   }
 
-  def extractTurn(at: AnnotatedTurn): Seq[MentionRow] =
-    at.sents.toSeq.flatMap(s => extractSentence(at.conv_id, at.turn_idx, s))
+  private val entityPriorities = priorities.filter(_ <= 5)
+  private val eventPriorities = priorities.filter(_ > 5)
+
+  private def runPriority(prio: Int, conv: String, turn: Int, sent: Sent,
+                          state: State): Unit = {
+    val n = sent.words.length
+    val newMentions = mutable.ArrayBuffer.empty[MentionRow]
+    rules.filter(_.priority == prio).foreach { rule =>
+      var pos = 0
+      while (pos < n) {
+        tryMatch(rule.pattern, sent.words, state, pos, emptyBind)
+          .foreach { case (end, bind) =>
+            newMentions ++= assemble(rule, bind, conv, turn, sent, pos, end,
+              state)
+          }
+        pos += 1
+      }
+    }
+    newMentions.foreach(state.add)
+  }
+
+  /** Inject conversation-scoped alias surfaces as entity mentions (the trie
+    * rescan, J3): any token run equal to a rescan surface that does not
+    * overlap an existing mention becomes an entity with the alias target's
+    * label (its failsafe grounding then merges with the target through the
+    * alias edge + connected components).
+    */
+  private def injectAliasSurfaces(conv: String, turn: Int, sent: Sent,
+                                  aliases: Seq[(String, String)],
+                                  state: State): Unit = {
+    if (aliases.isEmpty) return
+    val words = sent.words
+    aliases.foreach { case (surface, label) =>
+      val surfToks = surface.split(" ")
+      var i = 0
+      while (i + surfToks.length <= words.length) {
+        val matches = (0 until surfToks.length).forall(k =>
+          words(i + k).equalsIgnoreCase(surfToks(k)))
+        if (matches) {
+          val (s, e) = (i, i + surfToks.length)
+          val overlaps = state.all.exists(m =>
+            !(m.end_tok <= s || m.start_tok >= e))
+          if (!overlaps) {
+            state.add(MentionRow(
+              mentionId(conv, turn, sent.sent_idx, s, e, label, "", Nil,
+                false, false),
+              conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
+              words.slice(s, e).mkString(" "), "alias_rescan", false, "",
+              Array.empty, false, false))
+          }
+          i = e
+        } else i += 1
+      }
+    }
+  }
+
+  /** Run all priorities over one sentence; returns every mention found.
+    * Staging mirrors the reference (ReachSystem.scala:157-232): entity rules,
+    * then the modification pass, then event rules over the modified entities.
+    */
+  def extractSentence(conv: String, turn: Int, sent: Sent,
+                      aliases: Seq[(String, String)] = Nil): Seq[MentionRow] = {
+    val state = new State
+    decodeIob(conv, turn, sent).foreach(state.add)
+    injectAliasSurfaces(conv, turn, sent, aliases, state)
+    entityPriorities.foreach(runPriority(_, conv, turn, sent, state))
+    val state2 = new State
+    attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
+    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2))
+    mostComplete(state2.all.toSeq)
+  }
+
+  def extractTurn(at: AnnotatedTurn): Seq[MentionRow] = extractTurn(at, Nil)
+
+  def extractTurn(at: AnnotatedTurn,
+                  aliases: Seq[(String, String)]): Seq[MentionRow] =
+    at.sents.toSeq.flatMap(s =>
+      extractSentence(at.conv_id, at.turn_idx, s, aliases))
+
+  /** Phase-A alias-definition scan (J3): entity rules + alias rules only,
+    * returning (surface, label) pairs for unknown-surface aliases. Runs as a
+    * narrow pre-pass over annotated turns; the aggregated result is broadcast
+    * for the full extraction pass.
+    */
+  def aliasDefsTurn(at: AnnotatedTurn): Seq[(String, String, String)] =
+    at.sents.toSeq.flatMap { sent =>
+      val state = new State
+      decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
+      entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent, state))
+      val before = state.all.size
+      runPriority(10, at.conv_id, at.turn_idx, sent, state)
+      state.all.drop(before)
+        .filter(_.found_by == "alias_unknown_b")
+        .map(b => (at.conv_id, b.text, b.labels.head))
+    }
 }

@@ -19,7 +19,16 @@ final case class PreTriple(
     conv_id: String,
     turn_idx: Int,
     evidence_text: String,
-    found_by: String
+    found_by: String,
+    trigger_text: String = "",
+    // conversation context at the event's turn (window + defaults — the
+    // generalized context engine, reference: context/Policies.scala:8-64 +
+    // RuleBasedEngine doc defaults:26-37; surfaced in the Arizona export's
+    // CONTEXT_* columns, ArizonaOutputter.scala:24-30)
+    ctx_species: String = "",
+    ctx_organ: String = "",
+    ctx_cell_line: String = "",
+    ctx_cell_type: String = ""
 )
 
 final case class AliasEdge(a: String, b: String, conv_id: String)
@@ -88,18 +97,34 @@ object ConvProcessor {
     val byId = mutable.Map.empty[Long, MentionRow]
     mentions.foreach(m => byId(m.mention_id) = m)
 
-    // ---- species context (turn-granular backward window, W1/A1) ----------
-    val speciesByTurn: Seq[(Int, String)] = mentions
-      .filter(m => !m.is_event && m.labels.head == "Species")
-      .map(m => (m.turn_idx, normSpecies(m.text)))
-    def ctxSpecies(turn: Int): String = {
-      var best: (Int, String) = null
-      speciesByTurn.foreach { case (t, s) =>
-        if (t <= turn && turn - t <= contextBound &&
-            (best == null || t >= best._1)) best = (t, s)
+    // ---- context engine (turn-granular backward window + conversation
+    // defaults — W1/A1 generalized beyond species; reference:
+    // Policies.scala:8-64 bound-3 window, RuleBasedEngine.scala:26-37 argmax
+    // defaults). Per type: nearest preceding context mention within
+    // `contextBound` turns wins; a turn with none falls back to the
+    // conversation default (most frequent, ties broken lexicographically).
+    val ctxTypes = Seq("Species", "CellLine", "CellType", "Organ")
+    val ctxByType: Map[String, Seq[MentionRow]] = ctxTypes.map { tpe =>
+      tpe -> mentions.filter(m => !m.is_event && m.labels.head == tpe)
+    }.toMap
+    val ctxDefault: Map[String, Option[MentionRow]] = ctxTypes.map { tpe =>
+      val grouped = ctxByType(tpe).groupBy(_.text.toLowerCase)
+      tpe -> (if (grouped.isEmpty) None
+              else {
+                val (_, ms) = grouped.minBy { case (k, v) => (-v.size, k) }
+                Some(ms.head)
+              })
+    }.toMap
+    def nearestCtx(tpe: String, turn: Int): Option[MentionRow] = {
+      var best: MentionRow = null
+      ctxByType(tpe).foreach { m =>
+        if (m.turn_idx <= turn && turn - m.turn_idx <= contextBound &&
+            (best == null || m.turn_idx >= best.turn_idx)) best = m
       }
-      if (best == null) "" else best._2
+      Option(best).orElse(ctxDefault(tpe))
     }
+    def ctxSpecies(turn: Int): String =
+      nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse("")
 
     // ---- coref sieves: generic mentions -> nearest preceding entity ------
     // (LinearSelector semantics, AntecedentSelector.scala:14-31)
@@ -228,7 +253,8 @@ object ConvProcessor {
         out += StageBRow("linked", Some(LinkedMention(
           m.mention_id, m.conv_id, m.turn_idx, m.sent_idx, m.start_tok,
           m.end_tok, m.labels, m.text, m.found_by, false, "", m.args,
-          m.negated, m.hypothesis, g.namespace, g.id, g.species)), None, None)
+          m.negated, m.hypothesis, g.namespace, g.id, g.species, m.mods)),
+          None, None)
       }
     }
     kept.filter(_.labels.head != "Alias").foreach { e =>
@@ -236,8 +262,13 @@ object ConvProcessor {
         e.mention_id, e.conv_id, e.turn_idx, e.sent_idx, e.start_tok,
         e.end_tok, e.labels, e.text, e.found_by, true, e.trigger_text,
         e.args, e.negated, e.hypothesis, "evt",
-        java.lang.Long.toHexString(e.mention_id), "")), None, None)
+        java.lang.Long.toHexString(e.mention_id), "", e.mods)), None, None)
     }
+
+    // context gids for triple emission (Arizona CONTEXT_* columns)
+    def ctxGid(tpe: String, turn: Int): String =
+      nearestCtx(tpe, turn)
+        .flatMap(m => groundings.get(m.mention_id)).map(gidOf).getOrElse("")
 
     // ---- triple emission (S9 semantics) ----------------------------------
     kept.filter(_.labels.head != "Alias").foreach { e =>
@@ -245,6 +276,13 @@ object ConvProcessor {
       def argM(role: String): Option[MentionRow] =
         e.args.find(_.role == role).flatMap(a => byId.get(a.mention_id))
       val siteText = argM("site").map(_.text).getOrElse("")
+      def pt(subj: String, obj: String, obj2: String, objPred: String,
+             site: String): PreTriple =
+        PreTriple(subj, head, obj, obj2, objPred, site, e.negated,
+          e.hypothesis, convId, e.turn_idx, e.text, e.found_by,
+          e.trigger_text,
+          ctxGid("Species", e.turn_idx), ctxGid("Organ", e.turn_idx),
+          ctxGid("CellLine", e.turn_idx), ctxGid("CellType", e.turn_idx))
       val tri: Option[PreTriple] =
         if (e.labels.contains("Regulation")) {
           val ctl = e.args.find(_.role == "controller")
@@ -255,8 +293,7 @@ object ConvProcessor {
               val cldM = byId.get(d.mention_id)
               val (objCore, objSite) = descend(d.mention_id)
               val objPred = cldM.map(_.labels.head).getOrElse("")
-              Some(PreTriple(subjGid, head, objCore, "", objPred, objSite,
-                e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+              Some(pt(subjGid, objCore, "", objPred, objSite))
             case _ => None
           }
         } else if (e.labels.contains("ActivationEvent")) {
@@ -264,14 +301,12 @@ object ConvProcessor {
             .map(c => descend(c.mention_id)._1).getOrElse("")
           val objGid = e.args.find(_.role == "controlled")
             .map(c => descend(c.mention_id)._1).getOrElse("")
-          Some(PreTriple(subjGid, head, objGid, "", "", siteText,
-            e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+          Some(pt(subjGid, objGid, "", "", siteText))
         } else if (head == "Binding") {
           val themes = e.args.filter(_.role == "theme")
             .map(a => descend(a.mention_id)._1).filter(_.nonEmpty).sorted
           if (themes.length >= 2)
-            Some(PreTriple("", head, themes(0), themes(1), "", siteText,
-              e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+            Some(pt("", themes(0), themes(1), "", siteText))
           else None
         } else {
           // simple events: theme(+site); Translocation carries destination gid
@@ -281,8 +316,7 @@ object ConvProcessor {
             .flatMap(d => groundings.get(d.mention_id)).map(gidOf).getOrElse("")
           val st = if (siteText.nonEmpty) siteText else destGid
           if (themeGid.nonEmpty)
-            Some(PreTriple("", head, themeGid, "", "", st,
-              e.negated, e.hypothesis, convId, e.turn_idx, e.text, e.found_by))
+            Some(pt("", themeGid, "", "", st))
           else None
         }
       tri.foreach(t => out += StageBRow("triple", None, Some(t), None))

@@ -27,18 +27,71 @@ object Emit {
     )).as("frame"))
 
   /** Arizona-style flat tabular export (reference: export/.../arizona/
-    * ArizonaOutputter.scala:14-50): INPUT / OUTPUT / CONTROLLER / EVENT_LABEL
-    * / NEGATED / SEEN / EVIDENCE — directly from the edges table with
-    * per-edge occurrence counts aggregated across the corpus.
+    * ArizonaOutputter.scala:14-50 column set; row semantics from
+    * assembly/.../export/AssemblyExporter.scala:112-170 and
+    * AssemblyRow.scala:80-115):
+    *  - INPUT = the consumed participant (theme gid; controlled event key for
+    *    regulations), OUTPUT = the produced state (entity + ".label@site" PTM
+    *    suffix for modifications; ".a" activated form for positive
+    *    activations — createOutput:143-165)
+    *  - EVENT_ID = deterministic content hash (the reference's incrementing
+    *    ids are nondeterministic under parallelism — SURVEY.md A8)
+    *  - INDIRECT per AssemblyRow.isIndirect:80-98 (activations indirect,
+    *    simple events/bindings direct, regulation-over-regulation indirect)
+    *  - CONTEXT_* from the window+defaults context engine
+    *  - TRIGGERS / EVIDENCE / SEEN_IN as sorted "|"-joined strings — sortable
+    *    scalars, not arrays, so downstream tabular consumers (and the DuckDB
+    *    compare harness) can order rows
+    *  - SEEN = evidence count (arizonaFilter keeps rows with seen > 0:
+    *    ArizonaOutputter.scala:40-46; every edge here has evidence)
     */
-  def arizonaTsv(edges: DataFrame): DataFrame =
-    edges.groupBy(
-      col("obj").as("INPUT"),
-      col("pred").as("EVENT_LABEL"),
-      col("subj").as("CONTROLLER"),
-      col("site").as("SITE"),
-      col("negated").as("NEGATED"),
-      col("hypothesis").as("HYPOTHESIS"))
-      .agg(count(lit(1)).as("SEEN"),
-        array_sort(collect_set(col("evidence_text"))).as("EVIDENCE"))
+  def arizonaTsv(edges: DataFrame): DataFrame = {
+    val isMod = col("pred").isin("Phosphorylation", "Dephosphorylation",
+      "Ubiquitination", "Deubiquitination", "Hydroxylation", "Dehydroxylation",
+      "Sumoylation", "Desumoylation", "Glycosylation", "Deglycosylation",
+      "Acetylation", "Deacetylation", "Farnesylation", "Defarnesylation",
+      "Ribosylation", "Deribosylation", "Methylation", "Demethylation")
+    val output =
+      when(isMod, concat(col("obj"), lit("."),
+        lower(substring(col("pred"), 1, 1)),
+        when(col("site") =!= "", concat(lit("@"), col("site")))
+          .otherwise(lit(""))))
+      .when(col("pred") === "Positive_activation", concat(col("obj"), lit(".a")))
+      .when(col("pred") === "Binding", col("obj"))
+      .otherwise(col("obj"))
+    val indirect =
+      when(col("pred").rlike("activation$"), lit(true))
+      .when(col("pred").rlike("regulation$") &&
+        col("obj").rlike("regulation\\("), lit(true))
+      .otherwise(lit(false))
+    edges
+      .withColumn("OUTPUT", output)
+      .withColumn("INDIRECT", indirect)
+      .groupBy(
+        col("obj").as("INPUT"),
+        col("OUTPUT"),
+        col("subj").as("CONTROLLER"),
+        col("pred").as("EVENT_LABEL"),
+        col("site").as("SITE"),
+        col("negated").as("NEGATED"),
+        col("INDIRECT"),
+        col("hypothesis").as("HYPOTHESIS"))
+      .agg(
+        max(col("ctx_species")).as("CONTEXT_SPECIES"),
+        max(col("ctx_organ")).as("CONTEXT_ORGAN"),
+        max(col("ctx_cell_line")).as("CONTEXT_CELL_LINE"),
+        max(col("ctx_cell_type")).as("CONTEXT_CELL_TYPE"),
+        when(first(col("pred")) === "Translocation", max(col("site")))
+          .otherwise(lit("")).as("TRANSLOCATION_DESTINATION"),
+        concat_ws("|", array_sort(collect_set(col("trigger_text"))))
+          .as("TRIGGERS"),
+        count(lit(1)).as("SEEN"),
+        concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
+          .as("EVIDENCE"),
+        concat_ws("|", array_sort(collect_set(col("conv_id")))).as("SEEN_IN"))
+      .withColumn("EVENT_ID",
+        pmod(xxhash64(col("INPUT"), col("OUTPUT"), col("CONTROLLER"),
+          col("EVENT_LABEL"), col("SITE"), col("NEGATED"), col("INDIRECT"),
+          col("HYPOTHESIS")), lit(Long.MaxValue)))
+  }
 }

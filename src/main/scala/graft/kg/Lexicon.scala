@@ -225,13 +225,7 @@ object Lexicon {
     )
   }
 
-  /** Deterministic failsafe grounding for strings absent from every KB
-    * (replaces the reference's stateful counter, AzFailsafeKBML.scala:18-27 —
-    * a counter is nondeterministic under parallelism; a content hash is the
-    * Spark-correct equivalent and enables resume).
-    */
-  def failsafeId(text: String): String = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(text.trim.toLowerCase)
-    "UAZ%08X".format(h)
-  }
+  // failsafe grounding for strings absent from every KB lives in
+  // Link.failsafe (one scheme only — a second id scheme here would break the
+  // canon rank-key's "uaz:" detection; ADVICE r1)
 }

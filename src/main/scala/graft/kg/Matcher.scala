@@ -97,6 +97,8 @@ object Matcher {
       */
     def at(start: Int, label: String): List[MentionRow] =
       byStart.getOrElse(start, Nil).filter(_.labels.contains(label))
+
+    def byId(id: Long): Option[MentionRow] = all.find(_.mention_id == id)
   }
 
   // ---- matching ---------------------------------------------------------
@@ -184,10 +186,16 @@ object Matcher {
 
   def mentionId(conv: String, turn: Int, sent: Int, s: Int, e: Int,
                 label: String, trig: String, args: Seq[Arg],
-                negated: Boolean, hypothesis: Boolean): Long =
+                negated: Boolean, hypothesis: Boolean,
+                mods: Seq[Mod] = Nil): Long =
     contentId(conv, turn.toString, sent.toString, s.toString, e.toString,
       label, trig,
       args.sortBy(a => (a.role, a.mention_id))
         .map(a => a.role + "=" + a.mention_id).mkString(","),
-      negated.toString, hypothesis.toString)
+      negated.toString, hypothesis.toString,
+      // mods are part of mention identity (reference mixes Mutant mods into
+      // hashCode, BioMention.scala:18-21)
+      mods.sortBy(m => (m.kind, m.label, m.site_text, m.site_id))
+        .map(m => m.kind + ":" + m.label + ":" + m.site_text + ":" + m.site_id)
+        .mkString(";"))
 }

@@ -34,14 +34,28 @@ object Pipeline {
 
   def sessionKb(): Link.KbIndex = new Link.KbIndex(Lexicon.kb)
 
+  /** Thread-local rows_in counter. The stage transform (flatMap /
+    * flatMapGroups) and the [[instrument]] wrapper are pipelined into the SAME
+    * task (no exchange between them), so a counter bumped by the transform and
+    * read at partition end observes exactly the task's input rows.
+    */
+  private[kg] object InCount {
+    private val tl: ThreadLocal[Array[Long]] =
+      ThreadLocal.withInitial(() => Array(0L))
+    def reset(): Unit = tl.get()(0) = 0L
+    def inc(): Unit = tl.get()(0) += 1
+    def get: Long = tl.get()(0)
+  }
+
   /** Wrap a dataset so each task appends one per-partition lineage row on
-    * completion.
+    * completion (rows_in from [[InCount]], bumped by the upstream transform).
     */
   private def instrument[T](ds: Dataset[T], stage: String, runId: String,
                             acc: CollectionAccumulator[Lineage])
                            (implicit enc: Encoder[T]): Dataset[T] =
     ds.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
+      InCount.reset()
       var n = 0L
       new Iterator[T] {
         private var reported = false
@@ -49,8 +63,8 @@ object Pipeline {
           val h = it.hasNext
           if (!h && !reported) {
             reported = true
-            acc.add(Lineage(stage, TaskContext.getPartitionId(), 0L, n,
-              System.currentTimeMillis() - t0, runId))
+            acc.add(Lineage(stage, TaskContext.getPartitionId(), InCount.get,
+              n, System.currentTimeMillis() - t0, runId))
           }
           h
         }
@@ -60,12 +74,52 @@ object Pipeline {
 
   // ---- stage functions (shared by checkpointed + in-memory paths) --------
 
+  /** Phase-A alias-definition aggregation (J3): a narrow entity-rules-only
+    * pre-pass finds unknown-surface alias definitions; the (conv, surface,
+    * label) set is collected and broadcast for the full extraction pass, which
+    * rescans every turn of the defining conversation for the surface — so an
+    * alias used *before* its definition still yields mentions (reference:
+    * coref/Alias.scala:46-75 + InstanceFinder.scala:9-34).
+    *
+    * Scale: alias definitions are a parenthetical-pattern rarity; the collect
+    * is capped and the cap is logged, never silent. At 10^12 turns the
+    * fallback would be a conv_id-keyed join instead of a broadcast — the
+    * per-conv scoping already bounds executor-side lookup state.
+    */
+  val maxAliasDefs = 1000000
+
+  def aliasDefs(spark: SparkSession,
+                turns: Dataset[Turn]): Map[String, Seq[(String, String)]] = {
+    import spark.implicits._
+    val (bTrie, _) = Broadcasts.get(spark.sparkContext)
+    // cheap candidate pre-filter: the alias patterns all carry a parenthesis
+    // or "known as" — the pre-pass annotates only those turns, so the extra
+    // scan reads text once and tokenizes almost nothing
+    val cands = turns.filter(t => t.text != null &&
+      (t.text.contains("(") || t.text.contains("known as")))
+    val defs = Annotate(spark, cands, bTrie)
+      .flatMap(BioRules.aliasDefsTurn _)
+      .distinct().limit(maxAliasDefs + 1).collect()
+    if (defs.length > maxAliasDefs)
+      System.err.println(s"[graft] WARNING: alias definitions truncated at " +
+        s"$maxAliasDefs — rescan coverage is partial")
+    defs.take(maxAliasDefs).groupBy(_._1)
+      .map { case (conv, xs) => conv -> xs.map(x => (x._2, x._3)).toSeq }
+  }
+
   def stageMentions(spark: SparkSession, turns: Dataset[Turn],
                     runId: String, acc: CollectionAccumulator[Lineage]): Dataset[MentionRow] = {
     import spark.implicits._
     val (bTrie, _) = Broadcasts.get(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
-    instrument(annotated.flatMap(BioRules.extractTurn _), "mentions", runId, acc)
+    val aliasMap = aliasDefs(spark, turns)
+    val bAliases = spark.sparkContext.broadcast(aliasMap)
+    val extracted = annotated.flatMap { at =>
+      InCount.inc()
+      BioRules.extractTurn(at,
+        bAliases.value.getOrElse(at.conv_id, Nil))
+    }
+    instrument(extracted, "mentions", runId, acc)
   }
 
   def stageB(spark: SparkSession, mentions: Dataset[MentionRow],
@@ -75,7 +129,8 @@ object Pipeline {
     val grouped = mentions
       .groupByKey(m => (m.conv_id, m.turn_idx / chunkTurns))
       .flatMapGroups { (key, it) =>
-        ConvProcessor.process(key._1, it.toSeq, bKb.value).iterator
+        val ms = it.map { m => InCount.inc(); m }.toSeq
+        ConvProcessor.process(key._1, ms, bKb.value).iterator
       }
     instrument(grouped, "link_coref_emit", runId, acc)
   }
@@ -109,7 +164,9 @@ object Pipeline {
       .select(
         col("subj_gid").as("subj"), col("pred"), col("obj"), col("site"),
         col("negated"), col("hypothesis"), col("conv_id"), col("turn_idx"),
-        col("evidence_text"), col("found_by"))
+        col("evidence_text"), col("found_by"), col("trigger_text"),
+        col("ctx_species"), col("ctx_organ"), col("ctx_cell_line"),
+        col("ctx_cell_type"))
       .withColumn("edge_id", xxhash64(col("subj"), col("pred"), col("obj"),
         col("site"), col("negated"), col("hypothesis"), col("conv_id"),
         col("turn_idx")))
@@ -174,9 +231,22 @@ object Pipeline {
       io.write(nodes, "nodes")
     }
 
-    val lineage = spark.createDataset(
-      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq).toDF()
-    io.write(lineage, "lineage")
+    // merge lineage across resumes: a fully-resumed run must not destroy the
+    // prior run's per-partition metrics (ADVICE r1); rows are keyed by run_id
+    val newRows =
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+    if (newRows.nonEmpty) {
+      val fresh = spark.createDataset(newRows).toDF()
+      val merged =
+        if (io.isComplete("lineage"))
+          io.read(spark, "lineage").unionByName(fresh)
+        else fresh
+      // lineage is tiny (one row per task); localCheckpoint breaks the
+      // self-referential read-then-overwrite plan
+      io.write(merged.localCheckpoint(true), "lineage")
+    } else if (!io.isComplete("lineage")) {
+      io.write(spark.createDataset(Seq.empty[Lineage]).toDF(), "lineage")
+    }
     Result(io.read(spark, "edges"), io.read(spark, "nodes"),
       io.read(spark, "lineage"))
   }

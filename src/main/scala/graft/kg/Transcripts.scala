@@ -151,6 +151,56 @@ object Transcripts {
       tri("g19", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&"), "",
         hyp = true))
 
+    // two distinct same-trigger-text events in one sentence: the most-complete
+    // filter must compare trigger OCCURRENCES, not strings
+    // (reference: MentionFilter.scala:60-69; ADVICE r1)
+    conv("g20")("user" ->
+      "MEK1 phosphorylates ERK2 at T669 and JAK3 phosphorylates HuR.")(
+      tri("g20", 0, "", "Phosphorylation", ERK2, "T669"),
+      tri("g20", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2@T669)",
+        "T669"),
+      tri("g20", 0, "", "Phosphorylation", HuR),
+      tri("g20", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR)"))
+
+    // relative clause + appositive-skip (clause-aware surrogates for the
+    // reference's *_syntax_* dependency rules)
+    conv("g21")("user" ->
+      "ERK2, which is phosphorylated by MEK1, activates STAT3.")(
+      tri("g21", 0, "", "Phosphorylation", ERK2),
+      tri("g21", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"),
+      tri("g21", 0, ERK2, "Positive_activation", STAT3))
+
+    conv("g25")("user" -> "MEK1, a dual-specificity kinase, phosphorylates ERK2.")(
+      tri("g25", 0, "", "Phosphorylation", ERK2),
+      tri("g25", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // EventSite storage + siteSniffer promotion (DarpaActions.scala:90-110,
+    // 266-297): the site attaches to the entity first, then moves to the event
+    conv("g22")("user" ->
+      "The phosphorylation of the Y63 residue of HuR is increased by JAK3.")(
+      tri("g22", 0, "", "Phosphorylation", HuR, "Y63"),
+      tri("g22", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR@Y63)",
+        "Y63"))
+
+    // alias-surface rescan (J3): OLK1 is used BEFORE its parenthetical
+    // definition; the conversation-wide rescan + alias edge + connected
+    // components still canonicalize it onto optineurin
+    conv("g23")(
+      "user" -> "OLK1 phosphorylates AKT1.",
+      "assistant" -> "Optineurin (also known as OLK1) regulates autophagy.")(
+      tri("g23", 0, "", "Phosphorylation", AKT1),
+      tri("g23", 0, OPT, "Positive_regulation", s"Phosphorylation($AKT1)"))
+
+    // mutation post-modifier skipped by the surface rule, stored as a Mutant
+    // modification (mutants.yml semantics; mods pinned by ModsSpec/kg_mods)
+    conv("g26")("user" -> "The ERK2 T669A mutant binds AKT1.")(
+      tri("g26", 0, "", "Binding", Seq(ERK2, AKT1).sorted.mkString("&")))
+
+    // PTM participle prefix: entity still grounds to the base protein; the
+    // PTM itself is pinned as a modification (storePTM semantics)
+    conv("g27")("user" -> "Phosphorylated ERK2 binds STAT3.")(
+      tri("g27", 0, "", "Binding", Seq(ERK2, STAT3).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -294,7 +344,15 @@ object Transcripts {
         ts.map(t => t.copy(conv_id = "mega",
           turn_idx = s.toInt * slice + t.turn_idx))
       }
-      (turns.union(mega), expected)
+      // mega expected triples union in with the same conv_id/turn remap —
+      // otherwise --mega with --score counts every mega edge as a false
+      // positive (ADVICE r1)
+      val megaExpected = spark.range(nSlices.toLong).flatMap { s =>
+        val (_, es) = genConv(seed * 31 + s, 999999L, math.min(slice, megaTurns - s.toInt * slice), withCoref = false)
+        es.map(t => t.copy(conv_id = "mega",
+          turn_idx = s.toInt * slice + t.turn_idx))
+      }
+      (turns.union(mega), expected.union(megaExpected))
     } else (turns, expected)
   }
 

@@ -49,6 +49,24 @@ final case class AnnotatedTurn(
   */
 final case class Arg(role: String, mention_id: Long)
 
+/** Attached modification (reference: mentions/Modifications.scala:23-57 —
+  * PTM / Mutant / EventSite variants; Negation/Hypothesis are modeled as the
+  * `negated`/`hypothesis` flags instead). The reference mutates a per-mention
+  * `Set[Modification]` in place (DarpaActions.storePTM/storeEventSite/
+  * storeMutants:59-121); here every attachment is a column rewrite producing a
+  * new deterministic mention id.
+  *
+  * `site_id` is the mention id of an associated Site mention (EventSite and
+  * sited PTMs), 0 when none — ids, not object pointers, per the flattened
+  * mention model (SURVEY.md §1.1).
+  */
+final case class Mod(
+    kind: String, // "PTM" | "Mutant" | "EventSite"
+    label: String, // PTM event label ("Phosphorylation"); "" otherwise
+    site_text: String, // mutation code ("T669A") or site text ("Ser473")
+    site_id: Long
+)
+
 /** Flattened mention row — text-bound entities AND events share this shape.
   * `mention_id` is a deterministic content hash (reference uses object identity +
   * custom hashCodes, BioMention.scala:18-21; content hashes are the Spark-correct
@@ -72,7 +90,15 @@ final case class MentionRow(
     // modification / polarity flags (reference: mentions/Modifications.scala:23-57;
     // NegationHandler / HypothesisHandler semantics)
     negated: Boolean,
-    hypothesis: Boolean
+    hypothesis: Boolean,
+    // trigger token span (events; (-1,-1) for entities). Distinct same-trigger-
+    // text events in one sentence must NOT collide in keepMostCompleteMentions —
+    // the reference compares trigger *mentions*, not trigger strings
+    // (MentionFilter.scala:60-69)
+    trig_start: Int = -1,
+    trig_end: Int = -1,
+    // attached modifications (PTM / Mutant / EventSite)
+    mods: Array[Mod] = Array.empty
 )
 
 /** A grounding-KB entry (reference: grounding/InMemoryKB.scala:214-265 and the
@@ -112,7 +138,8 @@ final case class LinkedMention(
     hypothesis: Boolean,
     ns: String,
     ns_id: String,
-    species: String
+    species: String,
+    mods: Array[Mod] = Array.empty
 )
 
 /** Emitted triple — the Arizona-tabular analogue (reference:

@@ -18,6 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * via the restart log (ReachCLI.scala:47-66). Here a late conversation turn
   * simply extends the conversation's state.
   *
+  * Known deviation from batch: the BACKWARD alias rescan (J3 — an alias
+  * surface used before its parenthetical definition) requires a second pass
+  * over already-emitted turns, which append-mode streaming cannot replay;
+  * batch mode covers it. Forward uses (definition first) resolve normally
+  * through the per-conversation state.
+  *
   * Scale: state is O(lookback x mentions-per-turn) per live conversation;
   * with watermarking on `ts` (caller adds `withWatermark` upstream) idle
   * conversations age out via the processing-time timeout.

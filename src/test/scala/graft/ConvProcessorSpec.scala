@@ -38,18 +38,26 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(!ts.exists(_.pred == "Phosphorylation"))
   }
 
-  test("species context applies within 3 turns, not beyond") {
+  test("species context: window applies; outside the window the conversation " +
+       "default fills in (RuleBasedEngine doc defaults)") {
     val near = triples(run(
       "We studied mouse fibroblasts.",
       "ERK2 was phosphorylated at T669."))
     assert(near.exists(_.obj_gid == "uniprot:P63085"))
+    // beyond the 3-turn window the conversation DEFAULT species (the only
+    // species mentioned -> mouse) still applies — the reference fills
+    // missing context with per-document argmax defaults
+    // (context/RuleBasedEngine.scala:26-37)
     val far = triples(run(
       "We studied mouse fibroblasts.",
       "The samples were prepared as described previously.",
       "We then repeated the experiment under identical conditions.",
       "Further work will be needed to confirm this observation.",
       "ERK2 was phosphorylated at T669."))
-    assert(far.exists(_.obj_gid == "uniprot:P28482"))
+    assert(far.exists(_.obj_gid == "uniprot:P63085"))
+    // with no species anywhere in the conversation, human ranks first
+    val none = triples(run("ERK2 was phosphorylated at T669."))
+    assert(none.exists(_.obj_gid == "uniprot:P28482"))
   }
 
   test("alias rule emits an equivalence edge between groundings") {

@@ -1,0 +1,165 @@
+package graft
+
+import graft.kg._
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Modifications subsystem (PTM / Mutant / EventSite — reference:
+  * TestModifications.scala semantics re-traced), the trigger-occurrence
+  * most-complete filter (ADVICE r1), the filterRegulations port
+  * (controlled-substitution + higher-order preference), alias rescan, and the
+  * generalized context engine.
+  */
+class ModsSpec extends AnyFunSuite {
+  private lazy val trie = Annotate.buildTrie(Lexicon.nerLexicon)
+
+  private def extract(text: String, turn: Int = 0): Seq[MentionRow] =
+    BioRules.extractTurn(
+      AnnotatedTurn("c", turn, "user", Annotate.annotateText(trie, text)))
+
+  private def entities(ms: Seq[MentionRow]): Seq[MentionRow] =
+    ms.filter(!_.is_event)
+  private def events(ms: Seq[MentionRow]): Seq[MentionRow] =
+    ms.filter(_.is_event)
+
+  test("PTM participle prefix attaches a PTM modification") {
+    val ms = extract("Phosphorylated ERK2 binds STAT3.")
+    val erk = entities(ms).find(_.text == "ERK2").get
+    assert(erk.mods.exists(m => m.kind == "PTM" && m.label == "Phosphorylation"))
+    assert(events(ms).exists(_.labels.head == "Binding"))
+  }
+
+  test("post-participial PTM with site: AKT1 phosphorylated at Ser473") {
+    val ms = extract("AKT1 phosphorylated at Ser473 binds BAD.")
+    val akt = entities(ms).find(_.text == "AKT1").get
+    assert(akt.mods.exists(m => m.kind == "PTM" &&
+      m.label == "Phosphorylation" && m.site_text == "Ser473"))
+    assert(events(ms).exists(_.labels.head == "Binding"))
+  }
+
+  test("fused prefix token p-AKT1 is recognized and carries a PTM") {
+    val ms = extract("p-AKT1 is elevated in tumors.")
+    val akt = entities(ms).find(_.text == "p-AKT1")
+    assert(akt.isDefined, "fused-prefix token should be NER-tagged")
+    assert(akt.get.mods.exists(m => m.kind == "PTM" &&
+      m.label == "Phosphorylation"))
+  }
+
+  test("mutationsToMentions: two mutants split into two mentions") {
+    val ms = extract("ERK2 T669A and T671A mutants were analyzed.")
+    val erks = entities(ms).filter(_.text == "ERK2")
+    assert(erks.size == 2, s"expected 2 split mentions, got ${erks.size}")
+    val muts = erks.flatMap(_.mods.toSeq).filter(_.kind == "Mutant")
+      .map(_.site_text).sorted
+    assert(muts == Seq("T669A", "T671A"))
+    assert(erks.map(_.mention_id).distinct.size == 2)
+  }
+
+  test("mutant-of form: the T669A mutant of ERK2") {
+    val ms = extract("The T669A mutant of ERK2 binds AKT1.")
+    val erk = entities(ms).find(_.text == "ERK2").get
+    assert(erk.mods.exists(m => m.kind == "Mutant" && m.site_text == "T669A"))
+  }
+
+  test("EventSite stored on entity and sniffed into the event's site arg") {
+    val ms = extract("The phosphorylation of the Y63 residue of HuR is increased.")
+    val hur = entities(ms).find(_.text == "HuR").get
+    assert(hur.mods.exists(m => m.kind == "EventSite" && m.site_text == "Y63"))
+    val ph = events(ms).find(_.labels.head == "Phosphorylation").get
+    val siteArg = ph.args.find(_.role == "site")
+    assert(siteArg.isDefined, "siteSniffer should promote the EventSite")
+    val site = ms.find(_.mention_id == siteArg.get.mention_id)
+    assert(site.exists(_.text == "Y63"))
+  }
+
+  test("distinct same-trigger-text events in one sentence both survive") {
+    val ms = extract(
+      "MEK1 phosphorylates ERK2 at T669 and JAK3 phosphorylates HuR.")
+    val phos = events(ms).filter(_.labels.head == "Phosphorylation")
+    assert(phos.size == 2, s"got ${phos.map(_.text)}")
+    val regs = events(ms).filter(_.labels.head == "Positive_regulation")
+    assert(regs.size == 2)
+  }
+
+  // ---- filterRegulations unit semantics (constructed mentions) ----------
+
+  private def ent(id: Long, s: Int, e: Int,
+                  label: String = "Gene_or_gene_product"): MentionRow =
+    MentionRow(id, "c", 0, 0, s, e, Lexicon.labelClosure(label), s"E$id",
+      "t", false, "", Array.empty, false, false)
+
+  private def ev(id: Long, label: String, ts: Int, te: Int,
+                 args: (String, Long)*): MentionRow =
+    MentionRow(id, "c", 0, 0, 0, 9,
+      Lexicon.labelClosure(label), s"V$id", "t", true, "trig",
+      args.map { case (r, i) => Arg(r, i) }.toArray, false, false, ts, te)
+
+  test("controlled-substitution redirects a regulation to the survivor") {
+    val theme = ent(1, 0, 1)
+    val site = ent(2, 2, 3, "Site")
+    val ctl = ent(3, 4, 5)
+    val small = ev(100, "Phosphorylation", 6, 7, "theme" -> 1)
+    val big = ev(101, "Phosphorylation", 6, 7, "theme" -> 1, "site" -> 2)
+    val reg = ev(200, "Positive_regulation", 6, 7,
+      "controller" -> 3, "controlled" -> 100)
+    val out = BioRules.mostComplete(Seq(theme, site, ctl, small, big, reg))
+    val regs = out.filter(_.labels.head == "Positive_regulation")
+    assert(regs.size == 1)
+    assert(regs.head.args.find(_.role == "controlled").get.mention_id == 101,
+      "controlled must be substituted with the more complete event")
+    assert(!out.exists(_.mention_id == 100))
+  }
+
+  test("higher-order regulation wins over the direct form (preferRegulations)") {
+    val a = ent(1, 0, 1); val b = ent(2, 2, 3); val c = ent(3, 4, 5)
+    val inner = ev(100, "Phosphorylation", 5, 6, "theme" -> 2)
+    val mid = ev(201, "Positive_regulation", 5, 6,
+      "controller" -> 3, "controlled" -> 100)
+    val high = ev(300, "Negative_regulation", 7, 8,
+      "controller" -> 1, "controlled" -> 201)
+    val direct = ev(301, "Negative_regulation", 7, 8,
+      "controller" -> 1, "controlled" -> 100)
+    val out = BioRules.mostComplete(Seq(a, b, c, inner, mid, high, direct))
+    assert(out.exists(_.mention_id == 300))
+    assert(!out.exists(_.mention_id == 301),
+      "direct regulation is redundant given the higher-order one")
+  }
+
+  // ---- pipeline-level: alias rescan + context columns -------------------
+
+  lazy val spark = TestSpark.spark
+
+  test("alias rescan canonicalizes a surface used before its definition") {
+    import spark.implicits._
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("a1", 0, "user", "OLK1 phosphorylates AKT1."),
+      Transcripts.mkTurn("a1", 1, "assistant",
+        "Optineurin (also known as OLK1) regulates autophagy.")))
+    val res = Pipeline.extract(spark, turns)
+    val edges = res.edges.collect()
+    val opt = Transcripts.gidOf("optineurin")
+    assert(edges.exists(r => r.getAs[String]("pred") == "Positive_regulation"
+      && r.getAs[String]("subj") == opt),
+      s"rescanned OLK1 should canonicalize to optineurin; got ${edges.toSeq}")
+    val nodes = res.nodes.collect()
+    val optNode = nodes.find(_.getAs[String]("canon_id") == opt)
+    assert(optNode.exists(_.getAs[Seq[String]]("alias_surface_forms")
+      .contains("OLK1")), "node must carry the rescanned surface form")
+  }
+
+  test("context columns: window assignment and conversation-default fill") {
+    import spark.implicits._
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("x1", 0, "user", "MEK1 phosphorylates ERK2."),
+      Transcripts.mkTurn("x1", 6, "user", "We studied HeLa cells."),
+      Transcripts.mkTurn("x1", 7, "user", "JAK3 phosphorylates HuR.")))
+    val edges = Pipeline.extract(spark, turns).edges.collect()
+    val inWindow = edges.filter(r => r.getAs[Int]("turn_idx") == 7)
+    assert(inWindow.nonEmpty &&
+      inWindow.forall(_.getAs[String]("ctx_cell_line") == "cellosaurus:CVCL_0030"))
+    // turn 0 is outside the window of turn 6 -> conversation default applies
+    val outWindow = edges.filter(r => r.getAs[Int]("turn_idx") == 0)
+    assert(outWindow.nonEmpty &&
+      outWindow.forall(_.getAs[String]("ctx_cell_line") == "cellosaurus:CVCL_0030"))
+  }
+}

@@ -49,7 +49,9 @@ class OpsSpec extends AnyFunSuite {
     val l = lsh.select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (b intersect l).size.toDouble / b.size
     info(f"LSH ANN recall@10 = $recall%.3f")
-    assert(recall >= 0.3, f"LSH recall $recall unexpectedly low")
+    // observed ~0.89; a gate at 0.3 would let a real regression pass silently
+    // (VERDICT r1) — 0.8 matches the driver-checked ann_lsh contract gate
+    assert(recall >= 0.8, f"LSH recall $recall too low")
   }
 
   test("fingerprints are deterministic and non-trivial") {

@@ -48,7 +48,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(fj.length == edges.count())
     assert(fj.forall(s => s.startsWith("{") && s.contains("\"frame_type\":\"event-mention\"")))
     val az = Emit.arizonaTsv(edges)
-    assert(az.columns.toSeq.take(4) == Seq("INPUT", "EVENT_LABEL", "CONTROLLER", "SITE"))
+    // reference column set (ArizonaOutputter.scala:14-38)
+    for (c <- Seq("INPUT", "OUTPUT", "CONTROLLER", "EVENT_ID", "EVENT_LABEL",
+                  "NEGATED", "INDIRECT", "CONTEXT_SPECIES", "CONTEXT_ORGAN",
+                  "CONTEXT_CELL_LINE", "CONTEXT_CELL_TYPE",
+                  "TRANSLOCATION_DESTINATION", "TRIGGERS", "SEEN", "EVIDENCE",
+                  "SEEN_IN"))
+      assert(az.columns.contains(c), s"missing Arizona column $c")
+    // EVIDENCE must be a sortable scalar (the r1 array column crashed the
+    // driver compare harness)
+    assert(az.schema("EVIDENCE").dataType.typeName == "string")
     val a1 = az.collect().map(_.toSeq).toSet
     val a2 = Emit.arizonaTsv(edges).collect().map(_.toSeq).toSet
     assert(a1 == a2)

@@ -15,9 +15,15 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming triples match batch pipeline across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val (goldenTurns, _) = Transcripts.golden
+    // g23 exercises the BACKWARD alias rescan (surface used before its
+    // definition) — a whole-corpus second pass that streaming append mode
+    // cannot replay; the batch==stream equivalence claim excludes it
+    // (documented in StreamingPipeline's scaladoc)
+    val (goldenTurns, _) = Transcripts.golden match {
+      case (ts, es) => (ts.filter(_.conv_id != "g23"), es)
+    }
     val batchRes = Pipeline.extract(spark,
-      Transcripts.goldenTurns(spark))
+      spark.createDataset(goldenTurns))
     val batchKeys = batchRes.edges
       .select("conv_id", "turn_idx", "pred", "negated").collect()
       .map(_.toSeq).toSet
