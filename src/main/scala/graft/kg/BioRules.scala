@@ -174,10 +174,13 @@ object BioRules {
 
   val rules: List[Rule] = List(
     // -- p2: generic (anaphoric) entities --------------------------------
+    // plural forms carry cardinality 2 (reference: Anaphoric.cardinality
+    // from determiners/number, Anaphoric.scala:49-127)
     Rule("generic_pronoun", 2, EntityK("Generic_entity"),
-      List(W("it|its"))),
+      List(W("it|its|they|them|both"))),
     Rule("generic_np", 2, EntityK("Generic_entity"),
-      List(W("this|that|the"), W("protein|kinase|enzyme|gene|receptor|molecule"))),
+      List(W("this|that|the|these|those"),
+        W("proteins?|kinases?|enzymes?|genes?|receptors?|molecules?"))),
 
     // -- p5: sites by surface shape (residue codes: Y63, Ser473, T669) ---
     Rule("site_residue", 5, EntityK("Site"),

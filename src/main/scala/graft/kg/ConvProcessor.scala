@@ -123,12 +123,26 @@ object ConvProcessor {
       }
       Option(best).orElse(ctxDefault(tpe))
     }
+    val ctxSpeciesCache = mutable.Map.empty[Int, String]
     def ctxSpecies(turn: Int): String =
-      nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse("")
+      ctxSpeciesCache.getOrElseUpdate(turn,
+        nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse(""))
 
-    // ---- coref sieves: generic mentions -> nearest preceding entity ------
-    // (LinearSelector semantics, AntecedentSelector.scala:14-31)
-    val corefMap = mutable.Map.empty[Long, Long]
+    // ---- coref sieves: generic mentions -> nearest preceding entities ----
+    // (LinearSelector semantics, AntecedentSelector.scala:14-31). Plural
+    // generics ("they", "both", "these proteins") take the nearest
+    // `cardinality` DISTINCT antecedents (reference: Anaphoric.cardinality,
+    // Anaphoric.scala:49-127 + DarpaLinks plural handling:120-257); events
+    // over them expand into one event per antecedent.
+    def cardinality(m: MentionRow): Int = {
+      val t = m.text.toLowerCase
+      val first = t.split(" ").head
+      if (t == "they" || t == "them" || t == "both") 2
+      else if ((first == "these" || first == "those") ||
+               (t.split(" ").length > 1 && t.endsWith("s"))) 2
+      else 1
+    }
+    val corefMap = mutable.Map.empty[Long, Seq[Long]]
     val priorEntities = mutable.ArrayBuffer.empty[MentionRow] // in order
     mentions.foreach { m =>
       if (!m.is_event) {
@@ -138,9 +152,10 @@ object ConvProcessor {
           // an entity three turns back is NOT an antecedent for a pronoun even
           // if nothing was extracted in between)
           val isPronoun = m.end_tok - m.start_tok == 1
+          val want = cardinality(m)
+          val picked = mutable.ArrayBuffer.empty[MentionRow]
           var i = priorEntities.length - 1
-          var found = false
-          while (i >= 0 && !found) {
+          while (i >= 0 && picked.size < want) {
             val c = priorEntities(i)
             val turnDiff = m.turn_idx - c.turn_idx
             val eligible =
@@ -149,37 +164,60 @@ object ConvProcessor {
                   turnDiff == 1
               else turnDiff <= npGap
             if (turnDiff > npGap) i = -1 // sorted: all earlier are farther
-            else if (eligible) {
-              corefMap(m.mention_id) = c.mention_id
-              found = true
-            } else i -= 1
+            else {
+              if (eligible &&
+                  !picked.exists(_.text.equalsIgnoreCase(c.text)))
+                picked += c
+              i -= 1
+            }
           }
+          // a plural needs its full antecedent count (the reference skips the
+          // link otherwise); singles resolve on the first hit
+          if (picked.size == want)
+            corefMap(m.mention_id) = picked.map(_.mention_id).toSeq
         } else if (m.labels.contains("BioChemicalEntity")) {
           priorEntities += m
         }
       }
     }
 
-    // ---- rewrite event args through coref; recompute content ids ---------
-    val idRemap = mutable.Map.empty[Long, Long] ++ corefMap
+    // ---- rewrite event args through coref; recompute content ids.
+    // An arg with k antecedents expands the event into k variants (bounded),
+    // mirroring the reference's coref combination expansion (Coref.scala).
+    val idRemap = mutable.Map.empty[Long, Seq[Long]] ++ corefMap
+    val maxExpand = 8
     var finalEvents = mentions.filter(_.is_event)
-    var pass = 0
+    var pass = if (corefMap.isEmpty) 3 else 0 // nothing resolved -> no rewrite
     while (pass < 3) {
-      finalEvents = finalEvents.map { e =>
-        val newArgs = e.args.map(a =>
-          a.copy(mention_id = idRemap.getOrElse(a.mention_id, a.mention_id)))
-        if (newArgs.sameElements(e.args)) e
+      finalEvents = finalEvents.flatMap { e =>
+        // fast path: nothing to rewrite (the overwhelmingly common case —
+        // this loop runs 3x over every event of the conversation)
+        if (!e.args.exists(a => idRemap.contains(a.mention_id))) Seq(e)
         else {
-          val trigText = e.trigger_text
-          val nid = Matcher.mentionId(e.conv_id, e.turn_idx, e.sent_idx,
-            e.start_tok, e.end_tok, e.labels.head, trigText, newArgs.toSeq,
-            e.negated, e.hypothesis)
-          idRemap(e.mention_id) = nid
-          val ne = e.copy(mention_id = nid, args = newArgs)
-          ne
+          val choices: Seq[Seq[Arg]] = e.args.toSeq.map { a =>
+            idRemap.get(a.mention_id) match {
+              case Some(ids) => ids.map(i => Arg(a.role, i))
+              case None => Seq(a)
+            }
+          }
+          val combos = choices.foldLeft(Seq(Seq.empty[Arg])) { (acc, c) =>
+            acc.flatMap(pre => c.map(pre :+ _))
+          }.take(maxExpand)
+          val variants = combos.map { newArgs =>
+            val nid = Matcher.mentionId(e.conv_id, e.turn_idx, e.sent_idx,
+              e.start_tok, e.end_tok, e.labels.head, e.trigger_text, newArgs,
+              e.negated, e.hypothesis, e.mods.toSeq)
+            e.copy(mention_id = nid, args = newArgs.toArray)
+          }
+          idRemap(e.mention_id) = variants.map(_.mention_id)
+          variants
         }
       }
       pass += 1
+    }
+    if (corefMap.nonEmpty) {
+      finalEvents = finalEvents.groupBy(_.mention_id).map(_._2.head).toSeq
+        .sortBy(m => (m.turn_idx, m.sent_idx, m.start_tok, m.mention_id))
     }
     finalEvents.foreach(e => byId(e.mention_id) = e)
 
@@ -265,10 +303,14 @@ object ConvProcessor {
         java.lang.Long.toHexString(e.mention_id), "", e.mods)), None, None)
     }
 
-    // context gids for triple emission (Arizona CONTEXT_* columns)
+    // context gids for triple emission (Arizona CONTEXT_* columns) — memoized
+    // per (type, turn): nearestCtx scans the conversation's context mentions
+    // and emission asks 4 types per event
+    val ctxGidCache = mutable.Map.empty[(String, Int), String]
     def ctxGid(tpe: String, turn: Int): String =
-      nearestCtx(tpe, turn)
-        .flatMap(m => groundings.get(m.mention_id)).map(gidOf).getOrElse("")
+      ctxGidCache.getOrElseUpdate((tpe, turn),
+        nearestCtx(tpe, turn)
+          .flatMap(m => groundings.get(m.mention_id)).map(gidOf).getOrElse(""))
 
     // ---- triple emission (S9 semantics) ----------------------------------
     kept.filter(_.labels.head != "Alias").foreach { e =>

@@ -26,6 +26,33 @@ object Emit {
       col("found_by")
     )).as("frame"))
 
+  /** Debug text sink (reference: MentionManager.mentionToStrings,
+    * utils/MentionManager.scala:48-115 + ReachCLI text output:172-176): one
+    * sorted human-readable line per linked mention. Takes the stage-B rows
+    * (kind == "linked").
+    */
+  def debugText(stageB: DataFrame): DataFrame =
+    stageB.filter(col("kind") === "linked").select("linked.*")
+      .orderBy(col("conv_id"), col("turn_idx"), col("sent_idx"),
+        col("start_tok"), col("mention_id"))
+      .select(concat(
+        when(col("is_event"), lit("EVENT ")).otherwise(lit("ENTITY ")),
+        col("labels")(0), lit(" '"), col("text"), lit("' @"),
+        col("conv_id"), lit(":"), col("turn_idx"), lit(":"), col("sent_idx"),
+        lit(" ["), col("start_tok"), lit(","), col("end_tok"), lit(") "),
+        when(col("is_event"), concat(lit("trigger='"), col("trigger_text"),
+          lit("' args="), size(col("args"))))
+          .otherwise(concat(col("ns"), lit(":"), col("ns_id"))),
+        when(col("negated"), lit(" NEG")).otherwise(lit("")),
+        when(col("hypothesis"), lit(" HYP")).otherwise(lit("")),
+        when(size(col("mods")) > 0,
+          concat(lit(" mods="), concat_ws(";",
+            transform(col("mods"), m =>
+              concat(m.getField("kind"), lit(":"), m.getField("label"),
+                lit(":"), m.getField("site_text"))))))
+          .otherwise(lit(""))
+      ).as("line"))
+
   /** Arizona-style flat tabular export (reference: export/.../arizona/
     * ArizonaOutputter.scala:14-50 column set; row semantics from
     * assembly/.../export/AssemblyExporter.scala:112-170 and

@@ -96,7 +96,7 @@ object Lexicon {
       "optineurin", "OPTN", "MEK", "MEK1", "ERK", "ERK2", "p53", "TP53", "BRAF",
       "KRAS", "HRAS", "mTOR", "STAT3", "EGFR", "HER2", "SRC", "JNK",
       "GSK3", "PI3K", "PTEN", "MAPK1", "cortactin", "Gab1", "Grb2",
-      "SOS", "SAF-1", "Mad-Max", "cyclin D1", "SMAD2", "SMAD4", "TGFBR2",
+      "SOS", "SAF-1", "Mad-Max", "cyclin D1", "SMAD2", "SMAD4", "TGFBR2", "p38",
       "IGF-1R", "IRS-1", "Shc", "RhoA", "Rac1", "CDC42", "PLC-gamma",
       "paxillin", "talin", "vinculin", "BAD", "BAX", "BCL2", "caspase-3",
       "NF-kappaB", "IkB", "IKK", "TRAF2", "TRAF6", "RIP1", "FADD",
@@ -163,7 +163,18 @@ object Lexicon {
     def cl(t: String, id: String, label: String, ns: String) =
       KBEntry(t, id, "", ns, 0, label, false, false)
 
-    Seq(
+    // Override KB (reference: adHoc/override NER-grounding KBs consulted
+    // BEFORE the standard per-label sequence — application.conf:72-76,
+    // TestOverrides semantics): kb_rank = -1 entries win over every standard
+    // KB through the same deterministic first-hit ordering — no special
+    // casing in the lookup path.
+    val overrides = Seq(
+      KBEntry("p38", "Q16539", "human", "uniprot", -1,
+        "Gene_or_gene_product", true, false))
+
+    overrides ++ Seq(
+      // without the override, "p38" would fall through to the family KB
+      fam("p38", "PF00069", "Gene_or_gene_product"),
       up("AKT1", "P31749"), up("AKT1", "P31750", "mouse"),
       up("AKT", "P31749"), up("AKT2", "P31751"),
       up("JAK3", "P52333"), up("JAK1", "P23458"),

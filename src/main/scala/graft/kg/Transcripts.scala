@@ -201,6 +201,18 @@ object Transcripts {
     conv("g27")("user" -> "Phosphorylated ERK2 binds STAT3.")(
       tri("g27", 0, "", "Binding", Seq(ERK2, STAT3).sorted.mkString("&")))
 
+    // plural coref with cardinality 2 (Anaphoric.cardinality semantics):
+    // "Both" resolves to the two nearest distinct antecedents and the event
+    // expands into one per antecedent
+    conv("g28")(
+      "user" -> "AKT1 binds GSK3.",
+      "assistant" -> "Both are phosphorylated by MEK1.")(
+      tri("g28", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")),
+      tri("g28", 1, "", "Phosphorylation", AKT1),
+      tri("g28", 1, "", "Phosphorylation", GSK3),
+      tri("g28", 1, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"),
+      tri("g28", 1, MEK1, "Positive_regulation", s"Phosphorylation($GSK3)"))
+
     (turns.toSeq, triples.toSeq)
   }
 

@@ -60,6 +60,23 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(none.exists(_.obj_gid == "uniprot:P28482"))
   }
 
+  test("plural coref: 'Both' expands the event over two antecedents") {
+    val ts = triples(run(
+      "AKT1 binds GSK3.",
+      "Both are phosphorylated by MEK1."))
+    val phos = ts.filter(_.pred == "Phosphorylation").map(_.obj_gid).toSet
+    assert(phos == Set("uniprot:P31749", "uniprot:P49840"))
+    val regs = ts.filter(_.pred == "Positive_regulation")
+    assert(regs.size == 2 && regs.forall(_.subj_gid == "uniprot:Q02750"))
+  }
+
+  test("plural coref with only one antecedent stays unresolved") {
+    val ts = triples(run(
+      "AKT1 is expressed in HeLa cells.",
+      "Both are phosphorylated by MEK1."))
+    assert(!ts.exists(_.pred == "Phosphorylation"))
+  }
+
   test("alias rule emits an equivalence edge between groundings") {
     val rows = run("Optineurin (also known as OPTN) is involved in autophagy.")
     val aliases = rows.filter(_.kind == "alias").flatMap(_.alias)

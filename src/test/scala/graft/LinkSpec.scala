@@ -49,6 +49,12 @@ class LinkSpec extends AnyFunSuite {
     assert(g.id == "P31749")
   }
 
+  test("override KB (kb_rank -1) beats every standard KB (TestOverrides)") {
+    val g = kb.resolve("p38", "Gene_or_gene_product", "")
+    assert(g.namespace == "uniprot" && g.id == "Q16539",
+      s"override must win over the rank-0 family entry; got $g")
+  }
+
   test("failsafe grounding is deterministic and content-derived") {
     val f1 = kb.resolve("XYZ123", "Gene_or_gene_product", "")
     val f2 = kb.resolve("xyz123 ", "Gene_or_gene_product", "")

@@ -62,4 +62,19 @@ class SourcesSpec extends AnyFunSuite {
     val a2 = Emit.arizonaTsv(edges).collect().map(_.toSeq).toSet
     assert(a1 == a2)
   }
+
+  test("debug text sink renders one sorted line per linked mention") {
+    import spark.implicits._
+    val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+    spark.sparkContext.register(acc)
+    val turns = Transcripts.goldenTurns(spark)
+    val b = Pipeline.stageB(spark,
+      Pipeline.stageMentions(spark, turns, "t", acc), "t", acc)
+    val lines = Emit.debugText(b.toDF()).as[String].collect()
+    assert(lines.nonEmpty)
+    assert(lines.exists(_.startsWith("EVENT ")))
+    assert(lines.exists(l => l.startsWith("ENTITY ") && l.contains("uniprot:")))
+    assert(lines.exists(_.contains("mods=")), "mods must render in debug lines")
+    assert(Emit.debugText(b.toDF()).as[String].collect().toSeq == lines.toSeq)
+  }
 }
