@@ -99,6 +99,18 @@ object SparkEntry {
     9L -> "unrelated sentence regarding benchmark throughput and scaling efficiency",
     10L -> "the quick brown fox jumps over the lazy dog near the river bank")
 
+  /** Causal-precedence fixture: cue-opened follow-up turns; expected
+    * precedence rows hand-traced in the oracle.
+    */
+  private val precFixture: Seq[(String, Int, String)] = Seq(
+    ("p01", 0, "MEK1 phosphorylates ERK2."),
+    ("p01", 1, "As a result, ERK2 activates STAT3."),
+    ("p02", 0, "Rapamycin inhibits mTOR."),
+    ("p02", 1, "JAK3 phosphorylates HuR."),
+    ("p03", 0, "AKT1 binds GSK3."),
+    ("p03", 1, "The samples were prepared as described previously."),
+    ("p03", 2, "Therefore, AKT1 phosphorylates BAD."))
+
   /** (turn_idx, mention_text, kind, label, site) — hand-traced. */
   private val modsExpected: Seq[(Int, String, String, String, String)] = Seq(
     (0, "ERK2", "PTM", "Phosphorylation", ""),
@@ -270,6 +282,15 @@ object SparkEntry {
     },
     "kg_emit_arizona" -> { (s, dir) =>
       Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
+    },
+    "kg_precedence" -> { (s, dir) =>
+      // causal-precedence sieve (assembly Sieves discourse subset) over the
+      // pipeline's edges on a cue fixture
+      import s.implicits._
+      val turns = s.createDataset(precFixture.map { case (c, i, text) =>
+        Transcripts.mkTurn(c, i, if (i % 2 == 0) "user" else "assistant", text)
+      })
+      Precedence.precedence(Pipeline.extract(s, turns).edges)
     },
     "kg_mods" -> { (s, dir) =>
       // modifications subsystem: PTM / Mutant / EventSite attachment +
@@ -543,6 +564,19 @@ object SparkEntry {
     "kg_canonical_nodes" -> GeneratedOracles.canonicalNodes,
     "kg_emit_fries" -> GeneratedOracles.fries,
     "dedup_simhash" -> GeneratedOracles.simhash,
+    "kg_precedence" ->
+      """SELECT * FROM (VALUES
+        |  ('p01', 'Phosphorylation', 'uniprot:P28482', 0,
+        |   'Positive_activation', 'uniprot:P40763', 1,
+        |   'inter-sentential-cue:as a result'),
+        |  ('p01', 'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
+        |   'Positive_activation', 'uniprot:P40763', 1,
+        |   'inter-sentential-cue:as a result'),
+        |  ('p03', 'Binding', 'uniprot:P31749&uniprot:P49840', 0,
+        |   'Positive_regulation', 'Phosphorylation(uniprot:Q92934)', 2,
+        |   'inter-sentential-cue:therefore')
+        |) AS t(conv_id, before_pred, before_obj, before_turn,
+        |       after_pred, after_obj, after_turn, sieve)""".stripMargin,
     "kg_mods" -> {
       val rows = modsExpected.map { case (turn, text, kind, label, site) =>
         s"($turn, ${sqlQuote(text)}, ${sqlQuote(kind)}, ${sqlQuote(label)}, ${sqlQuote(site)})"

@@ -375,7 +375,25 @@ object BioRules {
       mentionId(conv, turn, sentIdx, s, e, label, trigText, argRefs, neg, hyp),
       conv, turn, sentIdx, s, e, Lexicon.labelClosure(label),
       words.slice(s, e).mkString(" "), foundBy, true, trigText,
-      argRefs.toArray, neg, hyp, trig._1, trig._2)
+      argRefs.toArray, neg, hyp, trig._1, trig._2, Array.empty,
+      sentenceCue(words))
+  }
+
+  /** Sentence-initial consequence cue for the causal-precedence sieve
+    * (reference: assembly sieves' inter-sentential discourse markers,
+    * Sieves.scala:58-336).
+    */
+  def sentenceCue(words: Array[String]): String = {
+    if (words.isEmpty) return ""
+    val w0 = words(0).toLowerCase
+    if (Set("therefore", "consequently", "subsequently", "thus",
+        "hence").contains(w0)) w0
+    else if (w0 == "as" && words.length >= 3 &&
+             words(1).toLowerCase == "a" &&
+             (words(2).toLowerCase == "result" ||
+              words(2).toLowerCase == "consequence"))
+      "as a " + words(2).toLowerCase
+    else ""
   }
 
   /** Assemble mentions from one rule match. Returns the new mentions

@@ -28,7 +28,9 @@ final case class PreTriple(
     ctx_species: String = "",
     ctx_organ: String = "",
     ctx_cell_line: String = "",
-    ctx_cell_type: String = ""
+    ctx_cell_type: String = "",
+    // sentence-initial consequence cue (causal-precedence sieve input)
+    cue: String = ""
 )
 
 final case class AliasEdge(a: String, b: String, conv_id: String)
@@ -324,7 +326,8 @@ object ConvProcessor {
           e.hypothesis, convId, e.turn_idx, e.text, e.found_by,
           e.trigger_text,
           ctxGid("Species", e.turn_idx), ctxGid("Organ", e.turn_idx),
-          ctxGid("CellLine", e.turn_idx), ctxGid("CellType", e.turn_idx))
+          ctxGid("CellLine", e.turn_idx), ctxGid("CellType", e.turn_idx),
+          e.cue)
       val tri: Option[PreTriple] =
         if (e.labels.contains("Regulation")) {
           val ctl = e.args.find(_.role == "controller")

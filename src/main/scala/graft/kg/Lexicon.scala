@@ -73,16 +73,22 @@ object Lexicon {
     "Event" -> "PossibleController"
   )
 
-  /** Full hypernym closure for a head label, head first. */
-  def labelClosure(head: String): Array[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer(head)
-    var cur = head
-    while (taxonomyParents.contains(cur)) {
-      cur = taxonomyParents(cur)
-      buf += cur
-    }
-    buf.toArray
-  }
+  /** Full hypernym closure for a head label, head first. Memoized — the
+    * closure is requested per mention in the extraction and fold hot paths;
+    * the shared arrays are treated as immutable everywhere.
+    */
+  private val closureCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[String]]
+  def labelClosure(head: String): Array[String] =
+    closureCache.getOrElseUpdate(head, {
+      val buf = scala.collection.mutable.ArrayBuffer(head)
+      var cur = head
+      while (taxonomyParents.contains(cur)) {
+        cur = taxonomyParents(cur)
+        buf += cur
+      }
+      buf.toArray
+    })
 
   private def g(names: String*): Seq[(String, String)] =
     names.map(_ -> "Gene_or_gene_product")

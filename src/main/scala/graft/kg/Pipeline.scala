@@ -126,10 +126,19 @@ object Pipeline {
              runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
     import spark.implicits._
     val (_, bKb) = Broadcasts.get(spark.sparkContext)
-    val grouped = mentions
+    // the label closure is a pure function of the head label
+    // (Lexicon.labelClosure) — shipping 5-7 closure strings per mention
+    // through the conv_id exchange made the fold stage shuffle-bandwidth
+    // bound (measured 1.44x per-task inflation 2->8 cores); send only the
+    // head and rebuild on the reduce side
+    val compact = mentions.map(m => m.copy(labels = Array(m.labels.head)))
+    val grouped = compact
       .groupByKey(m => (m.conv_id, m.turn_idx / chunkTurns))
       .flatMapGroups { (key, it) =>
-        val ms = it.map { m => InCount.inc(); m }.toSeq
+        val ms = it.map { m =>
+          InCount.inc()
+          m.copy(labels = Lexicon.labelClosure(m.labels.head))
+        }.toSeq
         ConvProcessor.process(key._1, ms, bKb.value).iterator
       }
     instrument(grouped, "link_coref_emit", runId, acc)
@@ -166,7 +175,7 @@ object Pipeline {
         col("negated"), col("hypothesis"), col("conv_id"), col("turn_idx"),
         col("evidence_text"), col("found_by"), col("trigger_text"),
         col("ctx_species"), col("ctx_organ"), col("ctx_cell_line"),
-        col("ctx_cell_type"))
+        col("ctx_cell_type"), col("cue"))
       .withColumn("edge_id", xxhash64(col("subj"), col("pred"), col("obj"),
         col("site"), col("negated"), col("hypothesis"), col("conv_id"),
         col("turn_idx")))

@@ -98,7 +98,11 @@ final case class MentionRow(
     trig_start: Int = -1,
     trig_end: Int = -1,
     // attached modifications (PTM / Mutant / EventSite)
-    mods: Array[Mod] = Array.empty
+    mods: Array[Mod] = Array.empty,
+    // sentence-initial consequence cue ("as a result", "therefore", ...) —
+    // feeds the causal-precedence sieve (reference: assembly
+    // sieves/Sieves.scala:58-336, inter-sentential discourse subset)
+    cue: String = ""
 )
 
 /** A grounding-KB entry (reference: grounding/InMemoryKB.scala:214-265 and the

@@ -147,6 +147,25 @@ class ModsSpec extends AnyFunSuite {
       .contains("OLK1")), "node must carry the rescanned surface form")
   }
 
+  test("causal-precedence sieve links cue-opened events to shared-participant " +
+       "predecessors") {
+    import spark.implicits._
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("pr", 0, "user", "MEK1 phosphorylates ERK2."),
+      Transcripts.mkTurn("pr", 1, "assistant",
+        "As a result, ERK2 activates STAT3."),
+      Transcripts.mkTurn("pr", 2, "user", "JAK3 phosphorylates HuR.")))
+    val prec = Precedence.precedence(Pipeline.extract(spark, turns).edges)
+      .collect()
+    assert(prec.nonEmpty)
+    assert(prec.forall(r => r.getAs[Int]("before_turn") <
+      r.getAs[Int]("after_turn")))
+    // turn-2 event has no cue -> never an "after"
+    assert(prec.forall(_.getAs[Int]("after_turn") == 1))
+    assert(prec.exists(r => r.getAs[String]("before_pred") == "Phosphorylation"
+      && r.getAs[String]("after_pred") == "Positive_activation"))
+  }
+
   test("context columns: window assignment and conversation-default fill") {
     import spark.implicits._
     val turns = spark.createDataset(Seq(
