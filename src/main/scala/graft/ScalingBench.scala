@@ -72,6 +72,34 @@ object ScalingBench {
       }.mkString(",")
       println(f"""{"cpus":$cpus,"turns":$n,"edges":$edges,"mentions_sec":$mSec%.1f,"fold_sec":$bSec%.1f,"canon_sec":$cSec%.1f,"mat_sec":$eSec%.1f,"sec":$fullSec%.1f,"turns_per_sec":$thr%.1f,"gc_sec":$gcSec%.1f,"stages":{$stageStats}}""")
       s.stop()
+    case "ckpt" :: dir :: cpus :: reps :: Nil =>
+      // the production spark-submit path: checkpointed Pipeline.run with
+      // parquet stage tables (tmpfs). The in-memory extract() path pays the
+      // columnar cache serializer for stage_b (jstack-confirmed hot frame);
+      // the checkpoint path is both the real 100TB shape and cheaper.
+      val s = session(cpus.toInt)
+      import s.implicits._
+      def rmDir(p: String): Unit = {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rec)
+          f.delete()
+        }
+        val f = new java.io.File(p); if (f.exists()) rec(f)
+      }
+      val turns = s.read.parquet(s"$dir/turns").as[graft.model.Turn]
+      val n = turns.count()
+      (1 to reps.toInt).foreach { i =>
+        s.sharedState.cacheManager.clearCache()
+        val wd = s"/dev/shm/graft-ckpt-$i"
+        rmDir(wd)
+        val t0 = System.nanoTime()
+        val r = Pipeline.run(s, turns, wd, resume = false)
+        val e = r.edges.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"rep":$i,"cpus":$cpus,"turns":$n,"edges":$e,"sec":$sec%.1f,"turns_per_sec":${n / sec}%.1f}""")
+        rmDir(wd)
+      }
+      s.stop()
     case "fused" :: dir :: cpus :: reps :: Nil =>
       // diagnosis mode: repeat the fused in-memory extract to expose variance
       val s = session(cpus.toInt)

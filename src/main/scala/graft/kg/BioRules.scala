@@ -314,7 +314,7 @@ object BioRules {
         out += MentionRow(
           mentionId(conv, turn, sent.sent_idx, i, j, label, "", Nil, false, false),
           conv, turn, sent.sent_idx, i, j, labels, text, "ner", false, "",
-          Array.empty, false, false)
+          Arg.none, false, false)
         i = j
       } else i += 1
     }
@@ -375,7 +375,7 @@ object BioRules {
       mentionId(conv, turn, sentIdx, s, e, label, trigText, argRefs, neg, hyp),
       conv, turn, sentIdx, s, e, Lexicon.labelClosure(label),
       words.slice(s, e).mkString(" "), foundBy, true, trigText,
-      argRefs.toArray, neg, hyp, trig._1, trig._2, Array.empty,
+      argRefs.toArray, neg, hyp, trig._1, trig._2, Mod.none,
       sentenceCue(words))
   }
 
@@ -383,11 +383,13 @@ object BioRules {
     * (reference: assembly sieves' inter-sentential discourse markers,
     * Sieves.scala:58-336).
     */
+  private val cueWords =
+    Set("therefore", "consequently", "subsequently", "thus", "hence")
+
   def sentenceCue(words: Array[String]): String = {
     if (words.isEmpty) return ""
     val w0 = words(0).toLowerCase
-    if (Set("therefore", "consequently", "subsequently", "thus",
-        "hence").contains(w0)) w0
+    if (cueWords.contains(w0)) w0
     else if (w0 == "as" && words.length >= 3 &&
              words(1).toLowerCase == "a" &&
              (words(2).toLowerCase == "result" ||
@@ -415,7 +417,7 @@ object BioRules {
           mentionId(conv, turn, sent.sent_idx, startPos, endPos, label, "", Nil, false, false),
           conv, turn, sent.sent_idx, startPos, endPos,
           Lexicon.labelClosure(label), text, rule.name, false, "",
-          Array.empty, false, false))
+          Arg.none, false, false))
 
       case AliasK =>
         (b.caps.get("a"), b.caps.get("b")) match {
@@ -440,7 +442,7 @@ object BioRules {
                 false, false),
               conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
               words.slice(s, e).mkString(" "), "alias_unknown_b", false, "",
-              Array.empty, false, false)
+              Arg.none, false, false)
             Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
               Seq("a" -> a, "b" -> bm), rule.name, false))
           case _ => Nil
@@ -657,6 +659,31 @@ object BioRules {
               innerCld <- cldM.args.find(_.role == "controlled")
             } yield innerCld.mention_id
             inner == rCld
+          }
+        }
+      }
+    }
+    // filterByController (MentionFilter.scala:129-151): within a
+    // same-controlled group, a regulation whose controller is a participant
+    // of another regulation's complex controller (here: a Binding event — the
+    // reference's Complex entities arise from bindings) is the less complete
+    // reading and drops
+    res = res.filterNot { r =>
+      r.labels.contains("Regulation") && {
+        val rCld = r.args.find(_.role == "controlled").map(_.mention_id)
+        r.args.find(_.role == "controller").exists { c =>
+          res.exists { m =>
+            m.mention_id != r.mention_id &&
+            m.labels.contains("Regulation") &&
+            m.args.find(_.role == "controlled").map(_.mention_id) == rCld &&
+            m.args.find(_.role == "controller").exists { mc =>
+              byIdPre.get(mc.mention_id).exists { mcm =>
+                (mcm.labels.contains("Complex") ||
+                  mcm.labels.head == "Binding") &&
+                mcm.args.exists(a => a.role == "theme" &&
+                  a.mention_id == c.mention_id)
+              }
+            }
           }
         }
       }
@@ -891,7 +918,7 @@ object BioRules {
                 false, false),
               conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
               words.slice(s, e).mkString(" "), "alias_rescan", false, "",
-              Array.empty, false, false))
+              Arg.none, false, false))
           }
           i = e
         } else i += 1

@@ -105,11 +105,18 @@ object ConvProcessor {
     // defaults). Per type: nearest preceding context mention within
     // `contextBound` turns wins; a turn with none falls back to the
     // conversation default (most frequent, ties broken lexicographically).
+    // fast path: most conversations carry no context mentions at all — skip
+    // every per-type structure then (this fold runs once per conversation;
+    // per-conv constant allocations showed up as a 3x stage regression)
     val ctxTypes = Seq("Species", "CellLine", "CellType", "Organ")
-    val ctxByType: Map[String, Seq[MentionRow]] = ctxTypes.map { tpe =>
+    val hasCtx = mentions.exists(m => !m.is_event && {
+      val h = m.labels.head
+      h == "Species" || h == "CellLine" || h == "CellType" || h == "Organ"
+    })
+    lazy val ctxByType: Map[String, Seq[MentionRow]] = ctxTypes.map { tpe =>
       tpe -> mentions.filter(m => !m.is_event && m.labels.head == tpe)
     }.toMap
-    val ctxDefault: Map[String, Option[MentionRow]] = ctxTypes.map { tpe =>
+    lazy val ctxDefault: Map[String, Option[MentionRow]] = ctxTypes.map { tpe =>
       val grouped = ctxByType(tpe).groupBy(_.text.toLowerCase)
       tpe -> (if (grouped.isEmpty) None
               else {
@@ -118,6 +125,7 @@ object ConvProcessor {
               })
     }.toMap
     def nearestCtx(tpe: String, turn: Int): Option[MentionRow] = {
+      if (!hasCtx) return None
       var best: MentionRow = null
       ctxByType(tpe).foreach { m =>
         if (m.turn_idx <= turn && turn - m.turn_idx <= contextBound &&
@@ -127,7 +135,8 @@ object ConvProcessor {
     }
     val ctxSpeciesCache = mutable.Map.empty[Int, String]
     def ctxSpecies(turn: Int): String =
-      ctxSpeciesCache.getOrElseUpdate(turn,
+      if (!hasCtx) ""
+      else ctxSpeciesCache.getOrElseUpdate(turn,
         nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse(""))
 
     // ---- coref sieves: generic mentions -> nearest preceding entities ----
@@ -138,10 +147,9 @@ object ConvProcessor {
     // over them expand into one event per antecedent.
     def cardinality(m: MentionRow): Int = {
       val t = m.text.toLowerCase
-      val first = t.split(" ").head
       if (t == "they" || t == "them" || t == "both") 2
-      else if ((first == "these" || first == "those") ||
-               (t.split(" ").length > 1 && t.endsWith("s"))) 2
+      else if (t.startsWith("these ") || t.startsWith("those ") ||
+               (t.indexOf(' ') >= 0 && t.endsWith("s"))) 2
       else 1
     }
     val corefMap = mutable.Map.empty[Long, Seq[Long]]
@@ -290,18 +298,21 @@ object ConvProcessor {
     entityById.values.toSeq.sortBy(_.mention_id).foreach { m =>
       if (m.labels.head != "Generic_entity") {
         val g = groundings.getOrElse(m.mention_id, Grounding("", "", ""))
+        // head label only: the closure is a pure function of the head
+        // (Lexicon.labelClosure) and the extra strings dominate the stage-b
+        // checkpoint/cache volume
         out += StageBRow("linked", Some(LinkedMention(
           m.mention_id, m.conv_id, m.turn_idx, m.sent_idx, m.start_tok,
-          m.end_tok, m.labels, m.text, m.found_by, false, "", m.args,
-          m.negated, m.hypothesis, g.namespace, g.id, g.species, m.mods)),
-          None, None)
+          m.end_tok, Array(m.labels.head), m.text, m.found_by, false, "",
+          m.args, m.negated, m.hypothesis, g.namespace, g.id, g.species,
+          m.mods)), None, None)
       }
     }
     kept.filter(_.labels.head != "Alias").foreach { e =>
       out += StageBRow("linked", Some(LinkedMention(
         e.mention_id, e.conv_id, e.turn_idx, e.sent_idx, e.start_tok,
-        e.end_tok, e.labels, e.text, e.found_by, true, e.trigger_text,
-        e.args, e.negated, e.hypothesis, "evt",
+        e.end_tok, Array(e.labels.head), e.text, e.found_by, true,
+        e.trigger_text, e.args, e.negated, e.hypothesis, "evt",
         java.lang.Long.toHexString(e.mention_id), "", e.mods)), None, None)
     }
 
@@ -310,7 +321,8 @@ object ConvProcessor {
     // and emission asks 4 types per event
     val ctxGidCache = mutable.Map.empty[(String, Int), String]
     def ctxGid(tpe: String, turn: Int): String =
-      ctxGidCache.getOrElseUpdate((tpe, turn),
+      if (!hasCtx) ""
+      else ctxGidCache.getOrElseUpdate((tpe, turn),
         nearestCtx(tpe, turn)
           .flatMap(m => groundings.get(m.mention_id)).map(gidOf).getOrElse(""))
 

@@ -73,22 +73,27 @@ object Lexicon {
     "Event" -> "PossibleController"
   )
 
-  /** Full hypernym closure for a head label, head first. Memoized — the
-    * closure is requested per mention in the extraction and fold hot paths;
-    * the shared arrays are treated as immutable everywhere.
+  private def computeClosure(head: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer(head)
+    var cur = head
+    while (taxonomyParents.contains(cur)) {
+      cur = taxonomyParents(cur)
+      buf += cur
+    }
+    buf.toArray
+  }
+
+  /** Full hypernym closure for a head label, head first. The taxonomy is
+    * finite, so every closure is precomputed into an immutable map at class
+    * init — zero allocation and zero cross-thread contention on the
+    * extraction/fold hot paths; the shared arrays are treated as immutable
+    * everywhere.
     */
-  private val closureCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[String]]
+  private val closures: Map[String, Array[String]] =
+    (taxonomyParents.keySet ++ taxonomyParents.values)
+      .map(l => l -> computeClosure(l)).toMap
   def labelClosure(head: String): Array[String] =
-    closureCache.getOrElseUpdate(head, {
-      val buf = scala.collection.mutable.ArrayBuffer(head)
-      var cur = head
-      while (taxonomyParents.contains(cur)) {
-        cur = taxonomyParents(cur)
-        buf += cur
-      }
-      buf.toArray
-    })
+    closures.getOrElse(head, computeClosure(head))
 
   private def g(names: String*): Seq[(String, String)] =
     names.map(_ -> "Gene_or_gene_product")

@@ -49,6 +49,12 @@ final case class AnnotatedTurn(
   */
 final case class Arg(role: String, mention_id: Long)
 
+object Arg {
+  /** Shared empty-args instance — `Array.empty` as a default/argument
+    * allocates per call, and mention construction is the hot path. */
+  val none: Array[Arg] = Array.empty
+}
+
 /** Attached modification (reference: mentions/Modifications.scala:23-57 —
   * PTM / Mutant / EventSite variants; Negation/Hypothesis are modeled as the
   * `negated`/`hypothesis` flags instead). The reference mutates a per-mention
@@ -66,6 +72,10 @@ final case class Mod(
     site_text: String, // mutation code ("T669A") or site text ("Ser473")
     site_id: Long
 )
+
+object Mod {
+  val none: Array[Mod] = Array.empty
+}
 
 /** Flattened mention row — text-bound entities AND events share this shape.
   * `mention_id` is a deterministic content hash (reference uses object identity +
@@ -98,7 +108,7 @@ final case class MentionRow(
     trig_start: Int = -1,
     trig_end: Int = -1,
     // attached modifications (PTM / Mutant / EventSite)
-    mods: Array[Mod] = Array.empty,
+    mods: Array[Mod] = Mod.none,
     // sentence-initial consequence cue ("as a result", "therefore", ...) —
     // feeds the causal-precedence sieve (reference: assembly
     // sieves/Sieves.scala:58-336, inter-sentential discourse subset)
@@ -143,7 +153,7 @@ final case class LinkedMention(
     ns: String,
     ns_id: String,
     species: String,
-    mods: Array[Mod] = Array.empty
+    mods: Array[Mod] = Mod.none
 )
 
 /** Emitted triple — the Arizona-tabular analogue (reference:

@@ -125,6 +125,22 @@ class ModsSpec extends AnyFunSuite {
       "direct regulation is redundant given the higher-order one")
   }
 
+  test("complex (Binding) controller preferred over its participant " +
+       "(filterByController)") {
+    val a = ent(1, 0, 1); val b = ent(2, 2, 3); val c = ent(3, 4, 5)
+    val bind = ev(90, "Binding", 1, 2, "theme" -> 1, "theme" -> 2)
+    val inner = ev(100, "Phosphorylation", 5, 6, "theme" -> 3)
+    val viaComplex = ev(200, "Positive_regulation", 7, 8,
+      "controller" -> 90, "controlled" -> 100)
+    val viaMember = ev(201, "Positive_regulation", 9, 10,
+      "controller" -> 1, "controlled" -> 100)
+    val out = BioRules.mostComplete(Seq(a, b, c, bind, inner, viaComplex,
+      viaMember))
+    assert(out.exists(_.mention_id == 200))
+    assert(!out.exists(_.mention_id == 201),
+      "participant-controller regulation is redundant given the complex one")
+  }
+
   // ---- pipeline-level: alias rescan + context columns -------------------
 
   lazy val spark = TestSpark.spark
