@@ -58,6 +58,21 @@ object Bench {
       }
     }
 
+    // production-path LSH variants timed directly: the CONTRACT queries run
+    // the exactness tiers (r=1 banding / recall-vs-brute gates incl. a brute
+    // pass); the production banding below is the 100 TB path
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val prod = Seq(
+      "dedup_minhash_lsh_prod" -> (() =>
+        graft.ops.Dedup.minhashLsh(docs, 0.35).count(): Unit),
+      "dedup_embedding_lsh_prod" -> (() =>
+        graft.ops.Dedup.embeddingPairsLsh(emb, 0.7, tables = 32, bits = 8)
+          .count(): Unit),
+      "dedup_simhash_corpus" -> (() =>
+        graft.ops.Dedup.simhashPairs(docs, 10).count(): Unit)
+    ).map { case (name, f) => name -> time(f()) }
+
     // KG pipeline throughput: generated corpus incl. skewed mega-conversation
     val (turns, _) = Transcripts.corpus(spark, 2000, seed = 42, megaTurns = 10000)
     val turnsC = turns.cache()
@@ -66,7 +81,7 @@ object Bench {
     val kgSec = time { nEdges = Pipeline.extract(spark, turnsC).edges.count() }
     val kgRate = nTurns / kgSec
 
-    val all = results :+ ("kg_pipeline" -> kgSec)
+    val all = results ++ prod :+ ("kg_pipeline" -> kgSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
