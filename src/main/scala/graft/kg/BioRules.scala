@@ -124,6 +124,10 @@ object BioRules {
   sealed trait Kind
   case class EntityK(label: String) extends Kind
   case object SimpleModK extends Kind // label from trigger
+  // auto-modification: theme == controller ("EGFR autophosphorylates",
+  // "EGFR phosphorylates itself" — reference: TestTemplaticAutoEvents,
+  // events_master auto rules)
+  case object AutoModK extends Kind
   case class FixedEventK(label: String, themeRole: String = "theme") extends Kind
   case object BindingK extends Kind
   case object RegulationK extends Kind // controlled is an Event
@@ -206,6 +210,14 @@ object BioRules {
     // pre-modifier nominal: "AKT phosphorylation" (theme before nominal trigger)
     Rule("mod_prenominal", 7, SimpleModK,
       List(M("theme", ENT), T(modNom))),
+    // auto-modifications: label Auto<Base>, controller == theme
+    Rule("auto_verb", 7, AutoModK,
+      List(M("theme", ENT), filler, adv, T(s"auto-?($stemsAlt)(e|es|ed|ing)"),
+        sitePrep)),
+    Rule("auto_reflexive", 7, AutoModK,
+      List(M("theme", ENT), filler, adv, T(modVerb), W("itself"), sitePrep)),
+    Rule("auto_nominal", 7, AutoModK,
+      List(T(s"auto-?($stemsAlt)ions?"), W("of"), ML("theme", ENT))),
     // relative clause: "ERK2, which is phosphorylated by MEK1" — clause-aware
     // surrogate for the reference's *_syntax_* dependency rules (F8)
     Rule("mod_relcl", 7, SimpleModK,
@@ -412,12 +424,44 @@ object BioRules {
 
     rule.kind match {
       case EntityK(label) =>
-        val text = words.slice(startPos, endPos).mkString(" ")
-        Seq(MentionRow(
-          mentionId(conv, turn, sent.sent_idx, startPos, endPos, label, "", Nil, false, false),
-          conv, turn, sent.sent_idx, startPos, endPos,
-          Lexicon.labelClosure(label), text, rule.name, false, "",
-          Arg.none, false, false))
+        // NER-overlap anti-join (P3 — mkNERMentions semantics,
+        // DarpaActions.scala:45-52): a rule entity overlapping an existing
+        // mention is a fragment of it ("D1" inside "cyclin D1"), not a new
+        // entity
+        if (state.all.exists(m =>
+            !(m.end_tok <= startPos || m.start_tok >= endPos))) Nil
+        else {
+          val text = words.slice(startPos, endPos).mkString(" ")
+          Seq(MentionRow(
+            mentionId(conv, turn, sent.sent_idx, startPos, endPos, label, "", Nil, false, false),
+            conv, turn, sent.sent_idx, startPos, endPos,
+            Lexicon.labelClosure(label), text, rule.name, false, "",
+            Arg.none, false, false))
+        }
+
+      case AutoModK =>
+        // auto-modification: theme is also the controller
+        // (TestTemplaticAutoEvents; label Auto<Base>)
+        val label = "Auto" + modLabel(
+          trigWord.toLowerCase.replaceFirst("^auto-?", ""))
+        val themes = b.caps.getOrElse("theme", Nil)
+        val sites = b.caps.getOrElse("site", Nil)
+        val siteOpts: Seq[Option[MentionRow]] =
+          if (sites.isEmpty) Seq(None) else sites.map(Some(_))
+        for {
+          theme <- themes
+          siteOpt <- siteOpts
+          m <- {
+            val ev = mkEvent(conv, turn, sent.sent_idx, words, label,
+              b.trigger, Seq("theme" -> theme) ++ siteOpt.map("site" -> _),
+              rule.name, hyp)
+            val reg = mkEvent(conv, turn, sent.sent_idx, words,
+              "Positive_regulation", b.trigger,
+              Seq("controller" -> theme, "controlled" -> ev),
+              rule.name + "_split", hyp)
+            Seq(ev, reg)
+          }
+        } yield m
 
       case AliasK =>
         (b.caps.get("a"), b.caps.get("b")) match {

@@ -35,6 +35,18 @@ object Lexicon {
     "Cellular_component" -> "Context",
     "Context" -> "Entity",
     // events
+    // auto-modifications ("EGFR autophosphorylates") specialize their base
+    // modification (reference: taxonomy.yml Auto* entries;
+    // TestTemplaticAutoEvents semantics)
+    "AutoPhosphorylation" -> "Phosphorylation",
+    "AutoUbiquitination" -> "Ubiquitination",
+    "AutoHydroxylation" -> "Hydroxylation",
+    "AutoSumoylation" -> "Sumoylation",
+    "AutoGlycosylation" -> "Glycosylation",
+    "AutoAcetylation" -> "Acetylation",
+    "AutoFarnesylation" -> "Farnesylation",
+    "AutoRibosylation" -> "Ribosylation",
+    "AutoMethylation" -> "Methylation",
     "Phosphorylation" -> "AddModification",
     "Dephosphorylation" -> "RemoveModification",
     "Ubiquitination" -> "AddModification",

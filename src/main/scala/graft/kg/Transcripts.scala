@@ -213,6 +213,25 @@ object Transcripts {
       tri("g28", 1, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"),
       tri("g28", 1, MEK1, "Positive_regulation", s"Phosphorylation($GSK3)"))
 
+    // de-event coordination (TestTemplaticSimpleDeEvents:20-27 mirror)
+    conv("g29")("user" ->
+      "JAK3 dephosphorylates three HuR residues (Y63, Y68, Y200).")(
+      tri("g29", 0, "", "Dephosphorylation", HuR, "Y63"),
+      tri("g29", 0, "", "Dephosphorylation", HuR, "Y68"),
+      tri("g29", 0, "", "Dephosphorylation", HuR, "Y200"),
+      tri("g29", 0, JAK3, "Positive_regulation", s"Dephosphorylation($HuR@Y63)", "Y63"),
+      tri("g29", 0, JAK3, "Positive_regulation", s"Dephosphorylation($HuR@Y68)", "Y68"),
+      tri("g29", 0, JAK3, "Positive_regulation", s"Dephosphorylation($HuR@Y200)", "Y200"))
+
+    // auto-events: theme doubles as controller (TestTemplaticAutoEvents)
+    val EGFR = gidOf("EGFR")
+    conv("g30")("user" -> "EGFR autophosphorylates.")(
+      tri("g30", 0, "", "AutoPhosphorylation", EGFR),
+      tri("g30", 0, EGFR, "Positive_regulation", s"AutoPhosphorylation($EGFR)"))
+    conv("g31")("user" -> "EGFR phosphorylates itself.")(
+      tri("g31", 0, "", "AutoPhosphorylation", EGFR),
+      tri("g31", 0, EGFR, "Positive_regulation", s"AutoPhosphorylation($EGFR)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
