@@ -306,6 +306,8 @@ object BioRules {
   )
 
   val priorities: List[Int] = rules.map(_.priority).distinct.sorted
+  private val rulesByPriority: Map[Int, List[Rule]] =
+    rules.groupBy(_.priority)
 
   // ---- sentence-level extraction driver ---------------------------------
 
@@ -416,9 +418,8 @@ object BioRules {
     */
   private def assemble(rule: Rule, b: Bind, conv: String, turn: Int,
                        sent: Sent, startPos: Int, endPos: Int,
-                       state: State): Seq[MentionRow] = {
+                       state: State, hyp: Boolean): Seq[MentionRow] = {
     val words = sent.words
-    lazy val hyp = isHypothesis(words)
     def trigWord: String =
       if (b.trigger._1 >= 0) words(b.trigger._1) else ""
 
@@ -633,6 +634,10 @@ object BioRules {
     * Sentence-local, so it runs in-row — no shuffle.
     */
   def mostComplete(ms: Seq[MentionRow]): Seq[MentionRow] = {
+    // fast path: with at most one event there is nothing to prune, substitute
+    // or disambiguate — this runs per SENTENCE and most sentences carry 0-1
+    // events
+    if (ms.count(_.is_event) <= 1) return ms
     val (events, tbms) = ms.partition(_.is_event)
     val grouped = events
       .groupBy(e => (e.labels.head, e.trig_start, e.trig_end, e.sent_idx))
@@ -918,17 +923,18 @@ object BioRules {
   private val eventPriorities = priorities.filter(_ > 5)
 
   private def runPriority(prio: Int, conv: String, turn: Int, sent: Sent,
-                          state: State): Unit = {
+                          state: State, hyp: Boolean): Unit = {
     val n = sent.words.length
     val newMentions = mutable.ArrayBuffer.empty[MentionRow]
-    rules.filter(_.priority == prio).foreach { rule =>
+    rulesByPriority(prio).foreach { rule =>
       var pos = 0
       while (pos < n) {
-        tryMatch(rule.pattern, sent.words, state, pos, emptyBind)
-          .foreach { case (end, bind) =>
-            newMentions ++= assemble(rule, bind, conv, turn, sent, pos, end,
-              state)
-          }
+        val p = pos
+        tryMatchCb(rule.pattern, sent.words, state, pos, emptyBind) {
+          (end, bind) =>
+            newMentions ++= assemble(rule, bind, conv, turn, sent, p, end,
+              state, hyp)
+        }
         pos += 1
       }
     }
@@ -979,10 +985,13 @@ object BioRules {
     val state = new State
     decodeIob(conv, turn, sent).foreach(state.add)
     injectAliasSurfaces(conv, turn, sent, aliases, state)
-    entityPriorities.foreach(runPriority(_, conv, turn, sent, state))
+    // hypothesis markers are a whole-sentence property — computed once here,
+    // not per rule match
+    val hyp = isHypothesis(sent.words)
+    entityPriorities.foreach(runPriority(_, conv, turn, sent, state, hyp))
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
-    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2))
+    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2, hyp))
     mostComplete(state2.all.toSeq)
   }
 
@@ -1002,9 +1011,10 @@ object BioRules {
     at.sents.toSeq.flatMap { sent =>
       val state = new State
       decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
-      entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent, state))
+      entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent,
+        state, false))
       val before = state.all.size
-      runPriority(10, at.conv_id, at.turn_idx, sent, state)
+      runPriority(10, at.conv_id, at.turn_idx, sent, state, false)
       state.all.drop(before)
         .filter(_.found_by == "alias_unknown_b")
         .map(b => (at.conv_id, b.text, b.labels.head))

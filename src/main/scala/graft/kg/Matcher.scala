@@ -105,70 +105,81 @@ object Matcher {
 
   private val sepAnd = Pattern.compile("and|or|&", Pattern.CASE_INSENSITIVE)
 
-  /** Match `pats` against `sent` starting at `pos`; returns all (endPos, bind)
-    * solutions (longest argument lists first). Backtracking recursive descent —
-    * sentences are short, rule sets small; this is CPU-cheap relative to I/O.
+  /** Match `pats` against `sent` starting at `pos`, invoking `emit` for every
+    * (endPos, bind) solution (longest argument lists first). Backtracking
+    * recursive descent in callback style: the matcher runs at every token of
+    * every sentence of the corpus, and the earlier List-returning form's
+    * intermediate solution lists were a measured scaling bottleneck
+    * (allocation-rate memory-bandwidth contention at high core counts).
     */
+  def tryMatchCb(pats: List[PE], words: Array[String], state: State,
+                 pos: Int, b: Bind)(emit: (Int, Bind) => Unit): Unit =
+    pats match {
+      case Nil => emit(pos, b)
+      case p :: rest =>
+        p match {
+          case w: W =>
+            if (pos < words.length && w.p.matcher(words(pos)).matches())
+              tryMatchCb(rest, words, state, pos + 1, b)(emit)
+          case t: T =>
+            if (pos < words.length && t.p.matcher(words(pos)).matches())
+              tryMatchCb(rest, words, state, pos + 1,
+                b.withTrigger(pos, pos + 1))(emit)
+          case m: M =>
+            state.at(pos, m.label) match {
+              case Nil => ()
+              case cand :: _ => // longest only — deterministic
+                tryMatchCb(rest, words, state, cand.end_tok,
+                  b.add(m.role, cand))(emit)
+            }
+          case ml: ML =>
+            mlMatchCb(ml, words, state, pos, b) { (p2, b2) =>
+              tryMatchCb(rest, words, state, p2, b2)(emit)
+            }
+          case OptG(ps @ _*) =>
+            tryMatchCb(ps.toList ::: rest, words, state, pos, b)(emit)
+            tryMatchCb(rest, words, state, pos, b)(emit)
+          case AltG(alts @ _*) =>
+            alts.foreach(a =>
+              tryMatchCb(a.toList ::: rest, words, state, pos, b)(emit))
+          case X(max) =>
+            var k = 0
+            while (k <= max && pos + k <= words.length) {
+              tryMatchCb(rest, words, state, pos + k, b)(emit)
+              k += 1
+            }
+        }
+    }
+
+  /** List-returning wrapper (tests / small callers). */
   def tryMatch(pats: List[PE], words: Array[String], state: State,
-               pos: Int, b: Bind): List[(Int, Bind)] = pats match {
-    case Nil => List((pos, b))
-    case p :: rest =>
-      p match {
-        case w: W =>
-          if (pos < words.length && w.p.matcher(words(pos)).matches())
-            tryMatch(rest, words, state, pos + 1, b)
-          else Nil
-        case t: T =>
-          if (pos < words.length && t.p.matcher(words(pos)).matches())
-            tryMatch(rest, words, state, pos + 1, b.withTrigger(pos, pos + 1))
-          else Nil
-        case m: M =>
-          state.at(pos, m.label) match {
-            case Nil => Nil
-            case cand :: _ => // longest only — deterministic
-              tryMatch(rest, words, state, cand.end_tok, b.add(m.role, cand))
-          }
-        case ml: ML =>
-          mlMatch(ml, words, state, pos, b).flatMap { case (p2, b2) =>
-            tryMatch(rest, words, state, p2, b2)
-          }
-        case OptG(ps @ _*) =>
-          tryMatch(ps.toList ::: rest, words, state, pos, b) ++
-            tryMatch(rest, words, state, pos, b)
-        case AltG(alts @ _*) =>
-          alts.toList.flatMap(a =>
-            tryMatch(a.toList ::: rest, words, state, pos, b))
-        case X(max) =>
-          (0 to max).toList.flatMap { k =>
-            if (pos + k <= words.length)
-              tryMatch(rest, words, state, pos + k, b)
-            else Nil
-          }
-      }
+               pos: Int, b: Bind): List[(Int, Bind)] = {
+    val buf = mutable.ListBuffer.empty[(Int, Bind)]
+    tryMatchCb(pats, words, state, pos, b)((e, bb) => buf += ((e, bb)))
+    buf.toList
   }
 
   /** Coordinated list: longest lists first, then shorter (backtracking). */
-  private def mlMatch(ml: ML, words: Array[String], state: State,
-                      pos: Int, b: Bind): List[(Int, Bind)] =
+  private def mlMatchCb(ml: ML, words: Array[String], state: State,
+                        pos: Int, b: Bind)(emit: (Int, Bind) => Unit): Unit =
     state.at(pos, ml.label) match {
-      case Nil => Nil
+      case Nil => ()
       case cand :: _ =>
         val b2 = b.add(ml.role, cand)
         val end = cand.end_tok
-        // separators: "," | "and"/"or" | ", and"
-        val conts = mutable.ListBuffer.empty[(Int, Bind)]
+        // separators: "," | "and"/"or" | ", and" — longest lists first
         if (end < words.length) {
           if (words(end) == ",") {
             if (end + 1 < words.length &&
                 sepAnd.matcher(words(end + 1)).matches())
-              conts ++= mlMatch(ml, words, state, end + 2, b2)
+              mlMatchCb(ml, words, state, end + 2, b2)(emit)
             if (ml.commaOk)
-              conts ++= mlMatch(ml, words, state, end + 1, b2)
+              mlMatchCb(ml, words, state, end + 1, b2)(emit)
           } else if (sepAnd.matcher(words(end)).matches()) {
-            conts ++= mlMatch(ml, words, state, end + 1, b2)
+            mlMatchCb(ml, words, state, end + 1, b2)(emit)
           }
         }
-        conts.toList ::: List((end, b2))
+        emit(end, b2)
     }
 
   // ---- deterministic ids ------------------------------------------------

@@ -271,7 +271,9 @@ object Transcripts {
     var t = 0
     while (t < nTurns) {
       val role = if (t % 2 == 0) "user" else "assistant"
-      val maxT = if (withCoref) 11 else 10
+      // kinds 14+ need cross-turn coref and are excluded from mega slices
+      // (chunk boundaries must not truncate anaphora lookback)
+      val maxT = if (withCoref) 16 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -331,7 +333,32 @@ object Transcripts {
           turns += mkTurn(conv, t, "tool",
             s"""{"status": "ok", "result": [${rnd.nextInt(100)}]}""",
             "search")
-        case 10 if t + 1 < nTurns =>
+        case 10 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a dephosphorylates $b.")
+          triples += tri(conv, t, "", "Dephosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Dephosphorylation(${gidOf(b)})")
+        case 11 =>
+          val Seq(a) = genes(1)
+          turns += mkTurn(conv, t, role, s"$a autophosphorylates.")
+          triples += tri(conv, t, "", "AutoPhosphorylation", gidOf(a))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"AutoPhosphorylation(${gidOf(a)})")
+        case 12 =>
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"Phosphorylated $a binds $b.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+        case 13 =>
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role,
+            s"$a, which is phosphorylated by $b, activates $c.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(a))
+          triples += tri(conv, t, gidOf(b), "Positive_regulation",
+            s"Phosphorylation(${gidOf(a)})")
+          triples += tri(conv, t, gidOf(a), "Positive_activation", gidOf(c))
+        case 14 if t + 1 < nTurns =>
           val Seq(a, c) = genes(2)
           turns += mkTurn(conv, t, role, s"$a is expressed in HeLa cells.")
           turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
@@ -339,6 +366,20 @@ object Transcripts {
           triples += tri(conv, t + 1, "", "Phosphorylation", gidOf(a))
           triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
             s"Phosphorylation(${gidOf(a)})")
+          t += 1
+        case 15 if t + 1 < nTurns =>
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role, s"$a binds $b.")
+          turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
+            s"Both are phosphorylated by $c.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+          triples += tri(conv, t + 1, "", "Phosphorylation", gidOf(a))
+          triples += tri(conv, t + 1, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
+            s"Phosphorylation(${gidOf(a)})")
+          triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
           t += 1
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
