@@ -283,6 +283,16 @@ object SparkEntry {
     "kg_emit_arizona" -> { (s, dir) =>
       Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
     },
+    "kg_fries_frames" -> { (s, dir) =>
+      // FRIES frame GRAPH (entity/event frames with frame-id references) —
+      // one JSON document per conversation, from the linked-mention table
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val turns = Transcripts.goldenTurns(s)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      Emit.friesFrameGraph(b.toDF())
+    },
     "kg_precedence" -> { (s, dir) =>
       // causal-precedence sieve (assembly Sieves discourse subset) over the
       // pipeline's edges on a cue fixture
@@ -561,6 +571,7 @@ object SparkEntry {
     // deterministic golden-corpus export pins (generated by DumpOracles —
     // the golden corpus is hand-traced, so drift flips these red)
     "kg_emit_arizona" -> GeneratedOracles.arizona,
+    "kg_fries_frames" -> GeneratedOracles.friesFrames,
     "kg_canonical_nodes" -> GeneratedOracles.canonicalNodes,
     "kg_emit_fries" -> GeneratedOracles.fries,
     "dedup_simhash" -> GeneratedOracles.simhash,

@@ -26,6 +26,43 @@ object Emit {
       col("found_by")
     )).as("frame"))
 
+  /** FRIES frame graph (reference: FriesOutput.scala:524-660 — one document
+    * per input unit whose frames reference each other by frame id: entity
+    * mentions are frames, event mentions are frames whose arguments point at
+    * other frames). Built from the stage-B linked mentions: `frame_id` is the
+    * deterministic mention id, event `args[].arg` are frame-id references.
+    * One row per conversation; the frame array is sorted by document position
+    * so the JSON is deterministic.
+    */
+  def friesFrameGraph(stageB: DataFrame): DataFrame = {
+    val linked = stageB.filter(col("kind") === "linked").select("linked.*")
+    val frame = struct(
+      col("turn_idx"), col("sent_idx"), col("start_tok"), col("end_tok"),
+      col("mention_id").as("frame_id"),
+      when(col("is_event"), lit("event-mention"))
+        .otherwise(lit("entity-mention")).as("frame_type"),
+      col("labels")(0).as("type"),
+      col("text"),
+      when(col("is_event"), lit(""))
+        .otherwise(concat(col("ns"), lit(":"), col("ns_id"))).as("xref"),
+      col("trigger_text").as("trigger"),
+      transform(col("args"),
+        a => struct(a.getField("role").as("role"),
+          a.getField("mention_id").as("arg"))).as("args"),
+      transform(col("mods"),
+        m => struct(m.getField("kind").as("kind"),
+          m.getField("label").as("label"),
+          m.getField("site_text").as("site"))).as("modifications"),
+      col("negated").as("is_negated"),
+      col("hypothesis").as("is_hypothesis"))
+    linked
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(frame)).as("frames"))
+      .select(col("conv_id"),
+        to_json(struct(col("conv_id").as("document"), col("frames")))
+          .as("fries"))
+  }
+
   /** Debug text sink (reference: MentionManager.mentionToStrings,
     * utils/MentionManager.scala:48-115 + ReachCLI text output:172-176): one
     * sorted human-readable line per linked mention. Takes the stage-B rows

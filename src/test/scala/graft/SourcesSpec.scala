@@ -63,6 +63,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("fries frame graph: event args reference entity frames in the same " +
+       "document") {
+    import spark.implicits._
+    val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+    spark.sparkContext.register(acc)
+    val turns = Transcripts.goldenTurns(spark)
+    val b = Pipeline.stageB(spark,
+      Pipeline.stageMentions(spark, turns, "t", acc), "t", acc)
+    val docs = Emit.friesFrameGraph(b.toDF())
+      .select("conv_id", "fries").as[(String, String)].collect()
+    assert(docs.nonEmpty)
+    val idRe = """"frame_id":(-?\d+)""".r
+    val argRe = """"arg":(-?\d+)""".r
+    docs.foreach { case (conv, json) =>
+      val frameIds = idRe.findAllMatchIn(json).map(_.group(1)).toSet
+      val argIds = argRe.findAllMatchIn(json).map(_.group(1)).toSet
+      assert(argIds.subsetOf(frameIds),
+        s"$conv: dangling frame references ${argIds -- frameIds}")
+    }
+    assert(docs.exists(_._2.contains("\"frame_type\":\"event-mention\"")))
+    assert(docs.exists(_._2.contains("\"frame_type\":\"entity-mention\"")))
+  }
+
   test("debug text sink renders one sorted line per linked mention") {
     import spark.implicits._
     val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
