@@ -59,6 +59,21 @@ class PipelineSpec extends AnyFunSuite {
       val resumed = Pipeline.run(spark, turns, s"$dir/warm", resume = true)
       assert(Score.keysOf(resumed.edges).collect().toSet == coldKeys,
         s"resume after wiping $stage diverged")
+      // lineage completeness: a resumed run must keep the prior runs'
+      // lineage (not overwrite with only the current accumulator) and record
+      // real rows_in for the extraction stage
+      val lin = resumed.lineage.collect()
+      assert(lin.exists(_.getAs[String]("stage") == "mentions"),
+        s"lineage lost the mentions stage after resuming past $stage")
+      assert(lin.exists(r => r.getAs[String]("stage") == "mentions" &&
+        r.getAs[Long]("rows_in") > 0),
+        "mentions lineage must track rows_in")
+      // the last iteration wiped stage_b, so the fold re-ran under a NEW
+      // run_id — the merged table must now hold rows from both runs
+      if (stage == "stage_b")
+        assert(lin.map(_.getAs[String]("run_id")).distinct.size >= 2,
+          "lineage must retain rows from more than one run after a resume " +
+            "that re-executes a stage")
     }
   }
 
