@@ -72,6 +72,31 @@ object ScalingBench {
       }.mkString(",")
       println(f"""{"cpus":$cpus,"turns":$n,"edges":$edges,"mentions_sec":$mSec%.1f,"fold_sec":$bSec%.1f,"canon_sec":$cSec%.1f,"mat_sec":$eSec%.1f,"sec":$fullSec%.1f,"turns_per_sec":$thr%.1f,"gc_sec":$gcSec%.1f,"stages":{$stageStats}}""")
       s.stop()
+    case "cluster" :: dir :: reps :: Nil =>
+      // REAL multi-executor evidence: submitted via spark-submit against a
+      // localhost standalone cluster; the master/executor topology comes
+      // entirely from the submit conf (spark.cores.max / executor.cores),
+      // so N vs 4N EXECUTORS is literally N vs 4N separate JVM processes
+      // with netty shuffle between them.
+      val s = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import s.implicits._
+      val turns = s.read.parquet(s"$dir/turns").as[graft.model.Turn]
+      val n = turns.count()
+      (1 to reps.toInt).foreach { i =>
+        s.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val e = Pipeline.extract(s, turns).edges.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"rep":$i,"executors":${s.sparkContext.getExecutorMemoryStatus.size - 1},"turns":$n,"edges":$e,"sec":$sec%.1f,"turns_per_sec":${n / sec}%.1f}""")
+      }
+      s.stop()
     case "ckpt" :: dir :: cpus :: reps :: Nil =>
       // the production spark-submit path: checkpointed Pipeline.run with
       // parquet stage tables (tmpfs). The in-memory extract() path pays the
