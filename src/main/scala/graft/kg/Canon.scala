@@ -91,6 +91,14 @@ object Canon {
       labels = mergedC.select($"gid", $"lbl2".as("lbl")).localCheckpoint(true)
       iter += 1
     }
+    // alias components are shallow stars; a >30-diameter component means the
+    // input is not the expected shape — surface it rather than silently
+    // emitting a partially-merged labeling
+    if (changedCnt > 0)
+      System.err.println(s"[graft] WARNING: connected-components label " +
+        s"propagation did not converge in $iter iterations " +
+        s"($changedCnt labels still changing) — components with diameter " +
+        s"> $iter are partially merged")
     labels.select($"gid", expr("substring(lbl, 3)").as("canon_id"))
   }
 }

@@ -31,10 +31,19 @@ object Emit {
     * mentions are frames, event mentions are frames whose arguments point at
     * other frames). Built from the stage-B linked mentions: `frame_id` is the
     * deterministic mention id, event `args[].arg` are frame-id references.
-    * One row per conversation; the frame array is sorted by document position
-    * so the JSON is deterministic.
+    * One row per (conversation, doc part); the frame array is sorted by
+    * document position so the JSON is deterministic.
+    *
+    * Scale: the groupBy is salted with `turn_idx / chunkTurns` (the same span
+    * chunking stage B uses), so a mega-conversation becomes a sequence of
+    * bounded frame documents instead of one unbounded JSON row. Part 0 keeps
+    * the bare conv_id as its document name — single-chunk conversations (the
+    * overwhelmingly common case, and the whole golden corpus) are
+    * byte-identical to the unchunked output; later parts are suffixed
+    * `#<part>`.
     */
-  def friesFrameGraph(stageB: DataFrame): DataFrame = {
+  def friesFrameGraph(stageB: DataFrame,
+                      chunkTurns: Int = Pipeline.chunkTurns): DataFrame = {
     val linked = stageB.filter(col("kind") === "linked").select("linked.*")
     val frame = struct(
       col("turn_idx"), col("sent_idx"), col("start_tok"), col("end_tok"),
@@ -56,11 +65,15 @@ object Emit {
       col("negated").as("is_negated"),
       col("hypothesis").as("is_hypothesis"))
     linked
-      .groupBy(col("conv_id"))
+      .withColumn("doc_part", floor(col("turn_idx") / chunkTurns))
+      .groupBy(col("conv_id"), col("doc_part"))
       .agg(sort_array(collect_list(frame)).as("frames"))
       .select(col("conv_id"),
-        to_json(struct(col("conv_id").as("document"), col("frames")))
-          .as("fries"))
+        to_json(struct(
+          when(col("doc_part") === 0, col("conv_id"))
+            .otherwise(concat(col("conv_id"), lit("#"), col("doc_part")))
+            .as("document"),
+          col("frames"))).as("fries"))
   }
 
   /** Debug text sink (reference: MentionManager.mentionToStrings,

@@ -75,21 +75,24 @@ object Pipeline {
   // ---- stage functions (shared by checkpointed + in-memory paths) --------
 
   /** Phase-A alias-definition aggregation (J3): a narrow entity-rules-only
-    * pre-pass finds unknown-surface alias definitions; the (conv, surface,
-    * label) set is collected and broadcast for the full extraction pass, which
+    * pre-pass finds unknown-surface alias definitions as a distributed
+    * Dataset of (conv_id, surface, label); the full extraction pass then
     * rescans every turn of the defining conversation for the surface — so an
     * alias used *before* its definition still yields mentions (reference:
     * coref/Alias.scala:46-75 + InstanceFinder.scala:9-34).
     *
-    * Scale: alias definitions are a parenthetical-pattern rarity; the collect
-    * is capped and the cap is logged, never silent. At 10^12 turns the
-    * fallback would be a conv_id-keyed join instead of a broadcast — the
-    * per-conv scoping already bounds executor-side lookup state.
+    * Scale: alias definitions are a parenthetical-pattern rarity, so the
+    * common case collects + broadcasts the tiny set (zero extra shuffle on
+    * the turns table). Above [[aliasJoinThreshold]] the pipeline auto-switches
+    * to a conv_id-keyed left join of the aggregated defs onto the annotated
+    * turns — fully distributed, no driver funnel, no truncation; the skewed
+    * mega-conversation case is one row on the defs side and AQE's skew-join
+    * handles the turns side.
     */
-  val maxAliasDefs = 1000000
+  @volatile var aliasJoinThreshold: Long = 100000L
 
-  def aliasDefs(spark: SparkSession,
-                turns: Dataset[Turn]): Map[String, Seq[(String, String)]] = {
+  def aliasDefsDs(spark: SparkSession,
+                  turns: Dataset[Turn]): Dataset[(String, String, String)] = {
     import spark.implicits._
     val (bTrie, _) = Broadcasts.get(spark.sparkContext)
     // cheap candidate pre-filter: the alias patterns all carry a parenthesis
@@ -97,14 +100,7 @@ object Pipeline {
     // scan reads text once and tokenizes almost nothing
     val cands = turns.filter(t => t.text != null &&
       (t.text.contains("(") || t.text.contains("known as")))
-    val defs = Annotate(spark, cands, bTrie)
-      .flatMap(BioRules.aliasDefsTurn _)
-      .distinct().limit(maxAliasDefs + 1).collect()
-    if (defs.length > maxAliasDefs)
-      System.err.println(s"[graft] WARNING: alias definitions truncated at " +
-        s"$maxAliasDefs — rescan coverage is partial")
-    defs.take(maxAliasDefs).groupBy(_._1)
-      .map { case (conv, xs) => conv -> xs.map(x => (x._2, x._3)).toSeq }
+    Annotate(spark, cands, bTrie).flatMap(BioRules.aliasDefsTurn _).distinct()
   }
 
   def stageMentions(spark: SparkSession, turns: Dataset[Turn],
@@ -112,13 +108,35 @@ object Pipeline {
     import spark.implicits._
     val (bTrie, _) = Broadcasts.get(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
-    val aliasMap = aliasDefs(spark, turns)
-    val bAliases = spark.sparkContext.broadcast(aliasMap)
-    val extracted = annotated.flatMap { at =>
-      InCount.inc()
-      BioRules.extractTurn(at,
-        bAliases.value.getOrElse(at.conv_id, Nil))
-    }
+    val defs = aliasDefsDs(spark, turns)
+    val thr = aliasJoinThreshold
+    val useJoin =
+      defs.limit(math.min(thr + 1, Int.MaxValue.toLong).toInt).count() > thr
+    val extracted =
+      if (!useJoin) {
+        // broadcast path: surfaces sorted per conv so injection order (which
+        // resolves overlapping-surface conflicts) is deterministic and
+        // identical to the join path's
+        val aliasMap = defs.collect().groupBy(_._1).map { case (conv, xs) =>
+          conv -> xs.map(x => (x._2, x._3)).sortBy(identity).toSeq
+        }
+        val bAliases = spark.sparkContext.broadcast(aliasMap)
+        annotated.flatMap { at =>
+          InCount.inc()
+          BioRules.extractTurn(at, bAliases.value.getOrElse(at.conv_id, Nil))
+        }
+      } else {
+        val defsByConv = defs.groupByKey(_._1).mapGroups { (conv, it) =>
+          (conv, it.map(x => (x._2, x._3)).toArray.sortBy(identity).toSeq)
+        }
+        annotated
+          .joinWith(defsByConv, annotated("conv_id") === defsByConv("_1"),
+            "left_outer")
+          .flatMap { case (at, d) =>
+            InCount.inc()
+            BioRules.extractTurn(at, if (d == null) Nil else d._2)
+          }
+      }
     instrument(extracted, "mentions", runId, acc)
   }
 

@@ -77,6 +77,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("alias-defs conv-keyed join path is equivalent to the broadcast path") {
+    // golden includes g23 (alias used before its parenthetical definition),
+    // so both paths must exercise the conversation-wide rescan
+    val turns = Transcripts.goldenTurns(spark)
+    val broadcastEdges =
+      Score.keysOf(Pipeline.extract(spark, turns).edges).collect().toSet
+    val saved = Pipeline.aliasJoinThreshold
+    try {
+      Pipeline.aliasJoinThreshold = 0L // force the distributed join fallback
+      val joinEdges =
+        Score.keysOf(Pipeline.extract(spark, turns).edges).collect().toSet
+      assert(joinEdges == broadcastEdges,
+        "join-path edges diverged from broadcast-path edges")
+    } finally Pipeline.aliasJoinThreshold = saved
+  }
+
   test("mega-conversation chunking preserves non-boundary semantics") {
     val (mega, _) = Transcripts.corpus(spark, 0, seed = 5, megaTurns = 2500)
     val res = Pipeline.extract(spark, mega)

@@ -86,6 +86,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(docs.exists(_._2.contains("\"frame_type\":\"entity-mention\"")))
   }
 
+  test("fries frame graph chunks mega-conversations into bounded documents") {
+    import spark.implicits._
+    val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+    spark.sparkContext.register(acc)
+    val turns = Transcripts.goldenTurns(spark)
+    val b = Pipeline.stageB(spark,
+      Pipeline.stageMentions(spark, turns, "t", acc), "t", acc).toDF().cache()
+    val whole = Emit.friesFrameGraph(b).as[(String, String)].collect()
+    // tiny chunk size: conversations with turns past the boundary must split
+    // into multiple part-documents, part 0 keeping the bare conv_id
+    val chunked = Emit.friesFrameGraph(b, chunkTurns = 1)
+      .as[(String, String)].collect()
+    assert(chunked.length > whole.length)
+    assert(chunked.exists(_._2.contains("\"document\":\"g08#1\"")))
+    assert(chunked.exists(_._2.contains("\"document\":\"g08\"")))
+    // every frame survives the chunking (same multiset of frame ids)
+    val idRe = """"frame_id":(-?\d+)""".r
+    def ids(rows: Array[(String, String)]) =
+      rows.flatMap(r => idRe.findAllMatchIn(r._2).map(_.group(1))).sorted.toSeq
+    assert(ids(chunked) == ids(whole))
+    // single-chunk conversations are byte-identical to the unchunked output
+    val w = whole.filter(_._1 == "g01").map(_._2).toSet
+    val c = Emit.friesFrameGraph(b, chunkTurns = 1000)
+      .as[(String, String)].collect().filter(_._1 == "g01").map(_._2).toSet
+    assert(w == c)
+  }
+
   test("debug text sink renders one sorted line per linked mention") {
     import spark.implicits._
     val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
