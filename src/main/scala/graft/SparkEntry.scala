@@ -109,7 +109,14 @@ object SparkEntry {
     ("p02", 1, "JAK3 phosphorylates HuR."),
     ("p03", 0, "AKT1 binds GSK3."),
     ("p03", 1, "The samples were prepared as described previously."),
-    ("p03", 2, "Therefore, AKT1 phosphorylates BAD."))
+    ("p03", 2, "Therefore, AKT1 phosphorylates BAD."),
+    // Reichenbach tense/aspect: past-perfect precedes present
+    ("p04", 0, "MEK1 had phosphorylated ERK2."),
+    ("p04", 1, "AKT1 then binds ERK2."),
+    // intra-sentential rule-based: textual order kept by "before"
+    ("p05", 0, "JAK3 ubiquitinates HuR before MEK1 phosphorylates ERK2."),
+    // intra-sentential rule-based: "following" swaps the roles
+    ("p06", 0, "AKT1 binds BAD following the phosphorylation of BAD."))
 
   /** (turn_idx, mention_text, kind, label, site) — hand-traced. */
   private val modsExpected: Seq[(Int, String, String, String, String)] = Seq(
@@ -275,7 +282,7 @@ object SparkEntry {
     "kg_canonical_nodes" -> { (s, dir) =>
       Pipeline.extract(s, Transcripts.goldenTurns(s)).nodes
         .select(col("canon_id"), col("display"), col("label"),
-          size(col("alias_surface_forms")).as("n_aliases"))
+          col("display_label"), size(col("alias_surface_forms")).as("n_aliases"))
     },
     "kg_emit_fries" -> { (s, dir) =>
       Emit.friesJson(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
@@ -311,8 +318,12 @@ object SparkEntry {
       })
       val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
       s.sparkContext.register(acc)
+      // Generic_entity anaphors ("the T669A mutant") also carry Mutant mods
+      // since the mutantProteinMatch sieve landed; this oracle pins the
+      // attachment pass on REAL entities only
       Pipeline.stageMentions(s, turns, "verify", acc)
-        .filter(m => !m.is_event && m.mods.nonEmpty)
+        .filter(m => !m.is_event && m.mods.nonEmpty &&
+          m.labels.head != "Generic_entity")
         .flatMap(m => m.mods.map(mod =>
           (m.turn_idx, m.text, mod.kind, mod.label, mod.site_text)))
         .toDF("turn_idx", "text", "kind", "label", "site")
@@ -585,7 +596,28 @@ object SparkEntry {
         |   'inter-sentential-cue:as a result'),
         |  ('p03', 'Binding', 'uniprot:P31749&uniprot:P49840', 0,
         |   'Positive_regulation', 'Phosphorylation(uniprot:Q92934)', 2,
-        |   'inter-sentential-cue:therefore')
+        |   'inter-sentential-cue:therefore'),
+        |  ('p04', 'Phosphorylation', 'uniprot:P28482', 0,
+        |   'Binding', 'uniprot:P28482&uniprot:P31749', 1,
+        |   'reichenbach-tense'),
+        |  ('p04', 'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
+        |   'Binding', 'uniprot:P28482&uniprot:P31749', 1,
+        |   'reichenbach-tense'),
+        |  ('p05', 'Ubiquitination', 'uniprot:Q15717', 0,
+        |   'Phosphorylation', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:before'),
+        |  ('p05', 'Ubiquitination', 'uniprot:Q15717', 0,
+        |   'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
+        |   'intra-sentential-rb:before'),
+        |  ('p05', 'Positive_regulation', 'Ubiquitination(uniprot:Q15717)', 0,
+        |   'Phosphorylation', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:before'),
+        |  ('p05', 'Positive_regulation', 'Ubiquitination(uniprot:Q15717)', 0,
+        |   'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
+        |   'intra-sentential-rb:before'),
+        |  ('p06', 'Phosphorylation', 'uniprot:Q92934', 0,
+        |   'Binding', 'uniprot:P31749&uniprot:Q92934', 0,
+        |   'intra-sentential-rb:following')
         |) AS t(conv_id, before_pred, before_obj, before_turn,
         |       after_pred, after_obj, after_turn, sieve)""".stripMargin,
     "kg_mods" -> {

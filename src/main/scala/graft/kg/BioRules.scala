@@ -123,6 +123,14 @@ object BioRules {
 
   sealed trait Kind
   case class EntityK(label: String) extends Kind
+  // "this mutant" / "the K341L mutant": Generic_entity carrying a Mutant mod
+  // (generic when no code) for the fold's mutantProteinMatch sieve
+  // (reference: DarpaLinks.scala:77-110)
+  case object GenericMutantK extends Kind
+  // "this phosphorylation": text-bound Generic_event anaphor; the base event
+  // label rides in trigger_text for the fold's simpleEventMatch sieve
+  // (reference: DarpaLinks.scala:364-427)
+  case object GenericEventK extends Kind
   case object SimpleModK extends Kind // label from trigger
   // auto-modification: theme == controller ("EGFR autophosphorylates",
   // "EGFR phosphorylates itself" — reference: TestTemplaticAutoEvents,
@@ -148,7 +156,7 @@ object BioRules {
   // auxiliary verbs + optional negation between subject and trigger
   // ("MEK does not phosphorylate ERK2")
   private val auxNeg = OptG(
-    W("does|do|did|can|cannot|could|may|might|will|would|should|must"),
+    W("does|do|did|can|cannot|could|may|might|will|would|should|must|has|have|had"),
     OptG(W("not|n't")))
   private val notOpt = OptG(W("not|n't"))
   private val sitePrep = OptG(AltG(
@@ -182,9 +190,28 @@ object BioRules {
     // from determiners/number, Anaphoric.scala:49-127)
     Rule("generic_pronoun", 2, EntityK("Generic_entity"),
       List(W("it|its|they|them|both"))),
+    // class-word generics: the head noun constrains the antecedent's label
+    // in the fold's nounPhraseMatch sieve ("this protein" cannot resolve to
+    // a chemical — DarpaLinks.scala:267-354 label-subset check)
     Rule("generic_np", 2, EntityK("Generic_entity"),
       List(W("this|that|the|these|those"),
-        W("proteins?|kinases?|enzymes?|genes?|receptors?|molecules?"))),
+        W("proteins?|kinases?|enzymes?|genes?|receptors?|molecules?|chemicals?|compounds?|drugs?|factors?"))),
+    // strict-head generics: determiner + the head token of a multi-word
+    // lexicon entity ("Cyclin D1 ... the cyclin" — strictHeadMatch,
+    // DarpaLinks.scala:120-162); the alternation is built from the lexicon
+    Rule("generic_head_np", 2, EntityK("Generic_entity"),
+      List(W("the|this|that|these|those"),
+        W(if (Lexicon.multiwordHeads.isEmpty) "(?!)"
+          else Lexicon.multiwordHeads.toSeq.sorted.mkString("|")))),
+    // mutant anaphors: "the mutant", "the K341L mutant", "these mutants"
+    Rule("generic_mutant", 2, GenericMutantK,
+      List(W("this|that|the|these|those"), OptG(T(mutantPart)),
+        W("mutants?"))),
+    // event anaphors: "this phosphorylation" (definite determiners and
+    // demonstratives only — TestCoreference sent27b: bare "phosphorylation"
+    // must NOT corefer)
+    Rule("generic_event", 2, GenericEventK,
+      List(W("this|that|the|these|those"), T(modNom))),
 
     // -- p5: sites by surface shape (residue codes: Y63, Ser473, T669) ---
     Rule("site_residue", 5, EntityK("Site"),
@@ -356,8 +383,20 @@ object BioRules {
   private def isNegated(words: Array[String], s: Int, e: Int): Boolean =
     countIn(negationP, words, s - 3, e + 1) % 2 == 1
 
-  private def isHypothesis(words: Array[String]): Boolean =
-    countIn(hypothesisP, words, 0, words.length) > 0
+  /** Clause-scoped hypothesis hint (reference: HypothesisHandler.scala:10-114
+    * bounds the hint search to the 2-hop dependency neighborhood of the
+    * trigger; the surface analogue scopes to the trigger's clause — the span
+    * between the nearest comma/semicolon boundaries). "MEK1 phosphorylates
+    * ERK2, and we hypothesize that JAK3 ubiquitinates HuR." marks only the
+    * second event.
+    */
+  private def isHypothesisAt(words: Array[String], ts: Int, te: Int): Boolean = {
+    var lo = ts - 1
+    while (lo >= 0 && words(lo) != "," && words(lo) != ";") lo -= 1
+    var hi = te
+    while (hi < words.length && words(hi) != "," && words(hi) != ";") hi += 1
+    countIn(hypothesisP, words, lo + 1, hi) > 0
+  }
 
   /** Semantic-negative flip count around the controller span, excluding the
     * trigger token itself (reference:
@@ -375,10 +414,54 @@ object BioRules {
     c
   }
 
+  /** Intra-sentential precedence connectives scanned in a short window
+    * before the trigger (surface form of intrasentential.yml's
+    * `E1 (before|prior to) E2` / `E1 (after|following) E2` event-pair rules
+    * plus consequence adverbs; Sieves.intrasententialRBPrecedence:58-84).
+    */
+  private val intraCueP = Pattern.compile(
+    "before|prior|after|following|subsequently|then|thereby",
+    Pattern.CASE_INSENSITIVE)
+
+  private def intraCueAt(words: Array[String], ts: Int): String = {
+    var i = ts - 1
+    val lo = math.max(0, ts - 3)
+    while (i >= lo) {
+      if (intraCueP.matcher(words(i)).matches()) return words(i).toLowerCase
+      i -= 1
+    }
+    ""
+  }
+
+  /** Trigger tense+aspect from auxiliaries + morphology (surface stand-in for
+    * the reference's tense_aspect.yml tagger rules, Sieves.scala:93-240):
+    * "had phosphorylated" -> past|perf, "has phosphorylated" -> present|perf,
+    * "will phosphorylate" -> future, "was/were V-ed" and bare V-ed -> past,
+    * "is/are V-ed" and V-s -> present.
+    */
+  private def tenseAt(words: Array[String], ts: Int): String = {
+    val t = words(ts).toLowerCase
+    val prev = if (ts > 0) words(ts - 1).toLowerCase else ""
+    val prev2 = if (ts > 1) words(ts - 2).toLowerCase else ""
+    val perf = prev == "has" || prev == "have" || prev == "had" ||
+      (prev2 == "has" || prev2 == "have" || prev2 == "had") &&
+        (prev == "not" || prev == "been")
+    if (prev == "will" || prev2 == "will")
+      if (perf) "future|perf" else "future"
+    else if (perf)
+      if (prev == "had" || prev2 == "had") "past|perf" else "present|perf"
+    else if (prev == "was" || prev == "were") "past"
+    else if (prev == "is" || prev == "are" || prev == "being") "present"
+    else if (t.endsWith("ed")) "past"
+    else if (t.endsWith("s")) "present"
+    else ""
+  }
+
   private def mkEvent(conv: String, turn: Int, sentIdx: Int,
                       words: Array[String], label: String, trig: (Int, Int),
-                      args: Seq[(String, MentionRow)], foundBy: String,
-                      hyp: Boolean): MentionRow = {
+                      args: Seq[(String, MentionRow)],
+                      foundBy: String): MentionRow = {
+    val hyp = trig._1 >= 0 && isHypothesisAt(words, trig._1, trig._2)
     val starts = trig._1 +: args.map(_._2.start_tok)
     val ends = trig._2 +: args.map(_._2.end_tok)
     val (s, e) = (starts.filter(_ >= 0).min, ends.max)
@@ -390,7 +473,9 @@ object BioRules {
       conv, turn, sentIdx, s, e, Lexicon.labelClosure(label),
       words.slice(s, e).mkString(" "), foundBy, true, trigText,
       argRefs.toArray, neg, hyp, trig._1, trig._2, Mod.none,
-      sentenceCue(words))
+      sentenceCue(words),
+      if (trig._1 >= 0) intraCueAt(words, trig._1) else "",
+      if (trig._1 >= 0) tenseAt(words, trig._1) else "")
   }
 
   /** Sentence-initial consequence cue for the causal-precedence sieve
@@ -418,7 +503,7 @@ object BioRules {
     */
   private def assemble(rule: Rule, b: Bind, conv: String, turn: Int,
                        sent: Sent, startPos: Int, endPos: Int,
-                       state: State, hyp: Boolean): Seq[MentionRow] = {
+                       state: State): Seq[MentionRow] = {
     val words = sent.words
     def trigWord: String =
       if (b.trigger._1 >= 0) words(b.trigger._1) else ""
@@ -440,6 +525,48 @@ object BioRules {
             Arg.none, false, false))
         }
 
+      case GenericMutantK =>
+        // "the [K341L] mutant(s)": a Generic_entity carrying a Mutant mod —
+        // specific when a code was captured, generic otherwise. When the next
+        // token is itself an entity ("this mutant ASPP1"), the entity carries
+        // the generic-mutation reading through attachMods instead
+        // (reference: mutantProteinMatch anaphor shapes, DarpaLinks.scala:77-110)
+        if (state.all.exists(m =>
+              !(m.end_tok <= startPos || m.start_tok >= endPos)) ||
+            state.at(endPos, "BioChemicalEntity").nonEmpty) Nil
+        else {
+          val mod =
+            if (b.trigger._1 >= 0) Mod("Mutant", "", words(b.trigger._1), 0L)
+            else Mod("Mutant", "", "", 0L)
+          val mods = Array(mod)
+          val text = words.slice(startPos, endPos).mkString(" ")
+          Seq(MentionRow(
+            mentionId(conv, turn, sent.sent_idx, startPos, endPos,
+              "Generic_entity", "", Nil, false, false, mods.toSeq),
+            conv, turn, sent.sent_idx, startPos, endPos,
+            Lexicon.labelClosure("Generic_entity"), text, rule.name, false, "",
+            Arg.none, false, false, -1, -1, mods))
+        }
+
+      case GenericEventK =>
+        // "this phosphorylation": text-bound Generic_event anaphor; skipped
+        // when followed by "of" (that shape is a real nominal event handled
+        // by mod_nominal) or when overlapping an existing mention. The base
+        // event label rides in trigger_text for the fold's simpleEventMatch.
+        if ((endPos < words.length && words(endPos).equalsIgnoreCase("of")) ||
+            state.all.exists(m =>
+              !(m.end_tok <= startPos || m.start_tok >= endPos))) Nil
+        else {
+          val label = modLabel(trigWord)
+          val text = words.slice(startPos, endPos).mkString(" ")
+          Seq(MentionRow(
+            mentionId(conv, turn, sent.sent_idx, startPos, endPos,
+              "Generic_event", label, Nil, false, false),
+            conv, turn, sent.sent_idx, startPos, endPos,
+            Lexicon.labelClosure("Generic_event"), text, rule.name, false,
+            label, Arg.none, false, false))
+        }
+
       case AutoModK =>
         // auto-modification: theme is also the controller
         // (TestTemplaticAutoEvents; label Auto<Base>)
@@ -455,11 +582,11 @@ object BioRules {
           m <- {
             val ev = mkEvent(conv, turn, sent.sent_idx, words, label,
               b.trigger, Seq("theme" -> theme) ++ siteOpt.map("site" -> _),
-              rule.name, hyp)
+              rule.name)
             val reg = mkEvent(conv, turn, sent.sent_idx, words,
               "Positive_regulation", b.trigger,
               Seq("controller" -> theme, "controlled" -> ev),
-              rule.name + "_split", hyp)
+              rule.name + "_split")
             Seq(ev, reg)
           }
         } yield m
@@ -468,7 +595,7 @@ object BioRules {
         (b.caps.get("a"), b.caps.get("b")) match {
           case (Some(a :: _), Some(bb :: _)) if a.text != bb.text =>
             Seq(mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
-              Seq("a" -> a, "b" -> bb), rule.name, false))
+              Seq("a" -> a, "b" -> bb), rule.name))
           case _ => Nil
         }
 
@@ -489,7 +616,7 @@ object BioRules {
               words.slice(s, e).mkString(" "), "alias_unknown_b", false, "",
               Arg.none, false, false)
             Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
-              Seq("a" -> a, "b" -> bm), rule.name, false))
+              Seq("a" -> a, "b" -> bm), rule.name))
           case _ => Nil
         }
 
@@ -534,12 +661,12 @@ object BioRules {
               causes.headOption match {
                 case None =>
                   Seq(mkEvent(conv, turn, sent.sent_idx, words, label,
-                    b.trigger, baseArgs, rule.name, hyp))
+                    b.trigger, baseArgs, rule.name))
                 case Some(cause) =>
                   // splitSimpleEvents: event loses its cause; a regulation
                   // (controller=cause) is emitted over it
                   val ev = mkEvent(conv, turn, sent.sent_idx, words, label,
-                    b.trigger, baseArgs, rule.name, hyp)
+                    b.trigger, baseArgs, rule.name)
                   val flips = semNegFlips(words, cause, b.trigger._1)
                   val regLabel =
                     if (flips % 2 == 1) "Negative_regulation"
@@ -547,7 +674,7 @@ object BioRules {
                   val reg = mkEvent(conv, turn, sent.sent_idx, words, regLabel,
                     b.trigger,
                     Seq("controller" -> cause, "controlled" -> ev),
-                    rule.name + "_split", hyp)
+                    rule.name + "_split")
                   Seq(ev, reg)
               }
             }
@@ -567,7 +694,7 @@ object BioRules {
           b.caps.getOrElse(r, Nil).headOption.map(r -> _))
         b.caps.getOrElse(themeRole, Nil).map { theme =>
           mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
-            Seq("theme" -> theme) ++ extras, rule.name, hyp)
+            Seq("theme" -> theme) ++ extras, rule.name)
         }
 
       case BindingK =>
@@ -581,7 +708,7 @@ object BioRules {
           val (t1, t2) =
             if (x.text <= y.text) (x, y) else (y, x)
           mkEvent(conv, turn, sent.sent_idx, words, "Binding", b.trigger,
-            Seq("theme" -> t1, "theme" -> t2), rule.name, hyp)
+            Seq("theme" -> t1, "theme" -> t2), rule.name)
         }
 
       case RegulationK =>
@@ -594,7 +721,7 @@ object BioRules {
             val pos = if (flips % 2 == 1) !basePos else basePos
             val label = if (pos) "Positive_regulation" else "Negative_regulation"
             Seq(mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
-              Seq("controller" -> ctl, "controlled" -> cld), rule.name, hyp))
+              Seq("controller" -> ctl, "controlled" -> cld), rule.name))
           case _ => Nil
         }
 
@@ -609,7 +736,7 @@ object BioRules {
             val pos = if (flips % 2 == 1) !basePos else basePos
             val label = if (pos) "Positive_activation" else "Negative_activation"
             Seq(mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
-              Seq("controller" -> ctl, "controlled" -> cld), rule.name, hyp))
+              Seq("controller" -> ctl, "controlled" -> cld), rule.name))
           case _ => Nil
         }
     }
@@ -923,7 +1050,7 @@ object BioRules {
   private val eventPriorities = priorities.filter(_ > 5)
 
   private def runPriority(prio: Int, conv: String, turn: Int, sent: Sent,
-                          state: State, hyp: Boolean): Unit = {
+                          state: State): Unit = {
     val n = sent.words.length
     val newMentions = mutable.ArrayBuffer.empty[MentionRow]
     rulesByPriority(prio).foreach { rule =>
@@ -933,7 +1060,7 @@ object BioRules {
         tryMatchCb(rule.pattern, sent.words, state, pos, emptyBind) {
           (end, bind) =>
             newMentions ++= assemble(rule, bind, conv, turn, sent, p, end,
-              state, hyp)
+              state)
         }
         pos += 1
       }
@@ -985,13 +1112,10 @@ object BioRules {
     val state = new State
     decodeIob(conv, turn, sent).foreach(state.add)
     injectAliasSurfaces(conv, turn, sent, aliases, state)
-    // hypothesis markers are a whole-sentence property — computed once here,
-    // not per rule match
-    val hyp = isHypothesis(sent.words)
-    entityPriorities.foreach(runPriority(_, conv, turn, sent, state, hyp))
+    entityPriorities.foreach(runPriority(_, conv, turn, sent, state))
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
-    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2, hyp))
+    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2))
     mostComplete(state2.all.toSeq)
   }
 
@@ -1012,9 +1136,9 @@ object BioRules {
       val state = new State
       decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
       entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent,
-        state, false))
+        state))
       val before = state.all.size
-      runPriority(10, at.conv_id, at.turn_idx, sent, state, false)
+      runPriority(10, at.conv_id, at.turn_idx, sent, state)
       state.all.drop(before)
         .filter(_.found_by == "alias_unknown_b")
         .map(b => (at.conv_id, b.text, b.labels.head))

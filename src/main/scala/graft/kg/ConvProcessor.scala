@@ -30,7 +30,14 @@ final case class PreTriple(
     ctx_cell_line: String = "",
     ctx_cell_type: String = "",
     // sentence-initial consequence cue (causal-precedence sieve input)
-    cue: String = ""
+    cue: String = "",
+    // intra-sentential connective + trigger tense/aspect + position — the
+    // rule-based and Reichenbach precedence sieves' inputs (Sieves.scala:
+    // 58-240); sent_idx/trig_start order events within a turn
+    sent_idx: Int = 0,
+    trig_start: Int = -1,
+    intra_cue: String = "",
+    tense: String = ""
 )
 
 final case class AliasEdge(a: String, b: String, conv_id: String)
@@ -139,12 +146,18 @@ object ConvProcessor {
       else ctxSpeciesCache.getOrElseUpdate(turn,
         nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse(""))
 
-    // ---- coref sieves: generic mentions -> nearest preceding entities ----
-    // (LinearSelector semantics, AntecedentSelector.scala:14-31). Plural
-    // generics ("they", "both", "these proteins") take the nearest
-    // `cardinality` DISTINCT antecedents (reference: Anaphoric.cardinality,
-    // Anaphoric.scala:49-127 + DarpaLinks plural handling:120-257); events
-    // over them expand into one event per antecedent.
+    // ---- coref sieves: generic mentions -> antecedents -------------------
+    // Sieve battery mirrors the reference's DarpaLinks flow (Coref.scala:
+    // 420-426): mutantProteinMatch (:77-110), strictHeadMatch (:120-162),
+    // pronominalMatch (:171-257), nounPhraseMatch (:267-354) and
+    // simpleEventMatch (:364-427), dispatched per anaphor shape. Selection
+    // follows LinearSelector (AntecedentSelector.scala:14-31): walk
+    // (turn, sentence) chunks backwards from the anaphor; within a chunk,
+    // candidates are taken in document order (closest to sentence START
+    // first) and deduplicated by grounding. Plural generics ("they", "both",
+    // "these proteins") take `cardinality` distinct antecedents (reference:
+    // Anaphoric.cardinality, Anaphoric.scala:49-127); events over them
+    // expand into one event per antecedent.
     def cardinality(m: MentionRow): Int = {
       val t = m.text.toLowerCase
       if (t == "they" || t == "them" || t == "both") 2
@@ -154,38 +167,162 @@ object ConvProcessor {
     }
     val corefMap = mutable.Map.empty[Long, Seq[Long]]
     val priorEntities = mutable.ArrayBuffer.empty[MentionRow] // in order
+    val priorEvents = mutable.ArrayBuffer.empty[MentionRow] // simple events
+
+    // grounding memo for antecedent dedup and the mutant sieve. Coref-time
+    // equality resolves with EMPTY species context: whether two surface forms
+    // corefer must not depend on the anaphor's turn (the reference compares
+    // grounding ids fixed at entity time, DarpaLinks.scala:54-75).
+    val gidMemo = mutable.Map.empty[Long, String]
+    def gidFor(c: MentionRow): String =
+      gidMemo.getOrElseUpdate(c.mention_id,
+        Link.linkableLabel(c.labels) match {
+          case Some(lbl) => gidOf(kb.resolve(c.text, lbl, ""))
+          case None => ""
+        })
+
+    def specificMutants(c: MentionRow): Seq[String] =
+      c.mods.toSeq.filter(mo => mo.kind == "Mutant" && mo.site_text.nonEmpty)
+        .map(_.site_text)
+    def hasGenericMutation(c: MentionRow): Boolean =
+      c.mods.exists(mo => mo.kind == "Mutant" && mo.site_text.isEmpty)
+
+    // gap is measured in real turns/sentences (mention-free turns count: an
+    // entity three turns back is NOT an antecedent for a pronoun even if
+    // nothing was extracted in between)
+    def selectLinear(m: MentionRow, want: Int, pronounLike: Boolean)
+                    (eligible: MentionRow => Boolean): Seq[MentionRow] = {
+      val picked = mutable.ArrayBuffer.empty[MentionRow]
+      var i = priorEntities.length - 1
+      while (i >= 0 && picked.size < want) {
+        val ct = priorEntities(i).turn_idx
+        val cs = priorEntities(i).sent_idx
+        val turnDiff = m.turn_idx - ct
+        if (turnDiff > npGap) i = -1 // sorted: all earlier are farther
+        else {
+          var j = i
+          while (j > 0 && priorEntities(j - 1).turn_idx == ct &&
+                 priorEntities(j - 1).sent_idx == cs) j -= 1
+          val withinGap =
+            if (pronounLike)
+              (turnDiff == 0 && m.sent_idx - cs <= pronounGap) || turnDiff == 1
+            else turnDiff <= npGap
+          if (withinGap) {
+            var k = j
+            while (k <= i && picked.size < want) {
+              val c = priorEntities(k)
+              if (eligible(c) && !picked.exists(p =>
+                    p.text.equalsIgnoreCase(c.text) || {
+                      val g = gidFor(c); g.nonEmpty && gidFor(p) == g
+                    })) picked += c
+              k += 1
+            }
+          }
+          i = j - 1
+        }
+      }
+      picked.toSeq
+    }
+
+    /** nounPhraseMatch label compatibility: the anaphor's class noun
+      * constrains the antecedent's label closure (reference label-subset
+      * check, DarpaLinks.scala:302-330).
+      */
+    def classCompatible(classWord: String, c: MentionRow): Boolean = {
+      val w = classWord.toLowerCase
+      def is(l: String) = c.labels.contains(l)
+      if (w.startsWith("protein") || w.startsWith("kinase") ||
+          w.startsWith("enzyme") || w.startsWith("receptor") ||
+          w.startsWith("factor"))
+        is("Gene_or_gene_product") || is("Family") || is("Complex")
+      else if (w.startsWith("gene")) is("Gene_or_gene_product")
+      else if (w.startsWith("chemical") || w.startsWith("compound") ||
+               w.startsWith("drug")) is("Simple_chemical")
+      else true // "molecule" and similar: any BioChemicalEntity
+    }
+
     mentions.foreach { m =>
-      if (!m.is_event) {
+      if (m.is_event) {
+        if (m.labels.contains("SimpleEvent")) priorEvents += m
+      } else {
         val head = m.labels.head
         if (head == "Generic_entity") {
-          // gap is measured in real turns/sentences (mention-free turns count:
-          // an entity three turns back is NOT an antecedent for a pronoun even
-          // if nothing was extracted in between)
-          val isPronoun = m.end_tok - m.start_tok == 1
           val want = cardinality(m)
-          val picked = mutable.ArrayBuffer.empty[MentionRow]
-          var i = priorEntities.length - 1
-          while (i >= 0 && picked.size < want) {
-            val c = priorEntities(i)
-            val turnDiff = m.turn_idx - c.turn_idx
-            val eligible =
-              if (isPronoun)
-                (turnDiff == 0 && m.sent_idx - c.sent_idx <= pronounGap) ||
-                  turnDiff == 1
-              else turnDiff <= npGap
-            if (turnDiff > npGap) i = -1 // sorted: all earlier are farther
-            else {
-              if (eligible &&
-                  !picked.exists(_.text.equalsIgnoreCase(c.text)))
-                picked += c
-              i -= 1
-            }
+          val picked = m.found_by match {
+            case "generic_mutant" =>
+              // mutantProteinMatch: antecedent must carry specific mutants;
+              // a captured code ("the K341L mutant") must match one of them
+              val code = m.mods.collectFirst {
+                case mo if mo.kind == "Mutant" && mo.site_text.nonEmpty =>
+                  mo.site_text
+              }
+              selectLinear(m, want, pronounLike = false) { c =>
+                val sm = specificMutants(c)
+                sm.nonEmpty &&
+                  code.forall(cd => sm.exists(_.equalsIgnoreCase(cd)))
+              }
+            case "generic_head_np" =>
+              // strictHeadMatch: the anaphor's head token must appear among
+              // the antecedent's own tokens ("Cyclin D1 ... the cyclin")
+              val hd = m.text.split(" ").last.toLowerCase
+              selectLinear(m, want, pronounLike = false) { c =>
+                c.text.toLowerCase.split("[ \\-]").contains(hd)
+              }
+            case "generic_np" =>
+              val cw = m.text.split(" ").last
+              selectLinear(m, want, pronounLike = false)(
+                classCompatible(cw, _))
+            case _ => // generic_pronoun
+              val isPronoun = m.end_tok - m.start_tok == 1
+              selectLinear(m, want, pronounLike = isPronoun)(_ => true)
           }
           // a plural needs its full antecedent count (the reference skips the
           // link otherwise); singles resolve on the first hit
           if (picked.size == want)
-            corefMap(m.mention_id) = picked.map(_.mention_id).toSeq
+            corefMap(m.mention_id) = picked.map(_.mention_id)
+        } else if (head == "Generic_event") {
+          // simpleEventMatch: nearest preceding chunk's earliest specific
+          // simple event with the anaphor's base label (carried in
+          // trigger_text), <= 1 sentence/turn back; an event triggered inside
+          // the anaphor's own span is its own nominal reading, not an
+          // antecedent
+          val base = m.trigger_text
+          var idx = priorEvents.length - 1
+          var best: MentionRow = null
+          var bestChunk: (Int, Int) = null
+          while (idx >= 0) {
+            val c = priorEvents(idx)
+            val turnDiff = m.turn_idx - c.turn_idx
+            if (turnDiff > 1) idx = -1
+            else {
+              val near = (turnDiff == 0 && m.sent_idx - c.sent_idx <= 1) ||
+                turnDiff == 1
+              val selfTrigger = c.turn_idx == m.turn_idx &&
+                c.sent_idx == m.sent_idx &&
+                c.trig_start >= m.start_tok && c.trig_start < m.end_tok
+              if (near && !selfTrigger && c.labels.contains(base) &&
+                  (bestChunk == null ||
+                    bestChunk == ((c.turn_idx, c.sent_idx)))) {
+                best = c // backward scan: last assignment = earliest in chunk
+                bestChunk = (c.turn_idx, c.sent_idx)
+              }
+              idx -= 1
+            }
+          }
+          if (best != null) corefMap(m.mention_id) = Seq(best.mention_id)
         } else if (m.labels.contains("BioChemicalEntity")) {
+          // an entity bearing a generic mutation ("this mutant ASPP1") is
+          // itself an anaphor for the specifically-mutated prior mention
+          // with the same grounding (mutantProteinMatch on
+          // hasGenericMutation, DarpaLinks.scala:84-96); unresolved ones
+          // stay as they are — they are real entities
+          if (hasGenericMutation(m) && specificMutants(m).isEmpty) {
+            val g = gidFor(m)
+            selectLinear(m, 1, pronounLike = false) { c =>
+              specificMutants(c).nonEmpty && g.nonEmpty && gidFor(c) == g
+            }.headOption.foreach(a =>
+              corefMap(m.mention_id) = Seq(a.mention_id))
+          }
           priorEntities += m
         }
       }
@@ -242,7 +379,8 @@ object ConvProcessor {
       val next = kept.filter(_.args.forall { a =>
         byId.get(a.mention_id) match {
           case Some(m) if m.is_event => ids.contains(a.mention_id)
-          case Some(m) => m.labels.head != "Generic_entity"
+          case Some(m) => m.labels.head != "Generic_entity" &&
+            m.labels.head != "Generic_event"
           case None => false
         }
       })
@@ -251,17 +389,55 @@ object ConvProcessor {
     }
 
     // ---- link stage: broadcast-KB first-hit lookup (J1) ------------------
+    // the full ordered candidate list is kept (head = winner) so the
+    // emission layer can expose it and display resolution can see whether
+    // the winner came from a family KB (Grounding.scala:49-54 + resolveDisplay)
     val groundings = mutable.Map.empty[Long, Grounding]
+    val candidatesOf = mutable.Map.empty[Long, Array[Grounding]]
+    val familyGrounded = mutable.Set.empty[Long]
     entityById.values.foreach { m =>
       Link.linkableLabel(m.labels) match {
         case Some(label) =>
-          groundings(m.mention_id) =
-            kb.resolve(m.text, label, ctxSpecies(m.turn_idx))
+          val cands = kb.resolveCandidates(m.text, label, ctxSpecies(m.turn_idx))
+          cands.headOption match {
+            case Some(winner) =>
+              groundings(m.mention_id) =
+                Grounding(winner.namespace, winner.id, winner.species)
+              candidatesOf(m.mention_id) = cands.take(5)
+                .map(e => Grounding(e.namespace, e.id, e.species)).toArray
+              if (winner.is_family_kb) familyGrounded += m.mention_id
+            case None =>
+              groundings(m.mention_id) = Link.failsafe(m.text)
+          }
         case None => ()
       }
     }
     def gid(id: Long): String =
       groundings.get(id).map(gidOf).getOrElse("")
+
+    // ---- display resolution (reference: ReachSystem.resolveDisplay:249-293)
+    // GGP entities under a Transcription ancestor display "Gene"; collect the
+    // ids reachable from Transcription events through argument edges
+    val underTranscription: mutable.Set[Long] = mutable.Set.empty[Long]
+    locally {
+      var frontier: Set[Long] = kept
+        .filter(_.labels.contains("Transcription"))
+        .flatMap(_.args.map(_.mention_id)).toSet
+      var depth = 0
+      while (frontier.nonEmpty && depth < 4) {
+        underTranscription ++= frontier
+        frontier = frontier.flatMap(id =>
+          byId.get(id).filter(_.is_event).map(_.args.map(_.mention_id).toSeq)
+            .getOrElse(Nil))
+        depth += 1
+      }
+    }
+    def displayLabel(m: MentionRow): String =
+      if (m.labels.contains("Gene_or_gene_product")) {
+        if (familyGrounded.contains(m.mention_id)) "Family"
+        else if (underTranscription.contains(m.mention_id)) "Gene"
+        else "Protein"
+      } else m.labels.head
 
     // ---- theme descent for event-valued roles ----------------------------
     // (OutputDegrader.flattenMentions semantics, OutputDegrader.scala:16-48)
@@ -296,7 +472,8 @@ object ConvProcessor {
 
     // ---- linked mentions (checkpoint payload) ----------------------------
     entityById.values.toSeq.sortBy(_.mention_id).foreach { m =>
-      if (m.labels.head != "Generic_entity") {
+      if (m.labels.head != "Generic_entity" &&
+          m.labels.head != "Generic_event") {
         val g = groundings.getOrElse(m.mention_id, Grounding("", "", ""))
         // head label only: the closure is a pure function of the head
         // (Lexicon.labelClosure) and the extra strings dominate the stage-b
@@ -305,7 +482,8 @@ object ConvProcessor {
           m.mention_id, m.conv_id, m.turn_idx, m.sent_idx, m.start_tok,
           m.end_tok, Array(m.labels.head), m.text, m.found_by, false, "",
           m.args, m.negated, m.hypothesis, g.namespace, g.id, g.species,
-          m.mods)), None, None)
+          m.mods, candidatesOf.getOrElse(m.mention_id, Array.empty),
+          displayLabel(m))), None, None)
       }
     }
     kept.filter(_.labels.head != "Alias").foreach { e =>
@@ -313,7 +491,8 @@ object ConvProcessor {
         e.mention_id, e.conv_id, e.turn_idx, e.sent_idx, e.start_tok,
         e.end_tok, Array(e.labels.head), e.text, e.found_by, true,
         e.trigger_text, e.args, e.negated, e.hypothesis, "evt",
-        java.lang.Long.toHexString(e.mention_id), "", e.mods)), None, None)
+        java.lang.Long.toHexString(e.mention_id), "", e.mods,
+        Array.empty, e.labels.head)), None, None)
     }
 
     // context gids for triple emission (Arizona CONTEXT_* columns) — memoized
@@ -339,7 +518,7 @@ object ConvProcessor {
           e.trigger_text,
           ctxGid("Species", e.turn_idx), ctxGid("Organ", e.turn_idx),
           ctxGid("CellLine", e.turn_idx), ctxGid("CellType", e.turn_idx),
-          e.cue)
+          e.cue, e.sent_idx, e.trig_start, e.intra_cue, e.tense)
       val tri: Option[PreTriple] =
         if (e.labels.contains("Regulation")) {
           val ctl = e.args.find(_.role == "controller")

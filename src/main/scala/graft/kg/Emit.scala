@@ -54,6 +54,7 @@ object Emit {
       col("text"),
       when(col("is_event"), lit(""))
         .otherwise(concat(col("ns"), lit(":"), col("ns_id"))).as("xref"),
+      col("display_label").as("display"),
       col("trigger_text").as("trigger"),
       transform(col("args"),
         a => struct(a.getField("role").as("role"),

@@ -20,6 +20,11 @@ object Lexicon {
   val taxonomyParents: Map[String, String] = Map(
     "Gene_or_gene_product" -> "BioChemicalEntity",
     "Generic_entity" -> "BioChemicalEntity",
+    // generic (anaphoric) simple-event NPs — "this phosphorylation" — are
+    // text-bound mentions whose closure reaches Event/PossibleController so
+    // regulation/activation rules can capture them as arguments (reference:
+    // taxonomy.yml Generic_event; DarpaLinks.simpleEventMatch:364-427)
+    "Generic_event" -> "Event",
     "Family" -> "BioChemicalEntity",
     "Complex" -> "BioChemicalEntity",
     "Simple_chemical" -> "BioChemicalEntity",
@@ -110,6 +115,25 @@ object Lexicon {
   private def g(names: String*): Seq[(String, String)] =
     names.map(_ -> "Gene_or_gene_product")
 
+  /** Head tokens of multi-word BioChemicalEntity lexicon surfaces — the
+    * word set the strict-head anaphora rule may pick up after a determiner
+    * ("Cyclin D1 ... the cyclin"; reference: DarpaLinks.strictHeadMatch:120-162
+    * matches a generic NP's syntactic head against a prior mention's words).
+    * Only alphabetic tokens of length >= 4 qualify (residue/number suffixes
+    * like "D1" would be spurious heads).
+    */
+  lazy val multiwordHeads: Set[String] = {
+    val bioLabels = Set("Gene_or_gene_product", "Family", "Complex",
+      "Simple_chemical")
+    nerLexicon.iterator
+      .filter { case (surface, label) =>
+        bioLabels.contains(label) && surface.contains(" ") }
+      .flatMap(_._1.split(" "))
+      .map(_.toLowerCase)
+      .filter(t => t.length >= 4 && t.forall(_.isLetter))
+      .toSet
+  }
+
   /** NER dictionary: surface phrase -> head label. Multi-token phrases allowed
     * (matched by the longest-match trie scan in Annotate).
     */
@@ -124,6 +148,10 @@ object Lexicon {
       "paxillin", "talin", "vinculin", "BAD", "BAX", "BCL2", "caspase-3",
       "NF-kappaB", "IkB", "IKK", "TRAF2", "TRAF6", "RIP1", "FADD",
       "beta-catenin", "GSK3beta", "APC", "axin", "LRP6", "DVL1"
+      // GGP-labeled surface whose ONLY grounding is a family KB — the
+      // resolveDisplay "Family" disambiguation fixture (ReachSystem.scala:
+      // 249-293 + ReachKBUtils.isFamilyGrounded)
+      , "MAPK"
     ) ++ Seq(
       "Ras" -> "Family",
       "RAF" -> "Family",
@@ -226,6 +254,8 @@ object Lexicon {
       // Gene_or_gene_product label its search sequence falls through to pfam
       // at rank 1 (family-vs-protein overlap fixture, FIXTURES.md §2)
       fam("Ras", "PF00071", "Gene_or_gene_product", 1),
+      // MAPK: GGP label, family-KB-only grounding -> displays "Family"
+      fam("MAPK", "PF00069", "Gene_or_gene_product"),
       fam("Ras", "PF00071"), fam("RAF", "PF02196"),
       fam("RAF", "PF02196", "Gene_or_gene_product", 1),
       fam("Rho", "PF00071"), fam("STAT", "PF01017"),

@@ -93,11 +93,16 @@ object Link {
       entries.groupBy(e => (canonKey(e.text), e.label))
         .map { case (k, v) => k -> v.toArray }
 
-    /** First-hit-wins resolution with context-species re-rank. */
-    def resolve(text: String, label: String, ctxSpecies: String): Grounding = {
+    /** Ordered candidate resolutions (reference: Grounding.nominate keeps the
+      * full ordered list with head = winner, Grounding.scala:49-54; the
+      * species re-rank reorders it, ReachGrounder.scala:68-95 — here the
+      * context-species rank is already part of the ordering key). Returns
+      * Nil when no KB hit exists (callers fall back to [[failsafe]]).
+      */
+    def resolveCandidates(text: String, label: String,
+                          ctxSpecies: String): Seq[KBEntry] = {
       val keys = candidateKeys(text)
-      var best: KBEntry = null
-      var bestRank: (Int, Int, Int, String) = null
+      var found: List[(((Int, Int, Int, String)), KBEntry)] = Nil
       var ki = 0
       while (ki < keys.length) {
         byKeyLabel.get((keys(ki), label)) match {
@@ -105,19 +110,24 @@ object Link {
             var i = 0
             while (i < es.length) {
               val e = es(i)
-              val r = (e.kb_rank, ki, speciesRank(e.species, ctxSpecies), e.id)
-              if (best == null || Ordering[(Int, Int, Int, String)].lt(r, bestRank)) {
-                best = e; bestRank = r
-              }
+              found = ((e.kb_rank, ki, speciesRank(e.species, ctxSpecies),
+                e.id), e) :: found
               i += 1
             }
           case None =>
         }
         ki += 1
       }
-      if (best != null) Grounding(best.namespace, best.id, best.species)
-      else failsafe(text)
+      // the key cascade can reach one entry through several keys — keep the
+      // best-ranked occurrence of each (ns, id)
+      found.sortBy(_._1).map(_._2).distinctBy(e => (e.namespace, e.id))
     }
+
+    /** First-hit-wins resolution with context-species re-rank. */
+    def resolve(text: String, label: String, ctxSpecies: String): Grounding =
+      resolveCandidates(text, label, ctxSpecies).headOption
+        .map(e => Grounding(e.namespace, e.id, e.species))
+        .getOrElse(failsafe(text))
   }
 
   /** Context labels never need KB grounding beyond their own table; events are

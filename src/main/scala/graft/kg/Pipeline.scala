@@ -193,7 +193,8 @@ object Pipeline {
         col("negated"), col("hypothesis"), col("conv_id"), col("turn_idx"),
         col("evidence_text"), col("found_by"), col("trigger_text"),
         col("ctx_species"), col("ctx_organ"), col("ctx_cell_line"),
-        col("ctx_cell_type"), col("cue"))
+        col("ctx_cell_type"), col("cue"), col("sent_idx"), col("trig_start"),
+        col("intra_cue"), col("tense"))
       .withColumn("edge_id", xxhash64(col("subj"), col("pred"), col("obj"),
         col("site"), col("negated"), col("hypothesis"), col("conv_id"),
         col("turn_idx")))
@@ -210,16 +211,20 @@ object Pipeline {
       .withColumnRenamed("gid", "canon_id")
     import org.apache.spark.sql.expressions.Window
     val surfaceCounts = entsCanon.groupBy(col("canon_id"), col("text"),
-        col("ns"), col("ns_id"), col("species"), col("labels"))
+        col("ns"), col("ns_id"), col("species"), col("labels"),
+        col("display_label"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("canon_id"))
-      .orderBy(col("n").desc, col("text").asc)
+      .orderBy(col("n").desc, col("text").asc, col("display_label").asc)
     val nodes = surfaceCounts
       .withColumn("rn", row_number().over(w))
       .groupBy(col("canon_id"))
       .agg(
         max(when(col("rn") === 1, col("text"))).as("display"),
         max(when(col("rn") === 1, col("labels")(0))).as("label"),
+        // resolveDisplay disambiguation (ReachSystem.scala:249-293) carried
+        // from the per-mention resolution: Family / Gene / Protein for GGPs
+        max(when(col("rn") === 1, col("display_label"))).as("display_label"),
         max(when(col("rn") === 1, col("ns"))).as("ns"),
         max(when(col("rn") === 1, col("ns_id"))).as("ns_id"),
         max(when(col("rn") === 1, col("species"))).as("species"),

@@ -232,6 +232,85 @@ object Transcripts {
       tri("g31", 0, "", "AutoPhosphorylation", EGFR),
       tri("g31", 0, EGFR, "Positive_regulation", s"AutoPhosphorylation($EGFR)"))
 
+    // nounPhraseMatch class compatibility (DarpaLinks.scala:267-354 +
+    // TestCoreference sent14): "This protein" must skip the nearer chemical
+    // and resolve to mTOR
+    conv("g32")(
+      "user" -> "Rapamycin inhibits mTOR.",
+      "assistant" -> "This protein is phosphorylated by AKT1.")(
+      tri("g32", 0, RAPA, "Negative_activation", mTOR),
+      tri("g32", 1, "", "Phosphorylation", mTOR),
+      tri("g32", 1, AKT1, "Positive_regulation", s"Phosphorylation($mTOR)"))
+
+    // mutantProteinMatch (DarpaLinks.scala:77-110 + TestCoreference sent33a):
+    // "the mutant" resolves to the specifically-mutated AKT1
+    conv("g33")("user" ->
+      "AKT1 T308A is common, and the mutant binds GSK3.")(
+      tri("g33", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")))
+
+    // mutant-code mismatch (TestCoreference sent32b shape): "the T671A
+    // mutant" cannot resolve to AKT1 T308A -> the binding is dropped
+    conv("g34")("user" ->
+      "AKT1 T308A is common, and the T671A mutant binds GSK3.")()
+
+    // simpleEventMatch, same sentence (TestCoreference sent27a): "this
+    // phosphorylation" resolves to the JAK3->HuR event; the activation's
+    // subject flattens to the resolved event's theme
+    conv("g35")("user" ->
+      "We found that JAK3 phosphorylates HuR, and this phosphorylation upregulates STAT3.")(
+      tri("g35", 0, "", "Phosphorylation", HuR),
+      tri("g35", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR)"),
+      tri("g35", 0, HuR, "Positive_activation", STAT3))
+
+    // simpleEventMatch across turns, as a regulation's controlled
+    conv("g36")(
+      "user" -> "MEK1 phosphorylates ERK2.",
+      "assistant" -> "AKT1 enhances this phosphorylation.")(
+      tri("g36", 0, "", "Phosphorylation", ERK2),
+      tri("g36", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"),
+      tri("g36", 1, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // no determiner -> no event anaphora (TestCoreference sent27b)
+    conv("g37")("user" ->
+      "JAK3 phosphorylates HuR, and phosphorylation upregulates STAT3.")(
+      tri("g37", 0, "", "Phosphorylation", HuR),
+      tri("g37", 0, JAK3, "Positive_regulation", s"Phosphorylation($HuR)"))
+
+    // strictHeadMatch (DarpaLinks.scala:120-162): "the cyclin" links to the
+    // multi-word "Cyclin D1" via its head token
+    conv("g38")(
+      "user" -> "Cyclin D1 is expressed in HeLa cells.",
+      "assistant" -> "The cyclin binds AKT1.")(
+      tri("g38", 1, "", "Binding", Seq(CCND1, AKT1).sorted.mkString("&")))
+
+    // clause-scoped hypothesis (HypothesisHandler 2-hop analogue): only the
+    // clause carrying the hint is hypothesized
+    conv("g39")("user" ->
+      "MEK1 phosphorylates ERK2, and we hypothesize that JAK3 ubiquitinates HuR.")(
+      tri("g39", 0, "", "Phosphorylation", ERK2),
+      tri("g39", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"),
+      tri("g39", 0, "", "Ubiquitination", HuR, "", hyp = true),
+      tri("g39", 0, JAK3, "Positive_regulation", s"Ubiquitination($HuR)", "",
+        hyp = true))
+
+    // LinearSelector picks the candidate closest to the START of the
+    // antecedent sentence (AntecedentSelector.scala:14-31): "It" resolves to
+    // AKT1, not the nearer GSK3
+    conv("g40")(
+      "user" -> "AKT1 binds GSK3.",
+      "assistant" -> "It is phosphorylated by MEK1.")(
+      tri("g40", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")),
+      tri("g40", 1, "", "Phosphorylation", AKT1),
+      tri("g40", 1, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"))
+
+    // resolveDisplay disambiguation (ReachSystem.scala:249-293): MAPK is a
+    // GGP-labeled mention whose only grounding is a family KB -> its node
+    // displays "Family" (display pinned by ConvProcessorSpec + the
+    // kg_canonical_nodes driver row)
+    val MAPK = gidOf("MAPK")
+    conv("g41")("user" -> "MAPK binds AKT1.")(
+      tri("g41", 0, "", "Binding", Seq(MAPK, AKT1).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -273,7 +352,7 @@ object Transcripts {
       val role = if (t % 2 == 0) "user" else "assistant"
       // kinds 14+ need cross-turn coref and are excluded from mega slices
       // (chunk boundaries must not truncate anaphora lookback)
-      val maxT = if (withCoref) 16 else 14
+      val maxT = if (withCoref) 19 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -380,6 +459,36 @@ object Transcripts {
             s"Phosphorylation(${gidOf(a)})")
           triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
             s"Phosphorylation(${gidOf(b)})")
+          t += 1
+        case 16 if t + 1 < nTurns =>
+          // simpleEventMatch: event anaphora as a regulation's controlled
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role, s"$a phosphorylates $b.")
+          turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
+            s"$c enhances this phosphorylation.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+          triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+          t += 1
+        case 17 =>
+          // mutantProteinMatch: "the mutant" resolves to the mutated protein
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"$a T308A is common, and the mutant binds $b.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+        case 18 if t + 1 < nTurns =>
+          // nounPhraseMatch: "This protein" skips the nearer chemical
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"Rapamycin inhibits $a.")
+          turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
+            s"This protein binds $b.")
+          triples += tri(conv, t, gidOf("rapamycin", "Simple_chemical"),
+            "Negative_activation", gidOf(a))
+          triples += tri(conv, t + 1, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
           t += 1
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))

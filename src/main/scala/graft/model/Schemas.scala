@@ -112,7 +112,16 @@ final case class MentionRow(
     // sentence-initial consequence cue ("as a result", "therefore", ...) —
     // feeds the causal-precedence sieve (reference: assembly
     // sieves/Sieves.scala:58-336, inter-sentential discourse subset)
-    cue: String = ""
+    cue: String = "",
+    // intra-sentential precedence connective immediately before the trigger
+    // ("before"/"prior" vs "after"/"following", plus consequence adverbs) —
+    // surface form of the reference's intrasentential.yml event-to-event
+    // rules (Sieves.intrasententialRBPrecedence:58-84)
+    intra_cue: String = "",
+    // trigger tense+aspect ("past", "past|perf", "present", "future", ...) —
+    // feeds the Reichenbach precedence table (Sieves.reichenbachPrecedence:
+    // 93-240 / tense_aspect.yml)
+    tense: String = ""
 )
 
 /** A grounding-KB entry (reference: grounding/InMemoryKB.scala:214-265 and the
@@ -153,7 +162,15 @@ final case class LinkedMention(
     ns: String,
     ns_id: String,
     species: String,
-    mods: Array[Mod] = Mod.none
+    mods: Array[Mod] = Mod.none,
+    // ordered grounding candidates, head == winner (reference:
+    // Grounding.nominate keeps the candidate list for later re-ranking,
+    // Grounding.scala:49-54); empty for events and failsafe groundings
+    candidates: Array[Grounding] = Array.empty,
+    // resolved display label (reference: ReachSystem.resolveDisplay:249-293 —
+    // family-grounded GGPs display "Family", transcription themes "Gene",
+    // other GGPs "Protein"; non-GGP mentions display their head label)
+    display_label: String = ""
 )
 
 /** Emitted triple — the Arizona-tabular analogue (reference:

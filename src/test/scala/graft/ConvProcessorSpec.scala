@@ -99,6 +99,53 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(reg.obj_pred == "Phosphorylation" && reg.obj_gid == "uniprot:P31749")
   }
 
+  test("coref sieves: class word, mutant, strict head, event anaphora") {
+    // nounPhraseMatch: "This protein" skips the nearer chemical
+    val np = triples(run("Rapamycin inhibits mTOR.",
+      "This protein is phosphorylated by AKT1."))
+    assert(np.exists(t => t.pred == "Phosphorylation" &&
+      t.obj_gid == "uniprot:P42345"))
+    // "This chemical" resolves to rapamycin, skipping the nearer protein
+    val chem = triples(run("Rapamycin inhibits mTOR.",
+      "This compound binds FADD."))
+    assert(chem.exists(t => t.pred == "Binding" &&
+      Set(t.obj_gid, t.obj_gid2).contains("pubchem:CID5284616")))
+    // mutantProteinMatch: code must match
+    assert(triples(run("AKT1 T308A is common, and the mutant binds GSK3."))
+      .exists(_.pred == "Binding"))
+    assert(!triples(run("AKT1 T308A is common, and the T671A mutant binds GSK3."))
+      .exists(_.pred == "Binding"))
+    assert(!triples(run("AKT1 is common, and the mutant binds GSK3."))
+      .exists(_.pred == "Binding")) // no specific mutant to link to
+    // simpleEventMatch requires a label-compatible antecedent
+    val evt = triples(run("MEK1 ubiquitinates ERK2.",
+      "AKT1 enhances this phosphorylation."))
+    assert(!evt.exists(_.subj_gid == "uniprot:P31749"))
+  }
+
+  test("resolveDisplay: family-grounded GGP displays Family, transcription " +
+       "theme Gene, other GGPs Protein") {
+    def displays(rows: Seq[StageBRow]): Map[String, String] =
+      rows.filter(_.kind == "linked").flatMap(_.linked)
+        .filter(!_.is_event).map(l => l.text -> l.display_label).toMap
+    val d1 = displays(run("MAPK binds AKT1."))
+    assert(d1("MAPK") == "Family")
+    assert(d1("AKT1") == "Protein")
+    val d2 = displays(run("The transcription of cyclin D1 is induced by beta-catenin."))
+    assert(d2("cyclin D1") == "Gene")
+    assert(d2("beta-catenin") == "Protein") // controller, not under Transcription
+  }
+
+  test("grounding candidates column: ordered list with head == winner") {
+    val linked = run("Ras phosphorylates AKT1.")
+      .filter(_.kind == "linked").flatMap(_.linked).filter(!_.is_event)
+    val akt = linked.find(_.text == "AKT1").get
+    assert(akt.candidates.nonEmpty &&
+      akt.candidates.head == Grounding("uniprot", "P31749", "human"))
+    // mouse ortholog is retained as a later candidate
+    assert(akt.candidates.exists(_.id == "P31750"))
+  }
+
   test("fold is deterministic under input order shuffling") {
     val texts = Seq("MEK1 phosphorylates ERK2 at T669.",
       "AKT1 binds GSK3 and BAD.", "Rapamycin inhibits mTOR.")
