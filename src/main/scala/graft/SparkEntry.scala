@@ -417,9 +417,13 @@ object SparkEntry {
       TextAnalysis.langId(t(dir, "documents"))
     },
     "text_fingerprint" -> { (s, dir) =>
-      implicit val sp = s
-      TextAnalysis.fingerprint(t(dir, "documents"))
-        .select(col("doc_id"), col("fp_size"))
+      // seeded-subset tier (same treatment as dedup_simhash): the selected
+      // winnowing hashes on deterministic inline docs, pinned as a VALUES
+      // oracle; the sf-corpus variant stays the Bench timing path
+      import s.implicits._
+      TextAnalysis.fingerprint(
+        s.createDataset(simhashFixture).toDF("doc_id", "text"))
+        .select(col("doc_id"), explode(col("fingerprint")).as("h"))
     },
 
     // ---- multimodal plumbing --------------------------------------------
@@ -434,10 +438,50 @@ object SparkEntry {
     },
     "mm_features" -> { (s, dir) =>
       implicit val sp = s
+      // cast to double BEFORE rounding so the column compares exactly
+      // against the DuckDB-recomputed histogram (float32 round would carry
+      // representation error into the string compare)
       Multimodal.decodeFeatures(s, Multimodal.attachMedia(t(dir, "documents")))
         .toDF().select(col("doc_id"), col("width"), col("height"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 8), 4).as("f7"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 4).as("f7"))
+    },
+
+    // ---- hand-traced spot samples (independent of DumpOracles) ----------
+    "kg_emit_arizona_sample" -> { (s, dir) =>
+      // Arizona rows for three single-edge golden conversations, EVENT_ID
+      // (a hash) excluded so every remaining column is hand-traceable
+      Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges
+          .filter(col("conv_id").isin("g05", "g12", "g16", "g18")))
+        .drop("EVENT_ID")
+    },
+    "kg_fries_frames_sample" -> { (s, dir) =>
+      // frame-graph content minus the hashed frame ids: parse the emitted
+      // JSON back and project hand-traceable frame fields
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val turns = Transcripts.goldenTurns(s)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      val frameSchema = "STRUCT<document: STRING, frames: ARRAY<STRUCT<" +
+        "turn_idx: INT, sent_idx: INT, start_tok: INT, end_tok: INT, " +
+        "frame_id: BIGINT, frame_type: STRING, type: STRING, text: STRING, " +
+        "xref: STRING, display: STRING, trigger: STRING, " +
+        "args: ARRAY<STRUCT<role: STRING, arg: BIGINT>>, " +
+        "modifications: ARRAY<STRUCT<kind: STRING, label: STRING, site: STRING>>, " +
+        "is_negated: BOOLEAN, is_hypothesis: BOOLEAN>>>"
+      Emit.friesFrameGraph(b.toDF())
+        .filter(col("conv_id").isin("g05", "g12", "g13"))
+        .select(col("conv_id"),
+          explode(from_json(col("fries"), frameSchema,
+            Map.empty[String, String]).getField("frames")).as("f"))
+        .select(col("conv_id"), col("f.turn_idx").as("turn_idx"),
+          col("f.start_tok").as("start_tok"), col("f.end_tok").as("end_tok"),
+          col("f.frame_type").as("frame_type"), col("f.type").as("type"),
+          col("f.text").as("text"), col("f.xref").as("xref"),
+          col("f.display").as("display"), col("f.trigger").as("trigger"),
+          size(col("f.args")).as("n_args"),
+          col("f.is_negated").as("is_negated"))
     }
   )
 
@@ -749,6 +793,82 @@ object SparkEntry {
         | (['jpeg','png','webp'])[(doc_id % 3) + 1] AS format,
         | CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // independent recomputation of the stub decode: byte histogram mod 8
+    // over the (all-ASCII) text payload, normalized — NOT a dump of the
+    // engine's own output
+    "mm_features" ->
+      """SELECT doc_id, width, height,
+        | round(CAST(c0/n AS REAL), 4) AS f0,
+        | round(CAST(c7/n AS REAL), 4) AS f7
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST((doc_id * 37 + length(text)) % 1280 + 32 AS INT) AS width,
+        |    CAST((doc_id * 53 + length(text)) % 720 + 32 AS INT) AS height,
+        |    CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(range(1, length(text)+1),
+        |      i -> ord(substr(text, i, 1)) % 8 = 0)) AS DOUBLE) AS c0,
+        |    CAST(len(list_filter(range(1, length(text)+1),
+        |      i -> ord(substr(text, i, 1)) % 8 = 7)) AS DOUBLE) AS c7
+        |  FROM documents)""".stripMargin,
+    "text_fingerprint" -> GeneratedOracles.textFingerprint,
+    // hand-traced spot oracles, written independently of DumpOracles so a
+    // bug frozen into the generated pins cannot survive here
+    "kg_emit_arizona_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('uniprot:P28482', 'uniprot:P28482.p', '', 'Phosphorylation', '',
+        |   TRUE, FALSE, FALSE, '', '', '', '', '', 'phosphorylate', 1,
+        |   'phosphorylate ERK2', 'g05'),
+        |  ('Phosphorylation(uniprot:P28482)', 'Phosphorylation(uniprot:P28482)',
+        |   'uniprot:Q02750', 'Positive_regulation', '',
+        |   TRUE, FALSE, FALSE, '', '', '', '', '', 'phosphorylate', 1,
+        |   'MEK does not phosphorylate ERK2', 'g05'),
+        |  ('uniprot:P42345', 'uniprot:P42345', 'pubchem:CID5284616',
+        |   'Negative_activation', '',
+        |   FALSE, TRUE, FALSE, '', '', '', '', '', 'inhibits', 1,
+        |   'Rapamycin inhibits mTOR', 'g12'),
+        |  ('uniprot:P28482', 'uniprot:P28482.p@T669', '', 'Phosphorylation', 'T669',
+        |   FALSE, FALSE, FALSE, '', '', '', '', '', 'phosphorylates', 1,
+        |   'phosphorylates ERK2 at T669', 'g16'),
+        |  ('Phosphorylation(uniprot:P28482@T669)', 'Phosphorylation(uniprot:P28482@T669)',
+        |   'uniprot:Q02750', 'Positive_regulation', 'T669',
+        |   FALSE, FALSE, FALSE, '', '', '', '', '', 'phosphorylates', 1,
+        |   'MEK1 phosphorylates ERK2 at T669', 'g16'),
+        |  ('uniprot:P40763', 'uniprot:P40763.a', 'uniprot:P23458',
+        |   'Positive_activation', '',
+        |   FALSE, TRUE, FALSE, '', '', '', '', '', 'activated', 1,
+        |   'STAT3 is activated by JAK1', 'g18')
+        |) AS t(INPUT, OUTPUT, CONTROLLER, EVENT_LABEL, SITE, NEGATED,
+        |       INDIRECT, HYPOTHESIS, CONTEXT_SPECIES, CONTEXT_ORGAN,
+        |       CONTEXT_CELL_LINE, CONTEXT_CELL_TYPE,
+        |       TRANSLOCATION_DESTINATION, TRIGGERS, SEEN, EVIDENCE, SEEN_IN)""".stripMargin,
+    "kg_fries_frames_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('g05', 0, 0, 1, 'entity-mention', 'Gene_or_gene_product', 'MEK',
+        |   'uniprot:Q02750', 'Protein', '', 0, FALSE),
+        |  ('g05', 0, 0, 5, 'event-mention', 'Positive_regulation',
+        |   'MEK does not phosphorylate ERK2', '', 'Positive_regulation',
+        |   'phosphorylate', 2, TRUE),
+        |  ('g05', 0, 3, 5, 'event-mention', 'Phosphorylation',
+        |   'phosphorylate ERK2', '', 'Phosphorylation', 'phosphorylate', 1,
+        |   TRUE),
+        |  ('g05', 0, 4, 5, 'entity-mention', 'Gene_or_gene_product', 'ERK2',
+        |   'uniprot:P28482', 'Protein', '', 0, FALSE),
+        |  ('g12', 0, 0, 1, 'entity-mention', 'Simple_chemical', 'Rapamycin',
+        |   'pubchem:CID5284616', 'Simple_chemical', '', 0, FALSE),
+        |  ('g12', 0, 0, 3, 'event-mention', 'Negative_activation',
+        |   'Rapamycin inhibits mTOR', '', 'Negative_activation', 'inhibits',
+        |   2, FALSE),
+        |  ('g12', 0, 2, 3, 'entity-mention', 'Gene_or_gene_product', 'mTOR',
+        |   'uniprot:P42345', 'Protein', '', 0, FALSE),
+        |  ('g13', 0, 0, 1, 'entity-mention', 'Gene_or_gene_product', 'STAT3',
+        |   'uniprot:P40763', 'Protein', '', 0, FALSE),
+        |  ('g13', 0, 0, 5, 'event-mention', 'Translocation',
+        |   'STAT3 translocates to the nucleus', '', 'Translocation',
+        |   'translocates', 2, FALSE),
+        |  ('g13', 0, 4, 5, 'entity-mention', 'Cellular_component', 'nucleus',
+        |   'go:GO:0005634', 'Cellular_component', '', 0, FALSE)
+        |) AS t(conv_id, turn_idx, start_tok, end_tok, frame_type, type,
+        |       text, xref, display, trigger, n_args, is_negated)""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, width, height,
         | CAST(floor(width * s) AS INT) AS out_width,
