@@ -70,7 +70,11 @@ object Bench {
         graft.ops.Dedup.embeddingPairsLsh(emb, 0.7, tables = 32, bits = 8)
           .count(): Unit),
       "dedup_simhash_corpus" -> (() =>
-        graft.ops.Dedup.simhashPairs(docs, 10).count(): Unit)
+        graft.ops.Dedup.simhashPairs(docs, 10).count(): Unit),
+      // the contract text_fingerprint query is the seeded VALUES tier; this
+      // times winnowing over the full sf corpus
+      "text_fingerprint_corpus" -> (() =>
+        graft.ops.TextAnalysis.fingerprint(docs).count(): Unit)
     ).map { case (name, f) => name -> time(f()) }
 
     // KG pipeline throughput: generated corpus incl. skewed mega-conversation
