@@ -1,0 +1,583 @@
+package graft.kg
+
+import graft.model.Sent
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** Deterministic dependency edge: collapsed-Stanford-style label set
+  * (nsubj, nsubjpass, dobj, agent, prep_*, conj_*, nn, appos, rcmod, ccomp,
+  * xcomp, aux, neg, advmod, det, amod) — the label vocabulary the reference's
+  * syntax grammars pattern over (biogrammar/events/simple-event_template.yml:
+  * 16-52 uses exactly these hop labels).
+  */
+final case class DepEdge(gov: Int, dep: Int, label: String)
+
+/** Per-sentence dependency graph with the traversals the reference needs:
+  * undirected shortest path (DarpaActions.proteinBetween:624-643 via
+  * `deps.shortestPath(ignoreDirection = true)`), bounded-degree neighborhood
+  * (HypothesisHandler.getSpannedIndexes:47-76), and span head finding
+  * (reference: utils/DependencyUtils.findHeadStrict). Built row-locally per
+  * sentence inside the extraction flatMap — never shuffled, never cached.
+  */
+final class DepGraph(val n: Int, val tags: Array[String],
+                     val edges: Array[DepEdge]) extends Serializable {
+
+  /** adjacency: (neighbor, label, outgoing). */
+  val adj: Array[List[(Int, String, Boolean)]] = {
+    val a = Array.fill(n)(List.empty[(Int, String, Boolean)])
+    // reverse iteration keeps lists in edge-insertion order (deterministic)
+    edges.reverseIterator.foreach { e =>
+      if (e.gov >= 0 && e.gov < n && e.dep >= 0 && e.dep < n) {
+        a(e.gov) ::= ((e.dep, e.label, true))
+        a(e.dep) ::= ((e.gov, e.label, false))
+      }
+    }
+    a
+  }
+
+  def outgoing(i: Int): List[(Int, String)] =
+    adj(i).collect { case (j, l, true) => (j, l) }
+  def incoming(i: Int): List[(Int, String)] =
+    adj(i).collect { case (j, l, false) => (j, l) }
+
+  /** Undirected BFS shortest path a -> b (token indexes, inclusive), or None
+    * if disconnected. Deterministic: neighbors visited in adjacency order.
+    */
+  def shortestPath(a: Int, b: Int): Option[List[Int]] = {
+    if (a == b) return Some(List(a))
+    if (a < 0 || b < 0 || a >= n || b >= n) return None
+    val prev = Array.fill(n)(-2) // -2 unvisited, -1 source
+    prev(a) = -1
+    var frontier = List(a)
+    while (frontier.nonEmpty && prev(b) == -2) {
+      val next = mutable.ListBuffer.empty[Int]
+      frontier.foreach { u =>
+        adj(u).foreach { case (v, _, _) =>
+          if (prev(v) == -2) { prev(v) = u; next += v }
+        }
+      }
+      frontier = next.toList
+    }
+    if (prev(b) == -2) None
+    else {
+      var path = List(b)
+      var cur = b
+      while (prev(cur) >= 0) { cur = prev(cur); path ::= cur }
+      Some(path)
+    }
+  }
+
+  /** All labels on edges (either direction) between adjacent path nodes. */
+  def labelsBetween(u: Int, v: Int): List[String] =
+    adj(u).collect { case (w, l, _) if w == v => l }
+
+  /** Token indexes within `degree` undirected hops of any span token
+    * (HypothesisHandler degree-2 neighborhood, HypothesisHandler.scala:12,47-76).
+    */
+  def neighborhood(span: Seq[Int], degree: Int): Set[Int] = {
+    var seen = span.toSet
+    var frontier = span.toSet
+    var d = 0
+    while (d < degree && frontier.nonEmpty) {
+      val next = frontier.flatMap(i =>
+        if (i >= 0 && i < n) adj(i).map(_._1) else Nil) -- seen
+      seen ++= next
+      frontier = next
+      d += 1
+    }
+    seen
+  }
+
+  /** Syntactic head of token span [s, e): the token governed from outside the
+    * span (or ungoverned); rightmost noun among candidates as tiebreak —
+    * biomedical NPs are head-final (reference: DependencyUtils.findHeadStrict).
+    */
+  def headOfSpan(s: Int, e: Int): Int = {
+    val lo = math.max(0, s)
+    val hi = math.min(n, e)
+    if (lo >= hi) return math.max(0, math.min(n - 1, lo))
+    val cands = (lo until hi).filter { i =>
+      val govs = incoming(i).map(_._1)
+      govs.isEmpty || govs.exists(g => g < lo || g >= hi)
+    }
+    val pool = if (cands.nonEmpty) cands else (lo until hi)
+    val nouns = pool.filter(i => tags(i) == "NN" || tags(i) == "NNP")
+    if (nouns.nonEmpty) nouns.last else pool.last
+  }
+
+  def isVerb(i: Int): Boolean =
+    i >= 0 && i < n && tags(i).startsWith("V")
+}
+
+/** Deterministic linguistic parser: POS-lite tagging + clause-aware arc
+  * building producing collapsed-Stanford dependencies. A self-contained
+  * stand-in for the reference's CoreNLP parse (BioNLPProcessor — unavailable
+  * in-sandbox, SURVEY.md §7.0): rule-based, zero-allocation-conscious,
+  * strictly sentence-local so it lives inside the same narrow `flatMap` as
+  * rule matching. Covers the constructions the reference's syntax grammars
+  * pattern over: active/passive/nominal argument frames, agent by-phrases,
+  * PP chains, NP coordination, clause coordination, appositives,
+  * relative clauses (subject + object), complement clauses, xcomp.
+  */
+object DepParser {
+
+  // ---- POS-lite ----------------------------------------------------------
+
+  private val det = Set("the", "a", "an", "this", "these", "those", "each",
+    "every", "its", "their", "our", "his", "her", "some", "any", "no")
+  private val preps = Set("of", "by", "at", "on", "in", "with", "from",
+    "into", "between", "via", "through", "upon", "for", "during", "without",
+    "under", "over", "within", "across", "along", "toward", "towards",
+    "after", "before", "following", "as")
+  private val auxBe = Set("is", "are", "was", "were", "be", "been", "being",
+    "am", "gets", "get", "got", "becomes", "become", "became", "remains",
+    "remain", "remained")
+  private val auxHave = Set("has", "have", "had", "does", "do", "did")
+  private val modals = Set("can", "cannot", "could", "may", "might", "will",
+    "would", "shall", "should", "must")
+  private val negs = Set("not", "n't", "never", "neither", "cannot")
+  private val prons = Set("it", "they", "them", "we", "he", "she", "you", "i",
+    "itself", "themselves", "this", "that", "these", "those", "both")
+  private val ccs = Set("and", "or", "but", "nor", "&")
+
+  /** Small open-class verb lexicon: discourse/epistemic verbs + the general
+    * bio-event verbs whose morphology the suffix rules below don't catch.
+    * (Event triggers themselves mostly end in -ate/-ates/-ated/-ating or
+    * -ize family and are caught morphologically.)
+    */
+  private val verbStems = Set(
+    "suggest", "show", "demonstrate", "indicate", "reveal", "hint", "imply",
+    "predict", "hypothesize", "propose", "speculate", "argue", "believe",
+    "think", "report", "observe", "find", "found", "conclude", "confirm",
+    "establish", "examine", "investigate", "test", "note", "see", "know",
+    "expect", "appear", "seem", "occur", "increase", "decrease", "reduce",
+    "block", "inhibit", "induce", "promote", "prevent", "suppress", "enhance",
+    "stimulate", "trigger", "mediate", "regulate", "control", "modulate",
+    "bind", "bound", "interact", "associate", "form", "move", "shuttle",
+    "express", "transcribe", "require", "involve", "lead", "result",
+    "contribute", "cause", "affect", "abolish", "attenuate", "impair",
+    "disrupt", "restore", "rescue", "precede", "follow", "depend", "drive",
+    "abrogate", "augment", "diminish", "facilitate", "accelerate")
+
+  private def isVerbWord(w: String, lemma: String): Boolean = {
+    val l = w.toLowerCase
+    def stemIn(s: String) = verbStems.contains(s)
+    stemIn(lemma) || stemIn(l) ||
+    stemIn(l.stripSuffix("s")) || stemIn(l.stripSuffix("es")) ||
+    stemIn(l.stripSuffix("ed")) || stemIn(l.stripSuffix("d")) ||
+    stemIn(l.stripSuffix("ing")) ||
+    // -ate family: phosphorylates / ubiquitinated / translocating / binds...
+    l.matches(""".*at(e|es|ed|ing)""") ||
+    l.matches(""".*iz(e|es|ed|ing)""") ||
+    l.matches(""".*(ylat|itinat|osylat|ethylat|cetylat|umoylat).*""") ||
+    l.matches("""(de)?(phosphorylat|ubiquitinat|hydroxylat|acetylat|glycosylat|methylat|sumoylat|farnesylat|ribosylat)\w*""")
+  }
+
+  private val cdRe = Pattern.compile("""\d+(\.\d+)?""")
+  // nominalizations stay nouns even when a verb suffix rule would fire
+  private val nomRe = Pattern.compile(""".*(ion|ions|ment|ments|ance|ence|ity|ness|ism)""", Pattern.CASE_INSENSITIVE)
+
+  /** Tag set: DT IN TO CC MD AUX NEG RB WDT PRP CD PUNCT JJ NN NNP VB VBN VBG.
+    * `VBN` = participle contextually (after be/have or reduced before "by");
+    * plain past stays VB — passivity is decided in arc building from the aux.
+    */
+  def posTags(words: Array[String], lemmas: Array[String],
+              ner: Array[String]): Array[String] = {
+    val n = words.length
+    val tags = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val w = words(i)
+      val l = w.toLowerCase
+      tags(i) =
+        if (ner(i) != "O") "NNP"
+        else if (w.length == 1 && !w.head.isLetterOrDigit) "PUNCT"
+        else if (l == "to") "TO"
+        else if (l == "which" || l == "who" || l == "whom" || l == "whose") "WDT"
+        else if (l == "that") "THAT" // disambiguated below
+        else if (negs.contains(l)) "NEG"
+        else if (modals.contains(l)) "MD"
+        else if (auxBe.contains(l)) "AUX"
+        else if (auxHave.contains(l)) "AUX"
+        else if (ccs.contains(l)) "CC"
+        else if (det.contains(l)) "DT"
+        else if (preps.contains(l)) "IN"
+        else if (prons.contains(l)) "PRP"
+        else if (cdRe.matcher(w).matches()) "CD"
+        else if (l.endsWith("ly") && l.length > 3) "RB"
+        else if (Set("also", "further", "subsequently", "then", "thus",
+          "therefore", "however", "moreover", "instead", "together",
+          "here", "there").contains(l)) "RB"
+        else if (!nomRe.matcher(l).matches() && isVerbWord(w, lemmas(i))) {
+          if (l.endsWith("ing")) "VBG" else "VB"
+        }
+        else "NN"
+      i += 1
+    }
+    // context fixes
+    i = 0
+    while (i < n) {
+      tags(i) match {
+        case "THAT" =>
+          val prev = if (i > 0) tags(i - 1) else ""
+          tags(i) =
+            if (prev.startsWith("V")) "WDT" // "suggest that ..." (comp)
+            else if (prev == "NN" || prev == "NNP") "WDT" // relcl
+            else "DT" // "that phosphorylation"
+        case "VB" | "VBG" =>
+          val l = words(i).toLowerCase
+          val prev = if (i > 0) tags(i - 1) else ""
+          // a "verb" right after a determiner is a noun ("these results",
+          // "the increase")
+          if (prev == "DT") tags(i) = "NN"
+          // participial premodifier after a verb ("demonstrates increased
+          // phosphorylation") joins the following NP
+          else if (l.endsWith("ed") && prev.startsWith("V")) tags(i) = "JJ"
+          else if (l.endsWith("ed") || l.endsWith("en")) {
+            // participle context: "is/was/been V-ed" or "has V-ed"
+            var j = i - 1
+            while (j >= 0 && (tags(j) == "RB" || tags(j) == "NEG")) j -= 1
+            if (j >= 0 && tags(j) == "AUX") tags(i) = "VBN"
+            // reduced participle: "ERK2 phosphorylated by MEK1 binds ..."
+            else if (j >= 0 && (tags(j) == "NN" || tags(j) == "NNP") &&
+                     i + 1 < n && (words(i + 1).toLowerCase == "by" ||
+                       words(i + 1).toLowerCase == "at" ||
+                       words(i + 1).toLowerCase == "on")) tags(i) = "VBN"
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    tags
+  }
+
+  // ---- arc building ------------------------------------------------------
+
+  private def npStart(tag: String): Boolean =
+    tag == "DT" || tag == "JJ" || tag == "NN" || tag == "NNP" ||
+      tag == "CD" || tag == "PRP"
+  private def npInner(tag: String): Boolean =
+    tag == "JJ" || tag == "NN" || tag == "NNP" || tag == "CD"
+
+  def parse(sent: Sent): DepGraph = parse(sent.words, sent.lemmas, sent.ner)
+
+  def parse(words: Array[String], lemmas: Array[String],
+            ner: Array[String]): DepGraph = {
+    val n = words.length
+    val tags = posTags(words, lemmas, ner)
+    val edges = mutable.ArrayBuffer.empty[DepEdge]
+
+    def lc(i: Int) = words(i).toLowerCase
+
+    /** Consume one base NP at i; returns (head, endExcl) with det/nn/amod
+      * edges emitted; -1 head if not an NP here.
+      */
+    def baseNP(i0: Int): (Int, Int) = {
+      if (i0 >= n || !npStart(tags(i0))) return (-1, i0)
+      if (tags(i0) == "PRP") return (i0, i0 + 1)
+      var j = i0
+      if (tags(j) == "DT") j += 1
+      val content0 = j
+      while (j < n && npInner(tags(j))) j += 1
+      if (j == content0) {
+        // bare determiner — not an NP (e.g. "the" before a verb? degrade)
+        return (-1, i0)
+      }
+      // head = last NN/NNP/CD
+      var h = j - 1
+      while (h > content0 && tags(h) == "JJ") h -= 1
+      var k = i0
+      while (k < j) {
+        if (k != h) {
+          val lab = tags(k) match {
+            case "DT" => "det"
+            case "JJ" => "amod"
+            case _ => "nn"
+          }
+          edges += DepEdge(h, k, lab)
+        }
+        k += 1
+      }
+      (h, j)
+    }
+
+    /** Consume an NP group with coordination at i; returns
+      * (representativeHead, endExcl). conj edges hang off the first head as
+      * in collapsed Stanford. Lookahead refuses a conjunct that starts a new
+      * clause (CC NP V...) — the caller handles clause coordination.
+      */
+    def npGroup(i0: Int): (Int, Int) = {
+      val (h0, j0) = baseNP(i0)
+      if (h0 < 0) return (-1, i0)
+      var j = j0
+      var done = false
+      while (!done) {
+        // separators: "CC NP" | ", NP" (list continues) | ", CC NP"
+        var k = j
+        var sawComma = false
+        if (k < n && tags(k) == "PUNCT" && words(k) == ",") { k += 1; sawComma = true }
+        val ccLab =
+          if (k < n && tags(k) == "CC") { val l0 = lc(k); k += 1; Some(l0) }
+          else None
+        if (ccLab.isEmpty && !sawComma) done = true
+        else if (ccLab.isEmpty && sawComma &&
+                 (k >= n || !npStart(tags(k)) || tags(k) == "DT" || tags(k) == "PRP")) {
+          // ", the ..." after an NP is an appositive/clause, not a list item
+          done = true
+        } else {
+          val (h2, j2) = baseNP(k)
+          // a conjunct immediately followed by a verb is a new clause subject
+          val clauseAhead = h2 >= 0 && j2 < n &&
+            (tags(j2).startsWith("V") || tags(j2) == "AUX" || tags(j2) == "MD")
+          if (h2 < 0 || clauseAhead) done = true
+          else {
+            val lab = "conj_" + ccLab.map {
+              case "&" => "and"
+              case x => x
+            }.getOrElse("and")
+            edges += DepEdge(h0, h2, lab)
+            j = j2
+          }
+        }
+      }
+      (h0, j)
+    }
+
+    /** Consume a verb group (aux/modal/adv/neg prefix + main verb) at i;
+      * returns (mainVerb, endExcl, passive) or (-1, i, false).
+      */
+    def verbGroup(i0: Int): (Int, Int, Boolean) = {
+      var j = i0
+      var sawBe = false
+      val pre = mutable.ListBuffer.empty[(Int, String)]
+      var guard = true
+      while (guard && j < n) {
+        tags(j) match {
+          case "AUX" =>
+            if (auxBe.contains(lc(j))) sawBe = true
+            pre += ((j, "aux")); j += 1
+          case "MD" => pre += ((j, "aux")); j += 1
+          case "NEG" => pre += ((j, "neg")); j += 1
+          case "RB" => pre += ((j, "advmod")); j += 1
+          case _ => guard = false
+        }
+      }
+      if (j < n && tags(j).startsWith("V")) {
+        val v = j
+        val passive = sawBe &&
+          (tags(v) == "VBN" || lc(v).endsWith("ed") || lc(v).endsWith("en"))
+        pre.foreach { case (p, lab0) =>
+          val lab = if (lab0 == "aux" && passive && auxBe.contains(lc(p)))
+            "auxpass" else lab0
+          edges += DepEdge(v, p, lab)
+        }
+        (v, j + 1, passive)
+      } else if (pre.nonEmpty && sawBe) {
+        // copula without main verb ("X is a kinase") — treat the aux token
+        // itself as the clause predicate
+        val v = pre.head._1
+        (v, j, false)
+      } else (-1, i0, false)
+    }
+
+    // ---- main clause-level scan ----
+    var i = 0
+    var pendingSubj = -1   // subject candidate for the next verb
+    var curVerb = -1       // current clause's main verb
+    var curVerbPassive = false
+    var dobjTaken = false
+    var lastNPHead = -1    // most recent NP head anywhere (PP attachment for "of")
+    var chainBase = -1     // nominal head governing the current PP chain
+    var clauseCoordFrom = -1 // verb awaiting conj to next clause's verb
+    var ccompFrom = -1     // verb awaiting ccomp to next clause's verb
+    var relFrom = -1       // NP head awaiting rcmod to relcl verb
+    var relObjSubj = -1    // subject NP inside an object relative
+    var reducedVBN = -1    // vmod participle: keeps pendingSubj for the main verb
+    var inRelcl = false
+    var relOuter: (Int, Int, Boolean, Int) = (-1, -1, false, -1) // pendingSubj, curVerb, passive, chainBase
+
+    def npHeadOrSelf(h: Int): Int = h
+
+    while (i < n) {
+      val t = tags(i)
+      if (t == "PUNCT" && words(i) == "(") {
+        // parenthetical: appos from preceding NP head to inner NP head
+        var depth = 1
+        var j = i + 1
+        while (j < n && depth > 0) {
+          if (words(j) == "(") depth += 1
+          else if (words(j) == ")") depth -= 1
+          if (depth > 0) j += 1
+        }
+        // inner content: find last NP head inside
+        var ih = -1
+        var k = i + 1
+        while (k < j) {
+          val (h2, j2) = baseNP(k)
+          if (h2 >= 0) { ih = h2; k = j2 } else k += 1
+        }
+        if (ih >= 0 && lastNPHead >= 0)
+          edges += DepEdge(lastNPHead, ih, "appos")
+        i = math.min(j + 1, n)
+      } else if (t == "PUNCT" && words(i) == ",") {
+        if (inRelcl) {
+          // close the relative clause; restore outer state
+          val (ps, cv, pv, cb) = relOuter
+          pendingSubj = ps; curVerb = cv; curVerbPassive = pv; chainBase = cb
+          dobjTaken = curVerb >= 0 && dobjTaken
+          inRelcl = false
+          relFrom = -1; relObjSubj = -1
+          i += 1
+        } else if (i + 1 < n && tags(i + 1) == "WDT") {
+          // ", which ..." relative clause on the last NP head
+          relFrom = lastNPHead
+          inRelcl = true
+          relOuter = (if (pendingSubj >= 0) pendingSubj else lastNPHead,
+            curVerb, curVerbPassive, chainBase)
+          curVerb = -1; chainBase = -1
+          i += 2
+        } else if (i + 1 < n && tags(i + 1) == "DT" && lastNPHead >= 0) {
+          // appositive ", a dual-specificity kinase,"
+          val (h2, j2) = baseNP(i + 1)
+          if (h2 >= 0 && j2 < n && tags(j2) == "PUNCT" && words(j2) == ",") {
+            edges += DepEdge(lastNPHead, h2, "appos")
+            i = j2 + 1
+          } else i += 1
+        } else i += 1
+      } else if (t == "CC" || (t == "PUNCT" && words(i) == ";")) {
+        // possible clause coordination: "..., and we hypothesize ..."
+        if (curVerb >= 0) {
+          clauseCoordFrom = curVerb
+          curVerb = -1; chainBase = -1; dobjTaken = false; pendingSubj = -1
+        }
+        i += 1
+      } else if (t == "WDT") {
+        val prevTag = if (i > 0) tags(i - 1) else ""
+        if (prevTag.startsWith("V") || prevTag == "AUX") {
+          // complementizer after verb: "suggest that S"
+          ccompFrom = curVerb
+          curVerb = -1; chainBase = -1; dobjTaken = false; pendingSubj = -1
+        } else if (lastNPHead >= 0) {
+          // bare relative: "the kinase that MEK1 phosphorylates"
+          relFrom = lastNPHead
+          inRelcl = true
+          relOuter = (if (pendingSubj >= 0) pendingSubj else lastNPHead,
+            curVerb, curVerbPassive, chainBase)
+          curVerb = -1; chainBase = -1
+        }
+        i += 1
+      } else if (t == "IN") {
+        val p = lc(i)
+        val (h2, j2) = npGroup(i + 1)
+        if (h2 < 0) i += 1
+        else {
+          val gov =
+            if (p == "of") {
+              if (chainBase < 0 && lastNPHead >= 0) chainBase = lastNPHead
+              lastNPHead
+            } else if (p == "by") {
+              if (chainBase >= 0) chainBase
+              else if (curVerb >= 0) curVerb
+              else lastNPHead
+            } else if (chainBase >= 0 && (p == "at" || p == "on")) chainBase
+            else if (curVerb >= 0) curVerb
+            else if (chainBase >= 0) chainBase
+            else lastNPHead
+          if (gov >= 0) {
+            val lab =
+              if (p == "by" && gov == curVerb && curVerbPassive) "agent"
+              else "prep_" + p
+            edges += DepEdge(gov, h2, lab)
+          }
+          lastNPHead = h2
+          i = j2
+        }
+      } else if (t == "TO" && i + 1 < n && tags(i + 1).startsWith("V")) {
+        // xcomp: "fails to phosphorylate"
+        val (v2, j2, pv2) = verbGroup(i + 1)
+        if (v2 >= 0) {
+          if (curVerb >= 0) edges += DepEdge(curVerb, v2, "xcomp")
+          curVerb = v2; curVerbPassive = pv2; dobjTaken = false; chainBase = -1
+          i = j2
+        } else i += 1
+      } else if (t.startsWith("V") || t == "AUX" || t == "MD" ||
+                 (t == "RB" && i + 1 < n &&
+                   (tags(i + 1).startsWith("V") || tags(i + 1) == "AUX" ||
+                     tags(i + 1) == "MD")) ||
+                 (t == "NEG" && i + 1 < n && tags(i + 1).startsWith("V"))) {
+        val (v, j2, passive) = verbGroup(i)
+        if (v < 0) i += 1
+        else {
+          if (v == reducedVBN) {
+            // reduced participle ("ERK2 phosphorylated by MEK1 binds ..."):
+            // the vmod edge is already in place; the NP stays pendingSubj
+            // for the upcoming main verb, and a by-phrase is agentive
+            reducedVBN = -1
+            curVerb = v; curVerbPassive = true; dobjTaken = false
+            chainBase = -1
+            i = j2
+          } else {
+          if (inRelcl && relFrom >= 0) {
+            edges += DepEdge(relFrom, v, "rcmod")
+            if (relObjSubj >= 0) {
+              edges += DepEdge(v, relObjSubj, "nsubj")
+              edges += DepEdge(v, relFrom, "dobj")
+              relObjSubj = -1
+            } else {
+              edges += DepEdge(v, relFrom,
+                if (passive) "nsubjpass" else "nsubj")
+            }
+            relFrom = -1
+          } else if (pendingSubj >= 0) {
+            edges += DepEdge(v, pendingSubj,
+              if (passive) "nsubjpass" else "nsubj")
+            pendingSubj = -1
+          }
+          if (clauseCoordFrom >= 0) {
+            edges += DepEdge(clauseCoordFrom, v, "conj_and")
+            clauseCoordFrom = -1
+          }
+          if (ccompFrom >= 0) {
+            edges += DepEdge(ccompFrom, v, "ccomp")
+            ccompFrom = -1
+          }
+          curVerb = v; curVerbPassive = passive; dobjTaken = false
+          chainBase = -1
+          i = j2
+          }
+        }
+      } else if (npStart(t)) {
+        val (h, j2) = npGroup(i)
+        if (h < 0) i += 1
+        else {
+          // reduced participle right after the NP: "ERK2 phosphorylated by
+          // MEK1 binds ..." -> vmod(ERK2, phosphorylated)
+          if (j2 < n && tags(j2) == "VBN") {
+            edges += DepEdge(h, j2, "vmod")
+            reducedVBN = j2
+          }
+          if (inRelcl && relFrom >= 0 && curVerb < 0) {
+            // NP between "that/which" and the verb: object relative subject
+            relObjSubj = h
+          } else if (curVerb < 0) {
+            pendingSubj = h
+          } else if (!dobjTaken) {
+            edges += DepEdge(curVerb, h, "dobj")
+            dobjTaken = true
+            // a nominal object can govern a following PP chain:
+            // "suggests the phosphorylation of MEK" -> prep_of(phosphorylation)
+            chainBase = -1
+          } else {
+            // stray NP after object (no preposition) — attach as dep
+            edges += DepEdge(curVerb, h, "dep")
+          }
+          lastNPHead = h
+          i = j2
+        }
+      } else i += 1
+    }
+
+    new DepGraph(n, tags, edges.toArray)
+  }
+}
