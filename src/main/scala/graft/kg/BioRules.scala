@@ -77,9 +77,12 @@ object BioRules {
     "not|n't|no|never|neither|nor|without|fail(s|ed|ure)?|unable|absen(t|ce)|lack(s|ed|ing)?|cannot|can't|barely|hardly",
     Pattern.CASE_INSENSITIVE)
 
-  /** Hypothesis hints (reference: HypothesisHandler.scala:16-43). */
+  /** Hypothesis hints — the reference's exact lemma list
+    * (HypothesisHandler.scala:15-42), matched with inflection tolerance
+    * (our lemma-lite does not conflate e.g. "hypothesize"/"hypothesized").
+    */
   private val hypothesisP = Pattern.compile(
-    "suggest(s|ed|ing)?|hypothes\\w+|propos(e|es|ed|ing)|may|might|could|possib\\w+|potential(ly)?|putative(ly)?|whether|likely|unlikely|appear(s|ed)?|seem(s|ed)?|speculat\\w+|predict(s|ed)?|investigat\\w+|examin(e|es|ed)|test(s|ed)? whether",
+    "argu(e|es|ed|ing|ment|ments)|believ(e|es|ed|ing)|beliefs?|conjectur\\w*|consider(s|ed|ing)?|hint(s|ed|ing)?|hypothes\\w+|implications?|impl(y|ies|ied|ying)|indicat(e|es|ed|ing)|predict(s|ed|ing|ion|ions)?|previous(ly)?|proposals?|propos(e|es|ed|ing)|questions?|speculat\\w+|suggest(s|ed|ing)?|suspect(s|ed|ing)?|theoriz\\w+|theor(y|ies)|think(s|ing)?|whether",
     Pattern.CASE_INSENSITIVE)
 
   /** Semantic negatives that flip regulation polarity (reference:
@@ -383,20 +386,16 @@ object BioRules {
   private def isNegated(words: Array[String], s: Int, e: Int): Boolean =
     countIn(negationP, words, s - 3, e + 1) % 2 == 1
 
-  /** Clause-scoped hypothesis hint (reference: HypothesisHandler.scala:10-114
-    * bounds the hint search to the 2-hop dependency neighborhood of the
-    * trigger; the surface analogue scopes to the trigger's clause — the span
-    * between the nearest comma/semicolon boundaries). "MEK1 phosphorylates
-    * ERK2, and we hypothesize that JAK3 ubiquitinates HuR." marks only the
-    * second event.
+  /** Faithful hypothesis detection (HypothesisHandler.scala:47-110): a hint
+    * lemma within the degree-2 dependency neighborhood of the event span
+    * marks the event. Note this is deliberately blunt, exactly as the
+    * reference is — a hint one conj_and hop away in a coordinated clause
+    * marks BOTH clauses' events.
     */
-  private def isHypothesisAt(words: Array[String], ts: Int, te: Int): Boolean = {
-    var lo = ts - 1
-    while (lo >= 0 && words(lo) != "," && words(lo) != ";") lo -= 1
-    var hi = te
-    while (hi < words.length && words(hi) != "," && words(hi) != ";") hi += 1
-    countIn(hypothesisP, words, lo + 1, hi) > 0
-  }
+  private def isHypothesisDep(words: Array[String], deps: DepGraph,
+                              s: Int, e: Int): Boolean =
+    deps.neighborhood(s until e, 2)
+      .exists(i => hypothesisP.matcher(words(i)).matches())
 
   /** Semantic-negative flip count around the controller span, excluding the
     * trigger token itself (reference:
@@ -458,13 +457,14 @@ object BioRules {
   }
 
   private def mkEvent(conv: String, turn: Int, sentIdx: Int,
-                      words: Array[String], label: String, trig: (Int, Int),
+                      words: Array[String], deps: DepGraph, label: String,
+                      trig: (Int, Int),
                       args: Seq[(String, MentionRow)],
                       foundBy: String): MentionRow = {
-    val hyp = trig._1 >= 0 && isHypothesisAt(words, trig._1, trig._2)
     val starts = trig._1 +: args.map(_._2.start_tok)
     val ends = trig._2 +: args.map(_._2.end_tok)
     val (s, e) = (starts.filter(_ >= 0).min, ends.max)
+    val hyp = trig._1 >= 0 && isHypothesisDep(words, deps, s, e)
     val neg = isNegated(words, s, e)
     val argRefs = args.map { case (r, m) => Arg(r, m.mention_id) }
     val trigText = if (trig._1 >= 0) words.slice(trig._1, trig._2).mkString(" ") else ""
@@ -503,7 +503,7 @@ object BioRules {
     */
   private def assemble(rule: Rule, b: Bind, conv: String, turn: Int,
                        sent: Sent, startPos: Int, endPos: Int,
-                       state: State): Seq[MentionRow] = {
+                       state: State, deps: DepGraph): Seq[MentionRow] = {
     val words = sent.words
     def trigWord: String =
       if (b.trigger._1 >= 0) words(b.trigger._1) else ""
@@ -580,10 +580,10 @@ object BioRules {
           theme <- themes
           siteOpt <- siteOpts
           m <- {
-            val ev = mkEvent(conv, turn, sent.sent_idx, words, label,
+            val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
               b.trigger, Seq("theme" -> theme) ++ siteOpt.map("site" -> _),
               rule.name)
-            val reg = mkEvent(conv, turn, sent.sent_idx, words,
+            val reg = mkEvent(conv, turn, sent.sent_idx, words, deps,
               "Positive_regulation", b.trigger,
               Seq("controller" -> theme, "controlled" -> ev),
               rule.name + "_split")
@@ -594,7 +594,7 @@ object BioRules {
       case AliasK =>
         (b.caps.get("a"), b.caps.get("b")) match {
           case (Some(a :: _), Some(bb :: _)) if a.text != bb.text =>
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
+            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, "Alias", (-1, -1),
               Seq("a" -> a, "b" -> bb), rule.name))
           case _ => Nil
         }
@@ -615,7 +615,7 @@ object BioRules {
               conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
               words.slice(s, e).mkString(" "), "alias_unknown_b", false, "",
               Arg.none, false, false)
-            Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, "Alias", (-1, -1),
+            Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, deps, "Alias", (-1, -1),
               Seq("a" -> a, "b" -> bm), rule.name))
           case _ => Nil
         }
@@ -634,18 +634,29 @@ object BioRules {
           if (sitesCaptured.nonEmpty) sitesCaptured
           else themes.flatMap(_.mods.toSeq).filter(_.kind == "EventSite")
             .flatMap(m => state.byId(m.site_id)).distinct
-        // keepIfValidArgs/proteinBetween guard (DarpaActions.scala:601-658,
-        // surface approximation): a chemical theme with a protein mention
-        // strictly between trigger and theme is a spurious capture
+        // keepIfValidArgs/proteinBetween guard, faithful dependency form
+        // (DarpaActions.validArguments/proteinBetween:601-658): a chemical
+        // theme is spurious when a Gene_or_gene_product lies on the
+        // undirected dependency path between trigger and theme — unless the
+        // path crosses two consecutive prep edges (the reference's escape
+        // for prepositional-attachment noise, consecutivePreps:646-657)
+        def ggpAt(i: Int): Boolean = state.all.exists(m => !m.is_event &&
+          m.labels.head == "Gene_or_gene_product" &&
+          m.start_tok <= i && i < m.end_tok)
+        def consecutivePreps(path: List[Int]): Boolean = {
+          val labs = path.zip(path.tail).map { case (u, v) =>
+            deps.labelsBetween(u, v) }
+          labs.zip(labs.drop(1)).exists { case (a, bl) =>
+            a.exists(_.startsWith("prep")) && bl.exists(_.startsWith("prep")) }
+        }
         def proteinBetween(theme: MentionRow): Boolean =
-          theme.labels.head == "Simple_chemical" && b.trigger._1 >= 0 && {
-            val lo = math.min(b.trigger._2, theme.start_tok)
-            val hi = math.max(b.trigger._1, theme.end_tok)
-            state.all.exists(m => !m.is_event &&
-              m.labels.head == "Gene_or_gene_product" &&
-              m.start_tok >= lo && m.end_tok <= hi &&
-              (m.end_tok <= theme.start_tok || m.start_tok >= theme.end_tok))
-          }
+          theme.labels.head == "Simple_chemical" && b.trigger._1 >= 0 &&
+            (b.trigger._1 until b.trigger._2).exists { t1 =>
+              (theme.start_tok until theme.end_tok).exists { t2 =>
+                deps.shortestPath(t1, t2).exists(path =>
+                  path.exists(ggpAt) && !consecutivePreps(path))
+              }
+            }
         if (label.toLowerCase.contains("ubiquitin") &&
             (themes ++ causes).exists(_.text.equalsIgnoreCase("ubiquitin"))) Nil
         else {
@@ -660,18 +671,18 @@ object BioRules {
               val baseArgs = Seq("theme" -> theme) ++ siteOpt.map("site" -> _)
               causes.headOption match {
                 case None =>
-                  Seq(mkEvent(conv, turn, sent.sent_idx, words, label,
+                  Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name))
                 case Some(cause) =>
                   // splitSimpleEvents: event loses its cause; a regulation
                   // (controller=cause) is emitted over it
-                  val ev = mkEvent(conv, turn, sent.sent_idx, words, label,
+                  val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name)
                   val flips = semNegFlips(words, cause, b.trigger._1)
                   val regLabel =
                     if (flips % 2 == 1) "Negative_regulation"
                     else "Positive_regulation"
-                  val reg = mkEvent(conv, turn, sent.sent_idx, words, regLabel,
+                  val reg = mkEvent(conv, turn, sent.sent_idx, words, deps, regLabel,
                     b.trigger,
                     Seq("controller" -> cause, "controlled" -> ev),
                     rule.name + "_split")
@@ -693,7 +704,7 @@ object BioRules {
         val extras = Seq("source", "destination").flatMap(r =>
           b.caps.getOrElse(r, Nil).headOption.map(r -> _))
         b.caps.getOrElse(themeRole, Nil).map { theme =>
-          mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
+          mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
             Seq("theme" -> theme) ++ extras, rule.name)
         }
 
@@ -707,7 +718,7 @@ object BioRules {
         } yield {
           val (t1, t2) =
             if (x.text <= y.text) (x, y) else (y, x)
-          mkEvent(conv, turn, sent.sent_idx, words, "Binding", b.trigger,
+          mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding", b.trigger,
             Seq("theme" -> t1, "theme" -> t2), rule.name)
         }
 
@@ -720,7 +731,7 @@ object BioRules {
             val flips = semNegFlips(words, ctl, b.trigger._1)
             val pos = if (flips % 2 == 1) !basePos else basePos
             val label = if (pos) "Positive_regulation" else "Negative_regulation"
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
+            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
               Seq("controller" -> ctl, "controlled" -> cld), rule.name))
           case _ => Nil
         }
@@ -735,7 +746,7 @@ object BioRules {
             val flips = semNegFlips(words, ctl, b.trigger._1)
             val pos = if (flips % 2 == 1) !basePos else basePos
             val label = if (pos) "Positive_activation" else "Negative_activation"
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, label, b.trigger,
+            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
               Seq("controller" -> ctl, "controlled" -> cld), rule.name))
           case _ => Nil
         }
@@ -1050,6 +1061,7 @@ object BioRules {
   private val eventPriorities = priorities.filter(_ > 5)
 
   private def runPriority(prio: Int, conv: String, turn: Int, sent: Sent,
+                          deps: DepGraph,
                           state: State): Unit = {
     val n = sent.words.length
     val newMentions = mutable.ArrayBuffer.empty[MentionRow]
@@ -1060,7 +1072,7 @@ object BioRules {
         tryMatchCb(rule.pattern, sent.words, state, pos, emptyBind) {
           (end, bind) =>
             newMentions ++= assemble(rule, bind, conv, turn, sent, p, end,
-              state)
+              state, deps)
         }
         pos += 1
       }
@@ -1110,12 +1122,13 @@ object BioRules {
   def extractSentence(conv: String, turn: Int, sent: Sent,
                       aliases: Seq[(String, String)] = Nil): Seq[MentionRow] = {
     val state = new State
+    val deps = DepParser.parse(sent)
     decodeIob(conv, turn, sent).foreach(state.add)
     injectAliasSurfaces(conv, turn, sent, aliases, state)
-    entityPriorities.foreach(runPriority(_, conv, turn, sent, state))
+    entityPriorities.foreach(runPriority(_, conv, turn, sent, deps, state))
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
-    eventPriorities.foreach(runPriority(_, conv, turn, sent, state2))
+    eventPriorities.foreach(runPriority(_, conv, turn, sent, deps, state2))
     mostComplete(state2.all.toSeq)
   }
 
@@ -1134,11 +1147,12 @@ object BioRules {
   def aliasDefsTurn(at: AnnotatedTurn): Seq[(String, String, String)] =
     at.sents.toSeq.flatMap { sent =>
       val state = new State
+      val deps = DepParser.parse(sent)
       decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
       entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent,
-        state))
+        deps, state))
       val before = state.all.size
-      runPriority(10, at.conv_id, at.turn_idx, sent, state)
+      runPriority(10, at.conv_id, at.turn_idx, sent, deps, state)
       state.all.drop(before)
         .filter(_.found_by == "alias_unknown_b")
         .map(b => (at.conv_id, b.text, b.labels.head))

@@ -147,9 +147,10 @@ object Transcripts {
     conv("g18")("user" -> "STAT3 is activated by JAK1.")(
       tri("g18", 0, JAK1, "Positive_activation", STAT3))
 
+    // "examine" is NOT in the reference's hypothesis-hint lemma list
+    // (HypothesisHandler.scala:15-42) — no hypothesis marking here
     conv("g19")("user" -> "The interaction of Grb2 with SOS was examined.")(
-      tri("g19", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&"), "",
-        hyp = true))
+      tri("g19", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&")))
 
     // two distinct same-trigger-text events in one sentence: the most-complete
     // filter must compare trigger OCCURRENCES, not strings
@@ -283,12 +284,14 @@ object Transcripts {
       "assistant" -> "The cyclin binds AKT1.")(
       tri("g38", 1, "", "Binding", Seq(CCND1, AKT1).sorted.mkString("&")))
 
-    // clause-scoped hypothesis (HypothesisHandler 2-hop analogue): only the
-    // clause carrying the hint is hypothesized
+    // degree-2 dependency hypothesis scope (HypothesisHandler.scala:12,47-76):
+    // the hint verb is one conj_and hop from the first clause's predicate, so
+    // BOTH clauses' events are marked — deliberately blunt, as the reference is
     conv("g39")("user" ->
       "MEK1 phosphorylates ERK2, and we hypothesize that JAK3 ubiquitinates HuR.")(
-      tri("g39", 0, "", "Phosphorylation", ERK2),
-      tri("g39", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"),
+      tri("g39", 0, "", "Phosphorylation", ERK2, "", hyp = true),
+      tri("g39", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        hyp = true),
       tri("g39", 0, "", "Ubiquitination", HuR, "", hyp = true),
       tri("g39", 0, JAK3, "Positive_regulation", s"Ubiquitination($HuR)", "",
         hyp = true))
