@@ -339,6 +339,217 @@ object BioRules {
   private val rulesByPriority: Map[Int, List[Rule]] =
     rules.groupBy(_.priority)
 
+  // ---- dependency-pattern rules (F8) ------------------------------------
+  // Graph-pattern re-expression of the reference's *_syntax_* grammar rules
+  // (biogrammar/events/simple-event_template.yml:16-52, neg-reg_template.yml,
+  // bind_events.yml): a trigger token plus labeled dependency paths to each
+  // argument, with the reference's /appos|nn|conj_(and|or|nor)|cc/{,2}
+  // widening tail. They run alongside the surface token rules at the same
+  // priorities; identical extractions dedup through content ids, and the
+  // constructions token patterns cannot express (object relatives, reduced
+  // participles, xcomp control, long appositives) land here.
+
+  /** One dependency hop: follow an outgoing (`out=true`, Odin `>label`) or
+    * incoming (`<label`) edge whose label matches the regex. */
+  final case class Hop(re: String, out: Boolean) {
+    val p: Pattern = Pattern.compile(re)
+  }
+  private def O(re: String) = Hop(re, out = true)
+  private def I(re: String) = Hop(re, out = false)
+
+  /** Argument spec: try each path from the trigger token, widen landings by
+    * up to two outgoing hops over `expand` labels, keep mentions whose span
+    * covers a landing token and whose closure carries `label`. */
+  final case class DepArg(role: String, label: String,
+                          paths: Seq[List[Hop]],
+                          expand: String = "conj_.*|cc|appos|nn",
+                          required: Boolean = true,
+                          event: Boolean = false) {
+    val expandP: Pattern = Pattern.compile(expand)
+  }
+
+  final case class DepRule(name: String, priority: Int, kind: Kind,
+                           trigRe: String, trigVerbal: Boolean,
+                           args: Seq[DepArg]) {
+    val trigP: Pattern = Pattern.compile(trigRe, Pattern.CASE_INSENSITIVE)
+  }
+
+  val depRules: List[DepRule] = List(
+    // verbal active (syntax_1a): cause <xcomp? nsubj; theme (dobj|xcomp)
+    DepRule("mod_dep_active", 7, SimpleModK, modVerb, trigVerbal = true, Seq(
+      DepArg("theme", ENT, Seq(List(O("dobj"))),
+        expand = "conj_.*|cc|nn|prep_of"),
+      DepArg("cause", ENT,
+        Seq(List(O("nsubj")), List(I("xcomp"), O("nsubj|nsubjpass"))),
+        required = false),
+      DepArg("site", "Site",
+        Seq(List(O("prep_at|prep_on")), List(O("dobj"), O("prep_at|prep_on"))),
+        required = false))),
+    // verbal passive (syntax_2a/2b): theme nsubjpass | <vmod; cause agent
+    DepRule("mod_dep_passive", 7, SimpleModK, modVerb, trigVerbal = true, Seq(
+      DepArg("theme", ENT, Seq(List(O("nsubjpass")), List(I("vmod"))),
+        expand = "conj_.*|cc|nn|prep_of"),
+      DepArg("cause", ENT, Seq(List(O("agent|prep_by"))), required = false),
+      DepArg("site", "Site", Seq(List(O("prep_at|prep_on"))),
+        required = false))),
+    // nominal (syntax_4/5): theme prep_of|nn; cause prep_by
+    DepRule("mod_dep_nominal", 7, SimpleModK, modNom, trigVerbal = false, Seq(
+      DepArg("theme", ENT, Seq(List(O("prep_of")), List(O("nn"))),
+        expand = "conj_.*|cc|nn"),
+      DepArg("cause", ENT, Seq(List(O("prep_by"))), required = false),
+      DepArg("site", "Site", Seq(List(O("prep_at|prep_on"))),
+        required = false))),
+    // binding (bind_events.yml syntax rules); theme1 via nsubj and the
+    // raising path <xcomp nsubj(pass) ("STAT3 is known to interact with...")
+    DepRule("bind_dep", 8, BindingK,
+      "binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?",
+      trigVerbal = true, Seq(
+        DepArg("theme", ENT, Seq(List(O("nsubj")), List(I("vmod")),
+          List(I("xcomp"), O("nsubj|nsubjpass")))),
+        DepArg("theme2", ENT,
+          Seq(List(O("dobj")), List(O("prep_with|prep_to")))))),
+    // binding passive ("ERK2 is bound by STAT3")
+    DepRule("bind_dep_passive", 8, BindingK,
+      "bound|binding", trigVerbal = true, Seq(
+        DepArg("theme", ENT, Seq(List(O("nsubjpass")))),
+        DepArg("theme2", ENT, Seq(List(O("agent|prep_by")))))),
+    // regulations over events (neg-reg/pos-reg templates)
+    DepRule("reg_dep_active", 12, RegulationK, regTriggers,
+      trigVerbal = true, Seq(
+        DepArg("controlled", "Event", Seq(List(O("dobj")), List(O("xcomp"))),
+          expand = "conj_.*|cc", event = true),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("nsubj")), List(I("xcomp"), O("nsubj|nsubjpass")))))),
+    DepRule("reg_dep_passive", 12, RegulationK, regTriggers,
+      trigVerbal = true, Seq(
+        DepArg("controlled", "Event", Seq(List(O("nsubjpass"))),
+          expand = "conj_.*|cc", event = true),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("agent|prep_by")))))),
+    DepRule("reg_dep_nominal", 12, RegulationK, regTriggers,
+      trigVerbal = false, Seq(
+        DepArg("controlled", "Event", Seq(List(O("prep_of"))),
+          expand = "conj_.*|cc", event = true),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("prep_by")), List(O("nn")))))),
+    // activations (controlled is an entity)
+    DepRule("act_dep_active", 14, ActivationK, actTriggers,
+      trigVerbal = true, Seq(
+        DepArg("controlled", ENT, Seq(List(O("dobj")))),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("nsubj")), List(I("xcomp"), O("nsubj|nsubjpass")))))),
+    DepRule("act_dep_passive", 14, ActivationK, actTriggers,
+      trigVerbal = true, Seq(
+        DepArg("controlled", ENT, Seq(List(O("nsubjpass")), List(I("vmod")))),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("agent|prep_by")))))),
+    DepRule("act_dep_nominal", 14, ActivationK, actTriggers,
+      trigVerbal = false, Seq(
+        DepArg("controlled", ENT, Seq(List(O("prep_of")))),
+        DepArg("controller", "PossibleController",
+          Seq(List(O("prep_by")), List(O("nn")))))))
+
+  private val depRulesByPriority: Map[Int, List[DepRule]] =
+    depRules.groupBy(_.priority).withDefaultValue(Nil)
+
+  private def follow(deps: DepGraph, from: Int, path: List[Hop]): List[Int] =
+    path.foldLeft(List(from)) { (acc, hop) =>
+      acc.flatMap { i =>
+        val es = if (hop.out) deps.outgoing(i) else deps.incoming(i)
+        es.collect { case (j, l) if hop.p.matcher(l).matches() => j }
+      }.distinct
+    }
+
+  private def expandTokens(deps: DepGraph, seeds: List[Int],
+                           re: Pattern): List[Int] = {
+    var all = seeds
+    var cur = seeds
+    var d = 0
+    while (d < 2 && cur.nonEmpty) {
+      val nxt = cur.flatMap(i => deps.outgoing(i).collect {
+        case (j, l) if re.matcher(l).matches() => j
+      }).distinct.filterNot(all.contains)
+      all = all ++ nxt
+      cur = nxt
+      d += 1
+    }
+    all
+  }
+
+  /** Mention covering `tok` with `label` in its closure: longest for
+    * entities (NER longest-match convention), innermost for events (the
+    * base event, not an enclosing regulation). Deterministic tiebreaks.
+    */
+  private def mentionAt(state: State, tok: Int, label: String,
+                        event: Boolean): Option[MentionRow] = {
+    val it = state.all.iterator.filter(m => m.is_event == event &&
+      m.start_tok <= tok && tok < m.end_tok && m.labels.contains(label))
+    if (!it.hasNext) None
+    else if (event)
+      Some(it.minBy(m => (m.end_tok - m.start_tok, m.start_tok, m.mention_id)))
+    else
+      Some(it.maxBy(m => (m.end_tok - m.start_tok, -m.start_tok, m.mention_id)))
+  }
+
+  /** A PTM participle adjacent to an entity was consumed by attachMods as a
+    * modification ("phosphorylated ERK2", "AKT1 phosphorylated at Ser473") —
+    * the reference creates a PTM mod and scrubs the ModificationTrigger
+    * (RuleReader modifications + DarpaActions.mkBioMention), so it must not
+    * also act as an event predicate for the dependency rules. */
+  private def consumedAsMod(state: State, words: Array[String],
+                            t: Int): Boolean =
+    ptmParticipleP.matcher(words(t)).matches() && (
+      state.all.exists(m => !m.is_event && m.start_tok == t + 1 &&
+        m.labels.contains("BioChemicalEntity")) ||
+      (t + 2 < words.length &&
+       (words(t + 1) == "at" || words(t + 1) == "on") &&
+       state.all.exists(m => !m.is_event && m.end_tok == t &&
+         m.labels.contains("BioChemicalEntity")) &&
+       state.all.exists(m => !m.is_event && m.start_tok == t + 2 &&
+         m.labels.head == "Site")))
+
+  private def runDepRules(prio: Int, conv: String, turn: Int, sent: Sent,
+                          deps: DepGraph, state: State): Unit = {
+    val rs = depRulesByPriority(prio)
+    if (rs.isEmpty) return
+    val words = sent.words
+    val newMentions = mutable.ArrayBuffer.empty[MentionRow]
+    rs.foreach { rule =>
+      var t = 0
+      while (t < words.length) {
+        val tagOk =
+          if (rule.trigVerbal) deps.tags(t).startsWith("V")
+          else deps.tags(t) == "NN"
+        // a trigger token inside an existing non-event mention is part of an
+        // entity (fused PTM token, alias surface), not a predicate
+        if (tagOk && rule.trigP.matcher(words(t)).matches() &&
+            !state.all.exists(m => !m.is_event &&
+              m.start_tok <= t && t < m.end_tok) &&
+            !consumedAsMod(state, words, t)) {
+          var ok = true
+          var bind = emptyBind.withTrigger(t, t + 1)
+          rule.args.foreach { a =>
+            if (ok) {
+              val seeds = a.paths.flatMap(p => follow(deps, t, p))
+                .distinct.toList
+              val toks = expandTokens(deps, seeds, a.expandP)
+              val ms = toks.flatMap(tok =>
+                mentionAt(state, tok, a.label, a.event))
+                .distinctBy(_.mention_id)
+              if (ms.isEmpty) { if (a.required) ok = false }
+              else ms.foreach(m => bind = bind.add(a.role, m))
+            }
+          }
+          if (ok)
+            newMentions ++= assemble(Rule(rule.name, prio, rule.kind, Nil),
+              bind, conv, turn, sent, t, t + 1, state, deps, fromDep = true)
+        }
+        t += 1
+      }
+    }
+    newMentions.foreach(state.add)
+  }
+
   // ---- sentence-level extraction driver ---------------------------------
 
   /** Decode NER IOB into TextBound mentions (reference analogue:
@@ -503,10 +714,56 @@ object BioRules {
     */
   private def assemble(rule: Rule, b: Bind, conv: String, turn: Int,
                        sent: Sent, startPos: Int, endPos: Int,
-                       state: State, deps: DepGraph): Seq[MentionRow] = {
+                       state: State, deps: DepGraph,
+                       fromDep: Boolean = false): Seq[MentionRow] = {
     val words = sent.words
     def trigWord: String =
       if (b.trigger._1 >= 0) words(b.trigger._1) else ""
+
+    // Reduced-participle subject guard (faithful to the reference's
+    // syntax-rule subjects — bind_events.yml:10-20 takes theme1 via nsubj,
+    // the reg/act templates take controller via nsubj): an argument that
+    // precedes the trigger but is parsed as the agent of a DIFFERENT verb
+    // ("ERK2 phosphorylated by MEK1 binds STAT3" — MEK1) is that
+    // participle's by-phrase, not this trigger's subject, so the linear
+    // surface match must not promote it to cause/controller/binding theme.
+    def agentOfOther(m: MentionRow): Boolean =
+      !fromDep && b.trigger._1 >= 0 && m.end_tok <= b.trigger._1 &&
+        (m.start_tok until m.end_tok).exists(i =>
+          deps.incoming(i).exists { case (g, l) =>
+            l == "agent" && (g < b.trigger._1 || g >= b.trigger._2) })
+
+    // Subject-consistency guard (same faithfulness argument): when the parse
+    // identifies this trigger's subject (nsubj/nsubjpass), a pre-trigger
+    // argument must overlap it — widened over /conj_.*|appos|nn/{,2} exactly
+    // as the reference's subject paths do. With no parsed subject the linear
+    // surface reading stands. ("AKT1 bound to GSK3 is phosphorylated by
+    // MEK1": nsubjpass = AKT1, so GSK3 cannot be the passive theme.)
+    def subjConsistent(m: MentionRow): Boolean = {
+      // dependency rules bind arguments over labeled paths (object
+      // relatives legitimately place a non-subject theme pre-trigger);
+      // the guard is for LINEAR surface matches only
+      if (fromDep || b.trigger._1 < 0 || m.end_tok > b.trigger._1) true
+      else {
+        val subj = (b.trigger._1 until b.trigger._2).flatMap(t =>
+          deps.outgoing(t).collect { case (j, l)
+            if l == "nsubj" || l == "nsubjpass" => j })
+        if (subj.isEmpty) true
+        else {
+          var all = subj.toList; var cur = all; var d = 0
+          while (d < 2 && cur.nonEmpty) {
+            val nxt = cur.flatMap(i => deps.outgoing(i).collect {
+              case (j, l) if l.startsWith("conj") || l == "appos" ||
+                l == "nn" => j
+            }).distinct.filterNot(all.contains)
+            all = all ++ nxt; cur = nxt; d += 1
+          }
+          all.exists(t => m.start_tok <= t && t < m.end_tok)
+        }
+      }
+    }
+    def surfaceSubjOk(m: MentionRow): Boolean =
+      !agentOfOther(m) && subjConsistent(m)
 
     rule.kind match {
       case EntityK(label) =>
@@ -624,8 +881,8 @@ object BioRules {
         val label = modLabel(trigWord)
         // mkUbiquitination guard: drop ubiq whose theme/cause is "ubiquitin"
         // (reference: DarpaActions.scala:128-137)
-        val themes = b.caps.getOrElse("theme", Nil)
-        val causes = b.caps.getOrElse("cause", Nil)
+        val themes = b.caps.getOrElse("theme", Nil).filter(subjConsistent)
+        val causes = b.caps.getOrElse("cause", Nil).filter(surfaceSubjOk)
         // explicit site captures, else EventSite mods sniffed off the theme
         // (siteSniffer promotion, DarpaActions.scala:266-297: one event per
         // distinct site — splitting matches the reference exactly)
@@ -710,8 +967,8 @@ object BioRules {
 
       case BindingK =>
         // pair expansion (reference: DarpaActions.mkBinding:222-261)
-        val as = b.caps.getOrElse("theme", Nil)
-        val bs = b.caps.getOrElse("theme2", Nil)
+        val as = b.caps.getOrElse("theme", Nil).filter(surfaceSubjOk)
+        val bs = b.caps.getOrElse("theme2", Nil).filter(surfaceSubjOk)
         for {
           x <- as; y <- bs
           if x.mention_id != y.mention_id && x.text != y.text
@@ -723,7 +980,8 @@ object BioRules {
         }
 
       case RegulationK =>
-        (b.caps.get("controller"), b.caps.get("controlled")) match {
+        (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
+         b.caps.get("controlled")) match {
           case (Some(ctl :: _), Some(cld :: _))
               if ctl.mention_id != cld.mention_id &&
                 !cld.args.exists(_.mention_id == ctl.mention_id) =>
@@ -737,7 +995,8 @@ object BioRules {
         }
 
       case ActivationK =>
-        (b.caps.get("controller"), b.caps.get("controlled")) match {
+        (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
+         b.caps.get("controlled")) match {
           // hasDistinctControllerControlled guard
           // (reference: DarpaActions.scala:538-560)
           case (Some(ctl :: _), Some(cld :: _))
@@ -1128,7 +1387,10 @@ object BioRules {
     entityPriorities.foreach(runPriority(_, conv, turn, sent, deps, state))
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
-    eventPriorities.foreach(runPriority(_, conv, turn, sent, deps, state2))
+    eventPriorities.foreach { p =>
+      runPriority(p, conv, turn, sent, deps, state2)
+      runDepRules(p, conv, turn, sent, deps, state2)
+    }
     mostComplete(state2.all.toSeq)
   }
 

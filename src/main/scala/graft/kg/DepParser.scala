@@ -158,7 +158,18 @@ object DepParser {
     "express", "transcribe", "require", "involve", "lead", "result",
     "contribute", "cause", "affect", "abolish", "attenuate", "impair",
     "disrupt", "restore", "rescue", "precede", "follow", "depend", "drive",
-    "abrogate", "augment", "diminish", "facilitate", "accelerate")
+    "abrogate", "augment", "diminish", "facilitate", "accelerate",
+    // raising/control verbs: subjects reach the xcomp complement's event
+    // through <xcomp nsubj ("MEK1 continues/fails to phosphorylate ERK2" —
+    // the reference's syntax_1a cause path, simple-event_template.yml:16-20)
+    "continue", "fail", "begin", "start", "cease", "stop", "tend", "serve",
+    "help", "proceed", "remain", "persist")
+
+  /** Irregular past participles the -ed/-en suffix check misses; only
+    * consulted in participle CONTEXT (after an auxiliary, or reduced before
+    * by/at/on), so "We found that ..." keeps its finite reading. */
+  private val irregularPart = Set(
+    "bound", "found", "held", "kept", "led", "lost", "made", "left")
 
   private def isVerbWord(w: String, lemma: String): Boolean = {
     val l = w.toLowerCase
@@ -219,6 +230,11 @@ object DepParser {
     i = 0
     while (i < n) {
       tags(i) match {
+        case "TO" =>
+          // prepositional "to" ("binds to ERK2", "translocates to the
+          // nucleus"): infinitival only before a verb group
+          if (i + 1 < n && !tags(i + 1).startsWith("V") &&
+              tags(i + 1) != "AUX" && npStart(tags(i + 1))) tags(i) = "IN"
         case "THAT" =>
           val prev = if (i > 0) tags(i - 1) else ""
           tags(i) =
@@ -234,7 +250,8 @@ object DepParser {
           // participial premodifier after a verb ("demonstrates increased
           // phosphorylation") joins the following NP
           else if (l.endsWith("ed") && prev.startsWith("V")) tags(i) = "JJ"
-          else if (l.endsWith("ed") || l.endsWith("en")) {
+          else if (l.endsWith("ed") || l.endsWith("en") ||
+                   irregularPart.contains(l)) {
             // participle context: "is/was/been V-ed" or "has V-ed"
             var j = i - 1
             while (j >= 0 && (tags(j) == "RB" || tags(j) == "NEG")) j -= 1
@@ -243,7 +260,11 @@ object DepParser {
             else if (j >= 0 && (tags(j) == "NN" || tags(j) == "NNP") &&
                      i + 1 < n && (words(i + 1).toLowerCase == "by" ||
                        words(i + 1).toLowerCase == "at" ||
-                       words(i + 1).toLowerCase == "on")) tags(i) = "VBN"
+                       words(i + 1).toLowerCase == "on" ||
+                       // "AKT1 bound to GSK3 is ..." — irregulars only, so
+                       // finite "ERK2 moved to the nucleus" is unaffected
+                       (words(i + 1).toLowerCase == "to" &&
+                         irregularPart.contains(l)))) tags(i) = "VBN"
           }
         case _ => ()
       }

@@ -314,6 +314,53 @@ object Transcripts {
     conv("g41")("user" -> "MAPK binds AKT1.")(
       tri("g41", 0, "", "Binding", Seq(MAPK, AKT1).sorted.mkString("&")))
 
+    // ---- dependency-rule fixtures (F8: constructions the surface token
+    // rules cannot express; biogrammar syntax rules + bind_events.yml) ----
+
+    // reduced participle: the main-clause subject is ERK2 (<vmod theme),
+    // and MEK1 — the participle's agent — must NOT surface as binding theme
+    // (bind_events.yml:10-20 takes theme1 via nsubj)
+    conv("g42")("user" -> "ERK2 phosphorylated by MEK1 binds STAT3.")(
+      tri("g42", 0, "", "Phosphorylation", ERK2),
+      tri("g42", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"),
+      tri("g42", 0, "", "Binding", Seq(ERK2, STAT3).sorted.mkString("&")))
+
+    // object relative with bare "that": the relativized head is the theme
+    // (simple-event_template.yml <rcmod paths)
+    conv("g43")("user" ->
+      "The AKT1 protein that MEK1 phosphorylates binds ERK2.")(
+      tri("g43", 0, "", "Phosphorylation", AKT1),
+      tri("g43", 0, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"),
+      tri("g43", 0, "", "Binding", Seq(AKT1, ERK2).sorted.mkString("&")))
+
+    // xcomp control: the matrix subject reaches the complement's event
+    // through <xcomp nsubj (syntax_1a cause path)
+    conv("g44")("user" -> "MEK1 continues to phosphorylate ERK2.")(
+      tri("g44", 0, "", "Phosphorylation", ERK2),
+      tri("g44", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // xcomp control under a negation-class matrix verb ("fails")
+    conv("g45")("user" -> "MEK1 fails to phosphorylate ERK2.")(
+      tri("g45", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g45", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        neg = true))
+
+    // raising passive: theme via <xcomp nsubjpass ("is known to interact")
+    conv("g46")("user" -> "STAT3 is known to interact with AKT1.")(
+      tri("g46", 0, "", "Binding", Seq(STAT3, AKT1).sorted.mkString("&")))
+
+    // irregular-participle vmod + subject consistency: nsubjpass of the main
+    // verb is AKT1, so GSK3 (the participle's prep_to object) cannot be the
+    // passive theme
+    conv("g47")("user" -> "AKT1 bound to GSK3 is phosphorylated by MEK1.")(
+      tri("g47", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")),
+      tri("g47", 0, "", "Phosphorylation", AKT1),
+      tri("g47", 0, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"))
+
+    // passive binding ("is bound by")
+    conv("g48")("user" -> "ERK2 is bound by STAT3.")(
+      tri("g48", 0, "", "Binding", Seq(ERK2, STAT3).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -353,9 +400,11 @@ object Transcripts {
     var t = 0
     while (t < nTurns) {
       val role = if (t % 2 == 0) "user" else "assistant"
-      // kinds 14+ need cross-turn coref and are excluded from mega slices
-      // (chunk boundaries must not truncate anaphora lookback)
-      val maxT = if (withCoref) 19 else 14
+      // kinds 14-18 need cross-turn coref and are excluded from mega slices
+      // (chunk boundaries must not truncate anaphora lookback); 19-21 are
+      // sentence-local dependency-rule families but stay out of mega too so
+      // the mega slice distribution is unchanged
+      val maxT = if (withCoref) 22 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -493,6 +542,28 @@ object Transcripts {
           triples += tri(conv, t + 1, "", "Binding",
             Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
           t += 1
+        case 19 =>
+          // reduced participle (dep rule mod_dep_passive <vmod + agent guard)
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role, s"$a phosphorylated by $b binds $c.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(a))
+          triples += tri(conv, t, gidOf(b), "Positive_regulation",
+            s"Phosphorylation(${gidOf(a)})")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(c)).sorted.mkString("&"))
+        case 20 =>
+          // xcomp control (dep cause path <xcomp nsubj)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a continues to phosphorylate $b.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 21 =>
+          // passive binding (dep rule bind_dep_passive)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a is bound by $b.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
       }
