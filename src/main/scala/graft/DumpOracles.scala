@@ -27,7 +27,8 @@ object DumpOracles {
     }
 
     for (name <- Seq("kg_emit_arizona", "kg_canonical_nodes", "kg_emit_fries",
-                     "kg_fries_frames", "dedup_simhash", "text_fingerprint")) {
+                     "kg_fries_frames", "dedup_simhash", "text_fingerprint",
+                     "kg_emit_indexcard", "kg_emit_cmu")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val cols = df.columns
       val rows = df.collect().map { r =>

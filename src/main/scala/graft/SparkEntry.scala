@@ -290,6 +290,14 @@ object SparkEntry {
     "kg_emit_arizona" -> { (s, dir) =>
       Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
     },
+    "kg_emit_indexcard" -> { (s, dir) =>
+      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      Emit.indexCardFlat(r.edges, r.nodes)
+    },
+    "kg_emit_cmu" -> { (s, dir) =>
+      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      Emit.cmuTsv(r.edges, r.nodes)
+    },
     "kg_fries_frames" -> { (s, dir) =>
       // FRIES frame GRAPH (entity/event frames with frame-id references) —
       // one JSON document per conversation, from the linked-mention table
@@ -454,6 +462,21 @@ object SparkEntry {
       Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges
           .filter(col("conv_id").isin("g05", "g12", "g16", "g18")))
         .drop("EVENT_ID")
+    },
+    "kg_emit_cmu_sample" -> { (s, dir) =>
+      // hand-traced DyCE rows: chemical negative controller (g12),
+      // translocation self-controller + known location (g13), positive
+      // regulation of a de-modification landing in NEG_REG (g02, g29)
+      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      Emit.cmuTsv(r.edges.filter(
+        col("conv_id").isin("g02", "g12", "g13", "g29")), r.nodes)
+    },
+    "kg_emit_indexcard_sample" -> { (s, dir) =>
+      // hand-traced cards: negated modification (g05/g45), activation card
+      // (g12), translocation card with location (g13)
+      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      Emit.indexCardFlat(r.edges.filter(
+        col("conv_id").isin("g05", "g12", "g13", "g45")), r.nodes)
     },
     "kg_fries_frames_sample" -> { (s, dir) =>
       // frame-graph content minus the hashed frame ids: parse the emitted
@@ -626,6 +649,51 @@ object SparkEntry {
     // deterministic golden-corpus export pins (generated by DumpOracles —
     // the golden corpus is hand-traced, so drift flips these red)
     "kg_emit_arizona" -> GeneratedOracles.arizona,
+    "kg_emit_indexcard" -> GeneratedOracles.indexcard,
+    "kg_emit_cmu_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('mTOR', 'Protein', 'uniprot', 'P42345', '', '', '', '', '',
+        |   'Rapamycin', 'Chemical', 'CID5284616', 'I', 'NONE', '', '', '',
+        |   'g12', 'Rapamycin inhibits mTOR'),
+        |  ('STAT3', 'Protein', 'uniprot', 'P40763', 'nucleus', 'go:0005634',
+        |   'STAT3', 'Protein', 'P40763', '', '', '', 'D', 'NONE', '', '', '',
+        |   'g13', 'STAT3 translocates to the nucleus'),
+        |  ('ASPP2', 'Protein', 'uniprot', 'Q13625', '', '', '', '', '',
+        |   'OLK1', 'Protein', 'Q96CV9', 'D', 'Deubiquitination', '', '', '',
+        |   'g02', 'deubiquitination of ASPP2 is promoted by optineurin'),
+        |  ('HuR', 'Protein', 'uniprot', 'Q15717', '', '', '', '', '',
+        |   'JAK3', 'Protein', 'P52333', 'D', 'Dephosphorylation', '', '', '',
+        |   'g29', 'JAK3 dephosphorylates three HuR residues ( Y63 | JAK3 dephosphorylates three HuR residues ( Y63 , Y68 | JAK3 dephosphorylates three HuR residues ( Y63 , Y68 , Y200')
+        |) AS t(ELEMENT_NAME, ELEMENT_TYPE, DATABASE_NAME, ELEMENT_IDENTIFIER,
+        |       LOCATION, LOCATION_IDENTIFIER, POS_REG_NAME, POS_REG_TYPE,
+        |       POS_REG_ID, NEG_REG_NAME, NEG_REG_TYPE, NEG_REG_ID,
+        |       IS_INDIRECT, MECHANISM_TYPE, CELL_LINE, CELL_TYPE, ORGANISM,
+        |       PAPER_ID, EVIDENCE)""".stripMargin,
+    "kg_emit_indexcard_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('adds_modification', 'phosphorylation', '', '', TRUE, FALSE,
+        |   '', '', '', '', 'phosphorylate', 'g05', 'MEK1', 'protein',
+        |   'uniprot:Q02750', 'ERK2', 'protein', 'uniprot:P28482', 1,
+        |   'MEK does not phosphorylate ERK2'),
+        |  ('adds_modification', 'phosphorylation', '', '', TRUE, FALSE,
+        |   '', '', '', '', 'phosphorylate', 'g45', 'MEK1', 'protein',
+        |   'uniprot:Q02750', 'ERK2', 'protein', 'uniprot:P28482', 1,
+        |   'MEK1 fails to phosphorylate ERK2'),
+        |  ('decreases_activity', '', '', '', FALSE, FALSE,
+        |   '', '', '', '', 'inhibits', 'g12', 'Rapamycin', 'simple_chemical',
+        |   'pubchem:CID5284616', 'mTOR', 'protein', 'uniprot:P42345', 1,
+        |   'Rapamycin inhibits mTOR'),
+        |  ('translocates', '', '', 'go:GO:0005634', FALSE, FALSE,
+        |   '', '', '', '', 'translocates', 'g13', '', '', '', 'STAT3',
+        |   'protein', 'uniprot:P40763', 1, 'STAT3 translocates to the nucleus')
+        |) AS t(interaction_type, modification_type, position, to_location_id,
+        |       negative_information, hypothesis_information, context_species,
+        |       context_organ, context_cell_line, context_cell_type, trigger,
+        |       pmc_id, participant_a_text, participant_a_type,
+        |       participant_a_identifier, participant_b_text,
+        |       participant_b_type, participant_b_identifier, seen,
+        |       evidence)""".stripMargin,
+    "kg_emit_cmu" -> GeneratedOracles.cmu,
     "kg_fries_frames" -> GeneratedOracles.friesFrames,
     "kg_canonical_nodes" -> GeneratedOracles.canonicalNodes,
     "kg_emit_fries" -> GeneratedOracles.fries,

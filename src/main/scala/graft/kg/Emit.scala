@@ -123,12 +123,15 @@ object Emit {
     *  - SEEN = evidence count (arizonaFilter keeps rows with seen > 0:
     *    ArizonaOutputter.scala:40-46; every edge here has evidence)
     */
+  /** Modification event labels (reference: ReachConstants MODIFICATION_EVENTS). */
+  private val modEventLabels = Seq("Phosphorylation", "Dephosphorylation",
+    "Ubiquitination", "Deubiquitination", "Hydroxylation", "Dehydroxylation",
+    "Sumoylation", "Desumoylation", "Glycosylation", "Deglycosylation",
+    "Acetylation", "Deacetylation", "Farnesylation", "Defarnesylation",
+    "Ribosylation", "Deribosylation", "Methylation", "Demethylation")
+
   def arizonaTsv(edges: DataFrame): DataFrame = {
-    val isMod = col("pred").isin("Phosphorylation", "Dephosphorylation",
-      "Ubiquitination", "Deubiquitination", "Hydroxylation", "Dehydroxylation",
-      "Sumoylation", "Desumoylation", "Glycosylation", "Deglycosylation",
-      "Acetylation", "Deacetylation", "Farnesylation", "Defarnesylation",
-      "Ribosylation", "Deribosylation", "Methylation", "Demethylation")
+    val isMod = col("pred").isin(modEventLabels: _*)
     val output =
       when(isMod, concat(col("obj"), lit("."),
         lower(substring(col("pred"), 1, 1)),
@@ -171,5 +174,338 @@ object Emit {
         pmod(xxhash64(col("INPUT"), col("OUTPUT"), col("CONTROLLER"),
           col("EVENT_LABEL"), col("SITE"), col("NEGATED"), col("INDIRECT"),
           col("HYPOTHESIS")), lit(Long.MaxValue)))
+  }
+
+  // ---- IndexCard JSON sink (S-extra; reference: export/.../indexcards/
+  // IndexCardOutput.scala) -------------------------------------------------
+
+  /** Node metadata for participant rendering, broadcast (the canonical
+    * entity catalog grows sublinearly in corpus size). */
+  private def nodeMeta(nodes: DataFrame, prefix: String): DataFrame =
+    broadcast(nodes.select(
+      col("canon_id").as(prefix + "_id_key"),
+      col("display").as(prefix + "_display"),
+      col("display_label").as(prefix + "_dlabel")))
+
+  private def withParticipant(df: DataFrame, nodes: DataFrame,
+                              gidCol: String, prefix: String): DataFrame =
+    df.join(nodeMeta(nodes, prefix),
+        df(gidCol) === col(prefix + "_id_key"), "left")
+      .withColumn(prefix + "_text",
+        when(col(gidCol) === "", lit(""))
+          .otherwise(coalesce(col(prefix + "_display"), col(gidCol))))
+      .withColumn(prefix + "_type",
+        when(col(gidCol) === "", lit(""))
+          .otherwise(lower(coalesce(col(prefix + "_dlabel"), lit("entity")))))
+      .withColumn(prefix + "_identifier", col(gidCol))
+      .drop(prefix + "_id_key", prefix + "_display", prefix + "_dlabel")
+
+  /** The event key an edge would have as another edge's controlled argument
+    * (stageMaterialize composes `obj_pred(obj_gid[@site])`). */
+  private def ownEventKey: org.apache.spark.sql.Column =
+    concat(col("pred"), lit("("), col("obj"),
+      when(col("site") =!= "", concat(lit("@"), col("site"))).otherwise(lit("")),
+      lit(")"))
+
+  /** IndexCard export, flat tabular form (reference: IndexCardOutput.scala
+    * 95-135 two-pass card construction, 270-305/313-365 per-type cards).
+    * One row per card; `indexCardJson` renders the reference's nested JSON.
+    *
+    * Faithful semantics:
+    *  - regulations whose controlled is a modification become
+    *    adds_modification / inhibits_modification cards with participant_a =
+    *    controller (mkRegulationIndexCard:323-362; non-modification
+    *    controlled returns None — the INDEX CARD LIMITATION);
+    *  - a modification that is some regulation's controlled in the same
+    *    conversation is suppressed as a standalone card
+    *    (simpleEventsInRegs:107-133);
+    *  - bindings/activations/translocations/amounts/transcription per
+    *    mkBindingIndexCard/mkActivationIndexCard/mkTranslocationIndexCard/
+    *    mkSimpleEventIndexCard;
+    *  - hedging = negative_information/hypothesis_information (mkHedging:308),
+    *    context from the window+defaults engine (mkContext:165-168);
+    *  - meta: pmc_id = conv_id, trigger, sorted evidence (addMeta:455-476;
+    *    wall-clock reading_started/complete are intentionally dropped — ids
+    *    and output must be deterministic, SURVEY A8).
+    *
+    * Simplification (documented): participant PTM/Mutant feature lists
+    * (mkFeatures:203-214) are not re-derivable from the flat edge table;
+    * argument-level modifications are exported in the FRIES frame graph.
+    * Scale: modification-suppression is one left-anti join keyed
+    * (conv_id, event key); participant rendering is broadcast joins.
+    */
+  def indexCardFlat(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val innerLabel = regexp_extract(col("obj"), "^([A-Za-z_]+)\\(", 1)
+    val innerGid = regexp_extract(col("obj"), "\\(([a-z]+:[^@)]+)", 1)
+    val isModLabel = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^Auto", "").isin(modEventLabels: _*)
+
+    val base = Seq("interaction_type", "participant_a_gid", "participant_b_gid",
+      "modification_type", "position", "to_location_id",
+      "negative_information", "hypothesis_information",
+      "context_species", "context_organ", "context_cell_line",
+      "context_cell_type", "trigger", "evidence_text", "pmc_id")
+
+    def shape(df: DataFrame): DataFrame = df.select(
+      col("interaction_type"),
+      col("participant_a_gid"), col("participant_b_gid"),
+      col("modification_type"), col("position"), col("to_location_id"),
+      col("negated").as("negative_information"),
+      col("hypothesis").as("hypothesis_information"),
+      col("ctx_species").as("context_species"),
+      col("ctx_organ").as("context_organ"),
+      col("ctx_cell_line").as("context_cell_line"),
+      col("ctx_cell_type").as("context_cell_type"),
+      col("trigger_text").as("trigger"),
+      col("evidence_text"),
+      col("conv_id").as("pmc_id"))
+
+    val modRegs = edges
+      .filter(col("pred").rlike("_regulation$") && isModLabel(innerLabel))
+      .withColumn("interaction_type",
+        when(col("pred") === "Positive_regulation", lit("adds_modification"))
+          .otherwise(lit("inhibits_modification")))
+      .withColumn("participant_a_gid", col("subj"))
+      .withColumn("participant_b_gid", innerGid)
+      .withColumn("modification_type",
+        lower(regexp_replace(innerLabel, "^Auto", "")))
+      .withColumn("position", col("site"))
+      .withColumn("to_location_id", lit(""))
+
+    val consumed = edges.filter(col("pred").rlike("_regulation$"))
+      .select(col("conv_id"), col("obj").as("consumed_key")).distinct()
+
+    val simpleMods = edges
+      .filter(isModLabel(col("pred")) && col("subj") === "")
+      .withColumn("own_key", ownEventKey)
+      .join(consumed, col("own_key") === col("consumed_key") &&
+        edges("conv_id") === consumed("conv_id"), "left_anti")
+      .withColumn("interaction_type", lit("adds_modification"))
+      .withColumn("participant_a_gid", lit(""))
+      .withColumn("participant_b_gid", col("obj"))
+      .withColumn("modification_type",
+        lower(regexp_replace(col("pred"), "^Auto", "")))
+      .withColumn("position", col("site"))
+      .withColumn("to_location_id", lit(""))
+
+    val bindings = edges.filter(col("pred") === "Binding")
+      .withColumn("interaction_type", lit("binds"))
+      .withColumn("participant_a_gid", split(col("obj"), "&")(0))
+      .withColumn("participant_b_gid", split(col("obj"), "&")(1))
+      .withColumn("modification_type", lit(""))
+      .withColumn("position", col("site"))
+      .withColumn("to_location_id", lit(""))
+
+    val activations = edges.filter(col("pred").rlike("_activation$"))
+      .withColumn("interaction_type",
+        when(col("pred") === "Positive_activation", lit("increases_activity"))
+          .otherwise(lit("decreases_activity")))
+      .withColumn("participant_a_gid", col("subj"))
+      .withColumn("participant_b_gid", col("obj"))
+      .withColumn("modification_type", lit(""))
+      .withColumn("position", lit(""))
+      .withColumn("to_location_id", lit(""))
+
+    val translocations = edges.filter(col("pred") === "Translocation")
+      .withColumn("interaction_type", lit("translocates"))
+      .withColumn("participant_a_gid", lit(""))
+      .withColumn("participant_b_gid", col("obj"))
+      .withColumn("modification_type", lit(""))
+      .withColumn("position", lit(""))
+      .withColumn("to_location_id", col("site"))
+
+    val amounts = edges
+      .filter(col("pred").isin("IncreaseAmount", "DecreaseAmount",
+        "Transcription"))
+      .withColumn("interaction_type",
+        when(col("pred") === "Transcription", lit("transcribes"))
+          .otherwise(col("pred")))
+      .withColumn("participant_a_gid", col("subj"))
+      .withColumn("participant_b_gid", col("obj"))
+      .withColumn("modification_type", lit(""))
+      .withColumn("position", lit(""))
+      .withColumn("to_location_id", lit(""))
+
+    val cards = Seq(modRegs, simpleMods, bindings, activations, amounts,
+      translocations).map(shape).reduce(_.unionByName(_))
+
+    val withB = withParticipant(
+      withParticipant(cards, nodes, "participant_a_gid", "participant_a"),
+      nodes, "participant_b_gid", "participant_b")
+    withB
+      .groupBy((base.filterNot(_ == "evidence_text").map(col) ++ Seq(
+        col("participant_a_text"), col("participant_a_type"),
+        col("participant_a_identifier"), col("participant_b_text"),
+        col("participant_b_type"), col("participant_b_identifier"))): _*)
+      .agg(count(lit(1)).as("seen"),
+        concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
+          .as("evidence"))
+      .drop("participant_a_gid", "participant_b_gid")
+  }
+
+  /** Reference-shaped nested IndexCard JSON over the flat card rows
+    * (IndexCardOutput.writeJsonToString shape, meta per addMeta). */
+  def indexCardJson(flat: DataFrame): DataFrame =
+    flat.select(to_json(struct(
+      struct(
+        col("interaction_type"),
+        when(col("participant_a_identifier") =!= "", struct(
+          col("participant_a_text").as("entity_text"),
+          col("participant_a_type").as("entity_type"),
+          col("participant_a_identifier").as("identifier"))).as("participant_a"),
+        struct(
+          col("participant_b_text").as("entity_text"),
+          col("participant_b_type").as("entity_type"),
+          col("participant_b_identifier").as("identifier")).as("participant_b"),
+        when(col("modification_type") =!= "", array(struct(
+          lit("modification").as("feature_type"),
+          col("modification_type"),
+          col("position")))).as("modifications"),
+        when(col("to_location_id") =!= "",
+          col("to_location_id")).as("to_location_id"),
+        col("negative_information"),
+        col("hypothesis_information"),
+        struct(col("context_species").as("species"),
+          col("context_organ").as("organ"),
+          col("context_cell_line").as("cell_line"),
+          col("context_cell_type").as("cell_type")).as("context")
+      ).as("extracted_information"),
+      col("pmc_id"), col("trigger"), col("evidence"),
+      lit("machine").as("reader_type"),
+      lit("extension").as("model_relation")
+    )).as("card"))
+
+  // ---- CMU DyCE tabular sink (S9 companion; reference: export/.../cmu/
+  // CMUExporter.scala + CMURow.scala) --------------------------------------
+
+  /** CMU tabular export (reference column set CMUExporter.scala:120-170;
+    * row semantics CMURow.scala:278-305). Safe column names here; the
+    * reference's exact header strings (with spaces) are applied by the
+    * tabular writer.
+    *
+    * Faithful semantics:
+    *  - rows = events with a controller, plus translocations
+    *    (keepEvents:186-195); child events consumed as another row's
+    *    controlled are removed (removeChildren:197-205) via a left-anti
+    *    self-join on the composed event key;
+    *  - ELEMENT_* from the innermost simple-event participant, PTM suffix
+    *    stripped (removePTM:151-160), db -> element type per
+    *    singleElementType:63-78;
+    *  - nested controller polarity reproduces fetchNestedControllers:55-93:
+    *    the innermost De-/Ubiquitination event starts negative, every
+    *    Negative_regulation wrapper flips, positive controllers land in
+    *    POS_REG_*, negative in NEG_REG_*; a translocation's theme is its own
+    *    positive controller (:63-67);
+    *  - MECHANISM_TYPE = controlled simple-event label for regulations
+    *    (createMechanismType:22-29), NONE otherwise;
+    *  - IS_INDIRECT: D for direct mechanisms, I for activations and
+    *    regulation-over-regulation (AssemblyRow.isIndirect);
+    *  - LOCATION from the translocation destination with the DyCE
+    *    known-location table (CMU_KNOWN_LOCATIONS:174-181); cellular-component
+    *    context beyond destinations is not modeled (documented simplification
+    *    - the reference reads it from its context engine's
+    *    CELLULAR_COMPONENT axis, which SURVEY scopes to the four axes kept).
+    */
+  def cmuTsv(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val rows0 = edges.filter(
+      col("pred").rlike("_(regulation|activation)$") ||
+      col("pred") === "Translocation")
+    // removeChildren: a row whose own key is another kept row's controlled
+    val parentKeys = rows0.filter(col("pred").rlike("_regulation$"))
+      .select(col("conv_id").as("pk_conv"), col("obj").as("parent_obj"))
+      .distinct()
+    val rows = rows0.withColumn("own_key", ownEventKey)
+      .join(parentKeys, col("own_key") === col("parent_obj") &&
+        col("conv_id") === col("pk_conv"), "left_anti")
+
+    val isReg = col("pred").rlike("_regulation$")
+    val innerGid = when(isReg,
+        regexp_extract(col("obj"), "\\(([a-z]+:[^@)]+)", 1))
+      .otherwise(col("obj"))
+    val mechanism = when(isReg,
+        regexp_extract(col("obj"), "([A-Za-z_]+)\\([a-z]+:", 1))
+      .otherwise(lit(""))
+    // polarity: innermost De-/Ubiquitination starts negative; each
+    // Negative_regulation wrapper (incl. this row's own pred) flips
+    val baseNeg = when(
+      regexp_replace(mechanism, "^Auto", "").rlike("^De") ||
+        regexp_replace(mechanism, "^Auto", "") === "Ubiquitination",
+      lit(1)).otherwise(lit(0))
+    val wrapperFlips =
+      size(split(col("obj"), "Negative_regulation\\(")) - 1 +
+        when(col("pred").isin("Negative_regulation", "Negative_activation"),
+          lit(1)).otherwise(lit(0))
+    val controllerNegative = pmod(baseNeg + wrapperFlips, lit(2)) === 1
+
+    val withElems = rows
+      .withColumn("element_gid", innerGid)
+      .withColumn("mech0", mechanism)
+      .withColumn("is_neg_ctl", controllerNegative)
+      .withColumn("ctl_gid",
+        when(col("pred") === "Translocation", innerGid).otherwise(col("subj")))
+
+    def dbType(db: org.apache.spark.sql.Column) =
+      when(db === "uniprot", lit("Protein"))
+        .when(db.isin("pfam", "interpro"), lit("Protein Family"))
+        .when(db === "be", lit("Protein Family|Protein Complex"))
+        .when(db.isin("pubchem", "hmdb", "chebi"), lit("Chemical"))
+        .when(db.isin("go", "mesh"), lit("Biological Process"))
+        .otherwise(lit("Other"))
+
+    // normalize "go:GO:0005634" / "GO:0005634" to the DyCE map key form
+    // "go:0005634" (CMU_KNOWN_LOCATIONS, CMUExporter.scala:174-181)
+    val locNorm = lower(col("site"))
+    val locId = when(col("pred") =!= "Translocation", lit(""))
+      .when(locNorm.rlike("go:[0-9]+$"),
+        regexp_extract(locNorm, "(go:[0-9]+)$", 1))
+      .otherwise(locNorm)
+    val locName = when(locId === "", lit(""))
+      .when(locId === "go:0005737", lit("cytoplasm"))
+      .when(locId === "go:0005886", lit("plasma membrane"))
+      .when(locId === "go:0005634", lit("nucleus"))
+      .when(locId === "go:0005739", lit("mitochondria"))
+      .when(locId === "go:0005576", lit("external"))
+      .when(locId === "go:0005783", lit("endoplasmic reticulum"))
+      .otherwise(lit("Other"))
+
+    withParticipant(
+      withParticipant(withElems, nodes, "element_gid", "element"),
+      nodes, "ctl_gid", "ctl")
+      .withColumn("ELEMENT_NAME", col("element_text"))
+      .withColumn("ELEMENT_TYPE", dbType(split(col("element_gid"), ":")(0)))
+      .withColumn("DATABASE_NAME", split(col("element_gid"), ":")(0))
+      .withColumn("ELEMENT_IDENTIFIER",
+        regexp_replace(col("element_gid"), "^[a-z]+:", ""))
+      .withColumn("LOCATION", locName)
+      .withColumn("LOCATION_IDENTIFIER", locId)
+      .withColumn("POS_REG_NAME",
+        when(!col("is_neg_ctl"), col("ctl_text")).otherwise(lit("")))
+      .withColumn("POS_REG_TYPE", when(!col("is_neg_ctl"),
+        dbType(split(col("ctl_gid"), ":")(0))).otherwise(lit("")))
+      .withColumn("POS_REG_ID", when(!col("is_neg_ctl"),
+        regexp_replace(col("ctl_gid"), "^[a-z]+:", "")).otherwise(lit("")))
+      .withColumn("NEG_REG_NAME",
+        when(col("is_neg_ctl"), col("ctl_text")).otherwise(lit("")))
+      .withColumn("NEG_REG_TYPE", when(col("is_neg_ctl"),
+        dbType(split(col("ctl_gid"), ":")(0))).otherwise(lit("")))
+      .withColumn("NEG_REG_ID", when(col("is_neg_ctl"),
+        regexp_replace(col("ctl_gid"), "^[a-z]+:", "")).otherwise(lit("")))
+      .withColumn("IS_INDIRECT",
+        when(col("pred").rlike("_activation$") ||
+          col("obj").rlike("regulation\\("), lit("I")).otherwise(lit("D")))
+      .withColumn("MECHANISM_TYPE",
+        when(col("mech0") === "", lit("NONE")).otherwise(col("mech0")))
+      .groupBy(col("ELEMENT_NAME"), col("ELEMENT_TYPE"), col("DATABASE_NAME"),
+        col("ELEMENT_IDENTIFIER"), col("LOCATION"), col("LOCATION_IDENTIFIER"),
+        col("POS_REG_NAME"), col("POS_REG_TYPE"), col("POS_REG_ID"),
+        col("NEG_REG_NAME"), col("NEG_REG_TYPE"), col("NEG_REG_ID"),
+        col("IS_INDIRECT"), col("MECHANISM_TYPE"))
+      .agg(
+        max(col("ctx_cell_line")).as("CELL_LINE"),
+        max(col("ctx_cell_type")).as("CELL_TYPE"),
+        max(col("ctx_organ")).as("ORGANISM"),
+        concat_ws("|", array_sort(collect_set(col("conv_id")))).as("PAPER_ID"),
+        concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
+          .as("EVIDENCE"))
   }
 }

@@ -19,6 +19,8 @@ NAMES = {
     "kg_fries_frames": "friesFrames",
     "dedup_simhash": "simhash",
     "text_fingerprint": "textFingerprint",
+    "kg_emit_indexcard": "indexcard",
+    "kg_emit_cmu": "cmu",
 }
 
 raw = open(RAW).read()
