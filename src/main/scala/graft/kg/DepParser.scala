@@ -171,6 +171,15 @@ object DepParser {
   private val irregularPart = Set(
     "bound", "found", "held", "kept", "led", "lost", "made", "left")
 
+  // precompiled (String.matches would recompile per call — this runs for
+  // every token of every sentence in the extraction hot path)
+  private val ateFamRe = Pattern.compile(""".*at(e|es|ed|ing)""")
+  private val izeFamRe = Pattern.compile(""".*iz(e|es|ed|ing)""")
+  private val ptmInfixRe =
+    Pattern.compile(""".*(ylat|itinat|osylat|ethylat|cetylat|umoylat).*""")
+  private val ptmStemRe = Pattern.compile(
+    """(de)?(phosphorylat|ubiquitinat|hydroxylat|acetylat|glycosylat|methylat|sumoylat|farnesylat|ribosylat)\w*""")
+
   private def isVerbWord(w: String, lemma: String): Boolean = {
     val l = w.toLowerCase
     def stemIn(s: String) = verbStems.contains(s)
@@ -179,10 +188,10 @@ object DepParser {
     stemIn(l.stripSuffix("ed")) || stemIn(l.stripSuffix("d")) ||
     stemIn(l.stripSuffix("ing")) ||
     // -ate family: phosphorylates / ubiquitinated / translocating / binds...
-    l.matches(""".*at(e|es|ed|ing)""") ||
-    l.matches(""".*iz(e|es|ed|ing)""") ||
-    l.matches(""".*(ylat|itinat|osylat|ethylat|cetylat|umoylat).*""") ||
-    l.matches("""(de)?(phosphorylat|ubiquitinat|hydroxylat|acetylat|glycosylat|methylat|sumoylat|farnesylat|ribosylat)\w*""")
+    ateFamRe.matcher(l).matches() ||
+    izeFamRe.matcher(l).matches() ||
+    ptmInfixRe.matcher(l).matches() ||
+    ptmStemRe.matcher(l).matches()
   }
 
   private val cdRe = Pattern.compile("""\d+(\.\d+)?""")
