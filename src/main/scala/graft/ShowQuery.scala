@@ -2,14 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Build-time helper (NOT part of the driver contract): prints DuckDB VALUES
-  * oracles for the deterministic golden-corpus exports (arizona / fries /
-  * canonical nodes) and the seeded simhash subset, so they can be pasted into
-  * SparkEntry.oracleSql as regression pins. The golden corpus is hand-traced
-  * (GoldenSpec exactness), so pinning its derived exports is a valid oracle:
-  * any behavioral drift flips the driver row red.
+/** Build-time helper (NOT part of the driver contract): prints the output of
+  * named SparkEntry queries as DuckDB VALUES rows, for hand-checking sample
+  * oracles while developing. Usage: runMain graft.ShowQuery name1 name2 ...
   */
-object DumpOracles {
+object ShowQuery {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -26,17 +23,13 @@ object DumpOracles {
       case x => x.toString
     }
 
-    for (name <- Seq("kg_emit_arizona", "kg_canonical_nodes", "kg_emit_fries",
-                     "kg_fries_frames", "dedup_simhash", "text_fingerprint",
-                     "kg_emit_indexcard", "kg_emit_cmu", "kg_emit_assembly",
-                     "kg_emit_assembly_mitre", "kg_emit_serial")) {
+    for (name <- args) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val cols = df.columns
       val rows = df.collect().map { r =>
         cols.indices.map(i => lit(r.get(i))).mkString("(", ", ", ")")
       }.sorted
       println(s"==== $name (${rows.length} rows) ====")
-      println(s"SELECT * FROM (VALUES")
       println(rows.mkString(",\n"))
       println(s") AS t(${cols.mkString(", ")})")
     }

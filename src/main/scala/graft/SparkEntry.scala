@@ -118,6 +118,27 @@ object SparkEntry {
     // intra-sentential rule-based: "following" swaps the roles
     ("p06", 0, "AKT1 binds BAD following the phosphorylation of BAD."))
 
+  /** MITRE-filter fixture (reference: ExportFilters.MITREfilter:105-122).
+    * Each block exercises one requirement: the phosphorylation is seen 3x
+    * across 2 conversations (survives); the activation is seen 3x but
+    * activations are invalid MITRE mentions; the RAF event is family-grounded
+    * (pfam); XYZQ99 grounds to the uaz failsafe; the binding is seen once.
+    */
+  private val mitreFixture: Seq[(String, Int, String)] = Seq(
+    ("mt1", 0, "MEK1 phosphorylates ERK2."),
+    ("mt1", 1, "MEK1 phosphorylates ERK2."),
+    ("mt2", 0, "MEK1 phosphorylates ERK2."),
+    ("mt1", 2, "AKT1 activates mTOR."),
+    ("mt1", 3, "AKT1 activates mTOR."),
+    ("mt2", 1, "AKT1 activates mTOR."),
+    ("mt1", 4, "RAF phosphorylates MEK1."),
+    ("mt1", 5, "RAF phosphorylates MEK1."),
+    ("mt2", 2, "RAF phosphorylates MEK1."),
+    ("mt1", 6, "XYZQ99 phosphorylates AKT1."),
+    ("mt1", 7, "XYZQ99 phosphorylates AKT1."),
+    ("mt2", 3, "XYZQ99 phosphorylates AKT1."),
+    ("mt1", 8, "STAT3 binds EGFR."))
+
   /** (turn_idx, mention_text, kind, label, site) — hand-traced. */
   private val modsExpected: Seq[(Int, String, String, String, String)] = Seq(
     (0, "ERK2", "PTM", "Phosphorylation", ""),
@@ -298,6 +319,44 @@ object SparkEntry {
       val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
       Emit.cmuTsv(r.edges, r.nodes)
     },
+    "kg_emit_assembly" -> { (s, dir) =>
+      // generic assembly TSV, unconstrained variant (ReachCLI assembly-tsv
+      // second output: seen > 0) on the golden corpus — event rows with
+      // PRECEDED_BY + entity rows
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
+        "verify", acc)
+      val canon = Pipeline.stageCanon(s, b)
+      val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
+      Emit.assemblyTsv(edges, b.toDF(), canon)
+    },
+    "kg_emit_assembly_mitre" -> { (s, dir) =>
+      // MITRE-filtered assembly TSV on the dedicated requirements fixture
+      import s.implicits._
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val turns = s.createDataset(mitreFixture.map { case (c, i, text) =>
+        Transcripts.mkTurn(c, i, if (i % 2 == 0) "user" else "assistant", text)
+      })
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      val canon = Pipeline.stageCanon(s, b)
+      val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
+      Emit.assemblyTsv(edges, b.toDF(), canon, mitre = true)
+    },
+    "kg_emit_serial" -> { (s, dir) =>
+      // serial-json: coref-mention JSON per linked mention (SerialJsonOutput)
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
+        "verify", acc)
+      Emit.serialJson(b.toDF())
+        .filter(col("conv_id").isin("g01", "g05", "g08", "g12", "g13", "g20",
+          "g23", "g28", "g30", "g39", "g42", "g46"))
+    },
     "kg_fries_frames" -> { (s, dir) =>
       // FRIES frame GRAPH (entity/event frames with frame-id references) —
       // one JSON document per conversation, from the linked-mention table
@@ -477,6 +536,53 @@ object SparkEntry {
       val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
       Emit.indexCardFlat(r.edges.filter(
         col("conv_id").isin("g05", "g12", "g13", "g45")), r.nodes)
+    },
+    "kg_emit_assembly_sample" -> { (s, dir) =>
+      // hand-traced MITRE assembly rows: EVENT_ID (hash) dropped so every
+      // remaining column is derivable from the fixture + lexicon by hand
+      import s.implicits._
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val turns = s.createDataset(mitreFixture.map { case (c, i, text) =>
+        Transcripts.mkTurn(c, i, if (i % 2 == 0) "user" else "assistant", text)
+      })
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      val canon = Pipeline.stageCanon(s, b)
+      val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
+      Emit.assemblyTsv(edges, b.toDF(), canon, mitre = true).drop("EVENT_ID")
+    },
+    "kg_emit_serial_sample" -> { (s, dir) =>
+      // hand-traced serial-json fields: parse the JSON back and project the
+      // hash-free fields for three single-event golden conversations
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
+        "verify", acc)
+      val schema = "STRUCT<type: STRING, text: STRING, labels: ARRAY<STRING>, " +
+        "tokenInterval: STRUCT<start: INT, end: INT>, sentence: INT, " +
+        "document: STRING, foundBy: STRING, " +
+        "arguments: ARRAY<STRUCT<role: STRING, id: STRING>>, " +
+        "grounding: STRUCT<namespace: STRING, id: STRING, species: STRING>, " +
+        "displayLabel: STRING, isNegated: BOOLEAN, isHypothesis: BOOLEAN>"
+      Emit.serialJson(b.toDF())
+        .filter(col("conv_id").isin("g05", "g12", "g13"))
+        .select(from_json(col("mention_json"), schema,
+          Map.empty[String, String]).as("m"))
+        .select(col("m.type").as("type"), col("m.text").as("text"),
+          col("m.labels")(0).as("head_label"),
+          col("m.tokenInterval.start").as("start_tok"),
+          col("m.tokenInterval.end").as("end_tok"),
+          col("m.sentence").as("sentence"), col("m.document").as("document"),
+          size(col("m.arguments")).as("n_args"),
+          col("m.grounding.namespace").as("ns"),
+          // event groundings are content hashes — blank them so every pinned
+          // value is derivable by hand from the fixture + lexicon
+          when(col("m.grounding.namespace") === "evt", lit(""))
+            .otherwise(col("m.grounding.id")).as("ns_id"),
+          col("m.displayLabel").as("display_label"),
+          col("m.isNegated").as("is_negated"))
     },
     "kg_fries_frames_sample" -> { (s, dir) =>
       // frame-graph content minus the hashed frame ids: parse the emitted
@@ -694,6 +800,73 @@ object SparkEntry {
         |       participant_b_type, participant_b_identifier, seen,
         |       evidence)""".stripMargin,
     "kg_emit_cmu" -> GeneratedOracles.cmu,
+    // hand-traced from mitreFixture (not DumpOracles-generated): each row is
+    // derivable by hand from the fixture sentences + demo lexicon — entity
+    // SEEN counts (AKT1 6 = 3 activations + 3 phosphorylations, MEK1 6 =
+    // 3 subject + 3 object, ERK2/mTOR 3), the surviving Phosphorylation and
+    // Positive_regulation events at SEEN=3 across mt1|mt2, and the MITRE
+    // exclusions (activations, RAF pfam family rows, XYZQ99 uaz rows,
+    // single-seen STAT3/EGFR binding)
+    "kg_emit_assembly_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('AKT1::uniprot:P31749', 'AKT1::uniprot:P31749', 'NONE', 'entity',
+        |   FALSE, FALSE, '', '', '', '', '', 6, 'AKT1', 'mt1|mt2', ''),
+        |  ('ERK2::uniprot:P28482', 'ERK2::uniprot:P28482', 'NONE', 'entity',
+        |   FALSE, FALSE, '', '', '', '', '', 3, 'ERK2', 'mt1|mt2', ''),
+        |  ('MEK1::uniprot:Q02750', 'MEK1::uniprot:Q02750', 'NONE', 'entity',
+        |   FALSE, FALSE, '', '', '', '', '', 6, 'MEK1', 'mt1|mt2', ''),
+        |  ('mTOR::uniprot:P42345', 'mTOR::uniprot:P42345', 'NONE', 'entity',
+        |   FALSE, FALSE, '', '', '', '', '', 3, 'mTOR', 'mt1|mt2', ''),
+        |  ('Phosphorylation(uniprot:P28482)', 'Phosphorylation(uniprot:P28482)',
+        |   'uniprot:Q02750', 'Positive_regulation', FALSE, FALSE, '', '', '',
+        |   '', 'phosphorylates', 3, 'MEK1 phosphorylates ERK2', 'mt1|mt2', ''),
+        |  ('uniprot:P28482', 'uniprot:P28482.p', 'NONE', 'Phosphorylation',
+        |   FALSE, FALSE, '', '', '', '', 'phosphorylates', 3,
+        |   'phosphorylates ERK2', 'mt1|mt2', ''),
+        |  ('uniprot:P31749', 'uniprot:P31749.p', 'NONE', 'Phosphorylation',
+        |   FALSE, FALSE, '', '', '', '', 'phosphorylates', 3,
+        |   'phosphorylates AKT1', 'mt1|mt2', ''),
+        |  ('uniprot:Q02750', 'uniprot:Q02750.p', 'NONE', 'Phosphorylation',
+        |   FALSE, FALSE, '', '', '', '', 'phosphorylates', 3,
+        |   'phosphorylates MEK1', 'mt1|mt2', '')
+        |) AS t(INPUT, OUTPUT, CONTROLLER, EVENT_LABEL, NEGATED, INDIRECT,
+        |       CONTEXT_SPECIES, CONTEXT_ORGAN, CONTEXT_CELL_LINE,
+        |       CONTEXT_CELL_TYPE, TRIGGERS, SEEN, EVIDENCE, SEEN_IN,
+        |       PRECEDED_BY)""".stripMargin,
+    // hand-traced serial-json fields for three single-event golden convs
+    // (g05 negated regulation + inner phospho, g12 chemical inhibition,
+    // g13 translocation) — token intervals counted by hand from the text
+    "kg_emit_serial_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('CorefEventMention', 'MEK does not phosphorylate ERK2',
+        |   'Positive_regulation', 0, 5, 0, 'g05', 2, 'evt',
+        |   '', 'Positive_regulation', TRUE),
+        |  ('CorefEventMention', 'phosphorylate ERK2', 'Phosphorylation',
+        |   3, 5, 0, 'g05', 1, 'evt', '', 'Phosphorylation',
+        |   TRUE),
+        |  ('CorefEventMention', 'Rapamycin inhibits mTOR',
+        |   'Negative_activation', 0, 3, 0, 'g12', 2, 'evt',
+        |   '', 'Negative_activation', FALSE),
+        |  ('CorefEventMention', 'STAT3 translocates to the nucleus',
+        |   'Translocation', 0, 5, 0, 'g13', 2, 'evt', '',
+        |   'Translocation', FALSE),
+        |  ('CorefTextBoundMention', 'MEK', 'Gene_or_gene_product', 0, 1, 0,
+        |   'g05', 0, 'uniprot', 'Q02750', 'Protein', FALSE),
+        |  ('CorefTextBoundMention', 'ERK2', 'Gene_or_gene_product', 4, 5, 0,
+        |   'g05', 0, 'uniprot', 'P28482', 'Protein', FALSE),
+        |  ('CorefTextBoundMention', 'Rapamycin', 'Simple_chemical', 0, 1, 0,
+        |   'g12', 0, 'pubchem', 'CID5284616', 'Simple_chemical', FALSE),
+        |  ('CorefTextBoundMention', 'mTOR', 'Gene_or_gene_product', 2, 3, 0,
+        |   'g12', 0, 'uniprot', 'P42345', 'Protein', FALSE),
+        |  ('CorefTextBoundMention', 'STAT3', 'Gene_or_gene_product', 0, 1, 0,
+        |   'g13', 0, 'uniprot', 'P40763', 'Protein', FALSE),
+        |  ('CorefTextBoundMention', 'nucleus', 'Cellular_component', 4, 5, 0,
+        |   'g13', 0, 'go', 'GO:0005634', 'Cellular_component', FALSE)
+        |) AS t(type, text, head_label, start_tok, end_tok, sentence,
+        |       document, n_args, ns, ns_id, display_label, is_negated)""".stripMargin,
+    "kg_emit_assembly" -> GeneratedOracles.assembly,
+    "kg_emit_assembly_mitre" -> GeneratedOracles.assemblyMitre,
+    "kg_emit_serial" -> GeneratedOracles.serial,
     "kg_fries_frames" -> GeneratedOracles.friesFrames,
     "kg_canonical_nodes" -> GeneratedOracles.canonicalNodes,
     "kg_emit_fries" -> GeneratedOracles.fries,

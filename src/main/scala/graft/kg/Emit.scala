@@ -176,6 +176,285 @@ object Emit {
           col("HYPOTHESIS")), lit(Long.MaxValue)))
   }
 
+  // ---- Generic assembly TSV sink (reference: ReachCLI.scala:209-218
+  // "assembly-tsv" over AssemblyExporter.DEFAULT_COLUMNS) -------------------
+
+  /** PTM representation suffix (reference: AssemblyExporter.PTMLUT +
+    * getPTMrepresentation:375-387 — ".p"/".u" abbreviations, first letter
+    * fallback, "@site" when sited). */
+  private def ptmSuffix(label: org.apache.spark.sql.Column,
+                        site: org.apache.spark.sql.Column) =
+    concat(
+      when(label === "Phosphorylation", lit(".p"))
+        .when(label === "Ubiquitination", lit(".u"))
+        .otherwise(concat(lit("."), lower(substring(label, 1, 1)))),
+      when(site =!= "", concat(lit("@"), site)).otherwise(lit("")))
+
+  /** Per-edge event-row identity for the assembly export. The reference keys
+    * rows by the EER equivalence hash rendered as incrementing "E<n>" ids
+    * (AssemblyExporter.mkEventID:45-47) — nondeterministic under parallelism;
+    * here the id is a content hash of the row-identity columns
+    * (input, output, controller, label, negated, indirect), matching the
+    * reference's identity semantics (AssemblyRow fields:25-35; site is
+    * omitted because it is already embedded in OUTPUT/INPUT composites).
+    */
+  private def assemblyEventId = pmod(xxhash64(
+    col("INPUT"), col("OUTPUT"), col("CONTROLLER"), col("EVENT_LABEL"),
+    col("NEGATED"), col("INDIRECT")), lit(Long.MaxValue)).cast("string")
+
+  /** Generic assembly tabular export (reference: ReachCLI.scala:209-218 —
+    * `AssemblyExporter.writeRows(DEFAULT_COLUMNS)` with two variants:
+    * unconstrained `seen > 0` and `ExportFilters.MITREfilter`).
+    *
+    * Row semantics (AssemblyExporter.getRows:225-246 over distinct EERs):
+    *  - event rows: INPUT = consumed participant (composed controlled-event
+    *    key for regulations — deterministic stand-in for the reference's
+    *    "E<n>" references, same rationale as [[arizonaTsv]]), OUTPUT with PTM
+    *    / ".a" suffixes, CONTROLLER, EVENT_LABEL, NEGATED, INDIRECT;
+    *  - entity rows (getRows includes non-event EERs — only the Arizona
+    *    variant filters them, ArizonaOutputter.arizonaFilter:40-46): one row
+    *    per distinct (grounding, mutant forms, PTM features) with
+    *    INPUT = OUTPUT = "text::gid:[mut]....p@site"
+    *    (createSimpleEntityText:68-92), CONTROLLER = NONE, EVENT_LABEL =
+    *    first PTM label when PTM-featured else "entity"
+    *    (getEventLabel:389-401), gid canonicalized through the alias CC map;
+    *  - PRECEDED_BY: predecessor row ids from the three precedence sieves
+    *    ([[Precedence.precedence]]), matched by (conversation, event key) —
+    *    the sieves identify events at (pred, obj) granularity, so every row
+    *    sharing the key inherits the predecessor (the reference keys on EER
+    *    equivalence; controller-distinct rows over one controlled collapse
+    *    to the same predecessor there too via the controlled's own EER).
+    *
+    * MITRE variant (ExportFilters.MITREfilter:105-122): seen >= 3, evidence
+    * from >= 2 documents, no activations anywhere in the event chain
+    * (isValidMITREMention:93-101), no Family-grounded participants
+    * (containsFamily — family-KB namespaces pfam/interpro/be), no
+    * unresolved `uaz:` groundings, and PRECEDED_BY pruned to surviving rows
+    * (filterPrecededBy:66-88; the reference intersects against row *labels*
+    * — an evident id-vs-label slip — the evident intent, row event ids, is
+    * implemented here).
+    *
+    * Documented simplifications: entity-row EVIDENCE lists the distinct
+    * resolved surface forms (the flattened mention model keeps no sentence
+    * text on entity mentions) and entity context columns are empty; context
+    * axes are the four the SURVEY scopes in (no CELLULAR_COMPONENT /
+    * TISSUE_TYPE columns).
+    *
+    * Scale shape: event side is one groupBy on row-identity keys (map-side
+    * partial agg); precedence pairs are sieve-filtered (sparse) and join
+    * broadcast; entity side is one groupBy over linked entities + broadcast
+    * canon join; MITRE pruning re-aggregates only the filtered survivors.
+    */
+  def assemblyTsv(edges: DataFrame, stageB: DataFrame, canonMap: DataFrame,
+                  mitre: Boolean = false): DataFrame = {
+    val isMod = col("pred").isin(modEventLabels: _*)
+    val output =
+      when(isMod, concat(col("obj"), lit("."),
+        lower(substring(col("pred"), 1, 1)),
+        when(col("site") =!= "", concat(lit("@"), col("site")))
+          .otherwise(lit(""))))
+      .when(col("pred") === "Positive_activation", concat(col("obj"), lit(".a")))
+      .otherwise(col("obj"))
+    val indirect =
+      when(col("pred").rlike("activation$"), lit(true))
+      .when(col("pred").rlike("regulation$") &&
+        col("obj").rlike("regulation\\("), lit(true))
+      .otherwise(lit(false))
+
+    val perEdge = edges
+      .withColumn("INPUT", col("obj"))
+      .withColumn("OUTPUT", output)
+      .withColumn("CONTROLLER",
+        when(col("subj") === "", lit("NONE")).otherwise(col("subj")))
+      .withColumn("EVENT_LABEL", col("pred"))
+      .withColumn("NEGATED", col("negated"))
+      .withColumn("INDIRECT", indirect)
+      .withColumn("EVENT_ID", assemblyEventId)
+
+    // predecessor ids: precedence pairs resolved to row ids by
+    // (conv, pred, obj) on both sides
+    val pairs = Precedence.precedence(edges)
+      .select(col("conv_id"), col("before_pred"), col("before_obj"),
+        col("after_pred"), col("after_obj"))
+    val edgeKeys = perEdge
+      .select(col("conv_id").as("k_conv"), col("pred").as("k_pred"),
+        col("obj").as("k_obj"), col("EVENT_ID").as("k_id"))
+      .distinct()
+    val beforeIds = pairs
+      .join(edgeKeys, col("conv_id") === col("k_conv") &&
+        col("before_pred") === col("k_pred") &&
+        col("before_obj") === col("k_obj"))
+      .select(col("conv_id").as("p_conv"), col("after_pred"),
+        col("after_obj"), col("k_id").as("before_id"))
+      .distinct()
+    val pb = perEdge
+      .join(broadcast(beforeIds), col("conv_id") === col("p_conv") &&
+        col("pred") === col("after_pred") && col("obj") === col("after_obj"))
+      .groupBy(col("EVENT_ID").as("pb_event_id"))
+      .agg(collect_set(col("before_id")).as("pb_ids"))
+
+    val eventRows = perEdge
+      .groupBy(col("INPUT"), col("OUTPUT"), col("CONTROLLER"),
+        col("EVENT_ID"), col("EVENT_LABEL"), col("NEGATED"), col("INDIRECT"))
+      .agg(
+        max(col("ctx_species")).as("CONTEXT_SPECIES"),
+        max(col("ctx_organ")).as("CONTEXT_ORGAN"),
+        max(col("ctx_cell_line")).as("CONTEXT_CELL_LINE"),
+        max(col("ctx_cell_type")).as("CONTEXT_CELL_TYPE"),
+        concat_ws("|", array_sort(collect_set(col("trigger_text"))))
+          .as("TRIGGERS"),
+        count(lit(1)).as("SEEN"),
+        concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
+          .as("EVIDENCE"),
+        concat_ws("|", array_sort(collect_set(col("conv_id")))).as("SEEN_IN"))
+      .join(broadcast(pb), col("EVENT_ID") === col("pb_event_id"), "left")
+      .withColumn("pb_arr",
+        array_remove(coalesce(col("pb_ids"), array().cast("array<string>")),
+          col("EVENT_ID")))
+      .drop("pb_event_id", "pb_ids")
+
+    // entity rows: distinct (canonical grounding, mutant forms, PTM features)
+    val entBase = stageB.filter(col("kind") === "linked").select("linked.*")
+      .filter(!col("is_event") && col("ns") =!= "")
+      .withColumn("gid", concat(col("ns"), lit(":"), col("ns_id")))
+      .join(broadcast(canonMap), Seq("gid"), "left")
+      .withColumn("cgid", coalesce(col("canon_id"), col("gid")))
+      .withColumn("mutant_forms", concat_ws("", array_sort(transform(
+        filter(col("mods"), m => m.getField("kind") === "Mutant"),
+        m => concat(lit(":["), m.getField("site_text"), lit("]"))))))
+      .withColumn("ptm_feats", concat_ws("", array_sort(transform(
+        filter(col("mods"), m => m.getField("kind") === "PTM"),
+        m => ptmSuffix(m.getField("label"), m.getField("site_text"))))))
+      .withColumn("ptm_label", array_min(transform(
+        filter(col("mods"), m => m.getField("kind") === "PTM"),
+        m => m.getField("label"))))
+
+    val entGrouped = entBase
+      .groupBy(col("cgid"), col("mutant_forms"), col("ptm_feats"))
+      .agg(
+        min(col("ptm_label")).as("ptm_label"),
+        count(lit(1)).as("SEEN"),
+        concat_ws(" | ", array_sort(collect_set(col("text")))).as("EVIDENCE"),
+        concat_ws("|", array_sort(collect_set(col("conv_id")))).as("SEEN_IN"),
+        // representative resolved text: lexicographic min (deterministic
+        // stand-in for the reference's EER sourceMention text, getText:49-66)
+        min(col("text")).as("rep_text"))
+
+    val entityRows = entGrouped
+      .withColumn("INPUT", concat(col("rep_text"), lit("::"), col("cgid"),
+        col("mutant_forms"), col("ptm_feats")))
+      .withColumn("OUTPUT", col("INPUT"))
+      .withColumn("CONTROLLER", lit("NONE"))
+      .withColumn("EVENT_LABEL",
+        when(col("ptm_feats") =!= "", col("ptm_label"))
+          .otherwise(lit("entity")))
+      .withColumn("NEGATED", lit(false))
+      .withColumn("INDIRECT", lit(false))
+      .withColumn("EVENT_ID", assemblyEventId)
+      .withColumn("CONTEXT_SPECIES", lit(""))
+      .withColumn("CONTEXT_ORGAN", lit(""))
+      .withColumn("CONTEXT_CELL_LINE", lit(""))
+      .withColumn("CONTEXT_CELL_TYPE", lit(""))
+      .withColumn("TRIGGERS", lit(""))
+      .withColumn("pb_arr", array().cast("array<string>"))
+      .drop("cgid", "mutant_forms", "ptm_feats", "ptm_label", "rep_text")
+
+    val cols = Seq("INPUT", "OUTPUT", "CONTROLLER", "EVENT_ID", "EVENT_LABEL",
+      "NEGATED", "INDIRECT", "CONTEXT_SPECIES", "CONTEXT_ORGAN",
+      "CONTEXT_CELL_LINE", "CONTEXT_CELL_TYPE", "TRIGGERS", "SEEN",
+      "EVIDENCE", "SEEN_IN", "pb_arr")
+    val all = eventRows.select(cols.map(col): _*)
+      .unionByName(entityRows.select(cols.map(col): _*))
+
+    val filtered =
+      if (!mitre) all.filter(col("SEEN") > 0)
+      else {
+        val participantText =
+          concat_ws(" ", col("INPUT"), col("OUTPUT"), col("CONTROLLER"))
+        all
+          .filter(col("SEEN") >= 3)
+          .filter(size(split(col("SEEN_IN"), "\\|")) >= 2)
+          .filter(!col("EVENT_LABEL").rlike("activation$") &&
+            !participantText.rlike("_activation\\("))
+          .filter(!participantText.rlike("(^|[(&\\s:])(pfam|interpro|be):"))
+          .filter(!participantText.rlike("(^|[(&\\s])uaz:"))
+      }
+
+    val pruned =
+      if (!mitre) filtered
+      else {
+        // prune PRECEDED_BY ids to surviving rows (filterPrecededBy intent)
+        val kept = broadcast(
+          filtered.select(col("EVENT_ID").as("kept_id")).distinct())
+        filtered
+          .withColumn("pb_one", explode_outer(col("pb_arr")))
+          .join(kept, col("pb_one") === col("kept_id"), "left")
+          .groupBy(cols.filterNot(_ == "pb_arr").map(col): _*)
+          .agg(collect_set(when(col("kept_id").isNotNull, col("pb_one")))
+            .as("pb_arr"))
+      }
+
+    pruned
+      .withColumn("PRECEDED_BY", concat_ws("|", array_sort(col("pb_arr"))))
+      .drop("pb_arr")
+  }
+
+  // ---- serial-json sink (reference: export/.../serial/SerialJsonOutput
+  // .scala:29-40 — coref-mention JSON) --------------------------------------
+
+  /** serial-json export: one JSON object per coref-resolved mention in the
+    * processors mention-JSON shape (reference: SerialJsonOutput.toJSON:29-40
+    * via mentions.serialization.json — type / id / text / labels /
+    * tokenInterval / sentence / document / foundBy / trigger / arguments /
+    * modifications / grounding / displayLabel). Differences, both
+    * deterministic re-expressions: ids are content hashes (reference ids
+    * embed JVM object identity), and `arguments` is a sorted array of
+    * {role, id} pairs rather than a role-keyed map (Spark's `to_json`
+    * cannot emit dynamic keys; the pairs carry identical information).
+    * Grounding carries the full ordered candidate list (head = winner),
+    * matching the serialized CorefMention's grounding candidates.
+    *
+    * Pure projection + `to_json` — parquet-scan speed, no shuffle.
+    */
+  def serialJson(stageB: DataFrame): DataFrame =
+    stageB.filter(col("kind") === "linked").select("linked.*")
+      .select(
+        col("conv_id"), col("turn_idx"), col("mention_id"),
+        to_json(struct(
+          when(col("is_event"), lit("CorefEventMention"))
+            .otherwise(lit("CorefTextBoundMention")).as("type"),
+          col("mention_id").cast("string").as("id"),
+          col("text"),
+          col("labels"),
+          struct(col("start_tok").as("start"), col("end_tok").as("end"))
+            .as("tokenInterval"),
+          col("sent_idx").as("sentence"),
+          col("conv_id").as("document"),
+          col("turn_idx").as("turn"),
+          lit(true).as("keep"),
+          col("found_by").as("foundBy"),
+          when(col("is_event"), struct(col("trigger_text").as("text")))
+            .as("trigger"),
+          sort_array(transform(col("args"), a => struct(
+            a.getField("role").as("role"),
+            a.getField("mention_id").cast("string").as("id")))).as("arguments"),
+          sort_array(transform(col("mods"), m => struct(
+            m.getField("kind").as("modification_type"),
+            m.getField("label").as("label"),
+            m.getField("site_text").as("site")))).as("modifications"),
+          when(col("ns") =!= "", struct(
+            col("ns").as("namespace"), col("ns_id").as("id"),
+            col("species"),
+            transform(col("candidates"), c => struct(
+              c.getField("namespace").as("namespace"),
+              c.getField("id").as("id"),
+              c.getField("species").as("species"))).as("candidates")))
+            .as("grounding"),
+          col("display_label").as("displayLabel"),
+          col("negated").as("isNegated"),
+          col("hypothesis").as("isHypothesis")
+        )).as("mention_json"))
+
   // ---- IndexCard JSON sink (S-extra; reference: export/.../indexcards/
   // IndexCardOutput.scala) -------------------------------------------------
 
@@ -273,13 +552,14 @@ object Emit {
       .withColumn("to_location_id", lit(""))
 
     val consumed = edges.filter(col("pred").rlike("_regulation$"))
-      .select(col("conv_id"), col("obj").as("consumed_key")).distinct()
+      .select(col("conv_id").as("consumed_conv"),
+        col("obj").as("consumed_key")).distinct()
 
     val simpleMods = edges
       .filter(isModLabel(col("pred")) && col("subj") === "")
       .withColumn("own_key", ownEventKey)
       .join(consumed, col("own_key") === col("consumed_key") &&
-        edges("conv_id") === consumed("conv_id"), "left_anti")
+        col("conv_id") === col("consumed_conv"), "left_anti")
       .withColumn("interaction_type", lit("adds_modification"))
       .withColumn("participant_a_gid", lit(""))
       .withColumn("participant_b_gid", col("obj"))

@@ -21,6 +21,9 @@ NAMES = {
     "text_fingerprint": "textFingerprint",
     "kg_emit_indexcard": "indexcard",
     "kg_emit_cmu": "cmu",
+    "kg_emit_assembly": "assembly",
+    "kg_emit_assembly_mitre": "assemblyMitre",
+    "kg_emit_serial": "serial",
 }
 
 raw = open(RAW).read()
