@@ -87,14 +87,30 @@ object ScalingBench {
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       import s.implicits._
+      // executor CPU time per rep (task metrics, nanoseconds of ON-CPU time):
+      // immune to host-side VM pauses/throttling that inflate wall clock —
+      // lets a degraded-host window be diagnosed as such (wall up, CPU flat)
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+              runMs.addAndGet(t.taskMetrics.executorRunTime)
+            }
+        })
       val turns = s.read.parquet(s"$dir/turns").as[graft.model.Turn]
       val n = turns.count()
       (1 to reps.toInt).foreach { i =>
         s.sharedState.cacheManager.clearCache()
+        cpuNs.set(0L); runMs.set(0L)
         val t0 = System.nanoTime()
         val e = Pipeline.extract(s, turns).edges.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"rep":$i,"executors":${s.sparkContext.getExecutorMemoryStatus.size - 1},"turns":$n,"edges":$e,"sec":$sec%.1f,"turns_per_sec":${n / sec}%.1f}""")
+        val cpuSec = cpuNs.get / 1e9
+        println(f"""{"rep":$i,"executors":${s.sparkContext.getExecutorMemoryStatus.size - 1},"turns":$n,"edges":$e,"sec":$sec%.1f,"turns_per_sec":${n / sec}%.1f,"task_cpu_sec":$cpuSec%.1f,"task_run_sec":${runMs.get / 1e3}%.1f,"turns_per_cpu_sec":${n / cpuSec}%.1f}""")
       }
       s.stop()
     case "ckpt" :: dir :: cpus :: reps :: Nil =>

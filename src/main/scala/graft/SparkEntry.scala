@@ -173,6 +173,32 @@ object SparkEntry {
     res.edges
   }
 
+  /** Per-session memo of the golden-corpus pipeline run. A dozen contract
+    * queries export different views of the same run; without this, each
+    * query — and each DataFrame branch inside a multi-branch exporter like
+    * [[Emit.assemblyTsv]] — replays the full extraction, multiplying Verify
+    * wall time and turning exporter plans into N stacked copies of the
+    * pipeline. The cached datasets are golden-corpus-sized (hundreds of
+    * rows); production exports read checkpointed stage tables instead
+    * (Pipeline.run), so this memo is contract-harness-only.
+    */
+  private final case class GoldenRun(
+      b: org.apache.spark.sql.Dataset[graft.kg.StageBRow],
+      canon: DataFrame, edges: DataFrame, nodes: DataFrame)
+  private val goldenRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, GoldenRun]
+  private def goldenRun(s: SparkSession): GoldenRun =
+    goldenRuns.computeIfAbsent(s.sparkContext.applicationId, _ => {
+      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+      s.sparkContext.register(acc)
+      val b = Pipeline.stageB(s,
+        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
+        "verify", acc).cache()
+      val canon = Pipeline.stageCanon(s, b).cache()
+      val (edges, nodes) = Pipeline.stageMaterialize(s, b, canon)
+      GoldenRun(b, canon, edges.cache(), nodes.cache())
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational operator families over the TPC-H-ish tables ----------
     "q1_agg" -> { (s, dir) =>
@@ -296,41 +322,35 @@ object SparkEntry {
     "kg_pipeline_edges" -> { (s, dir) =>
       // full pipeline, golden corpus (exactness pinned by GoldenSpec;
       // rows-only check here)
-      Pipeline.extract(s, Transcripts.goldenTurns(s)).edges
+      goldenRun(s).edges
         .select("subj", "pred", "obj", "site", "negated", "hypothesis",
           "conv_id", "turn_idx")
     },
     "kg_canonical_nodes" -> { (s, dir) =>
-      Pipeline.extract(s, Transcripts.goldenTurns(s)).nodes
+      goldenRun(s).nodes
         .select(col("canon_id"), col("display"), col("label"),
           col("display_label"), size(col("alias_surface_forms")).as("n_aliases"))
     },
     "kg_emit_fries" -> { (s, dir) =>
-      Emit.friesJson(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
+      Emit.friesJson(goldenRun(s).edges)
     },
     "kg_emit_arizona" -> { (s, dir) =>
-      Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges)
+      Emit.arizonaTsv(goldenRun(s).edges)
     },
     "kg_emit_indexcard" -> { (s, dir) =>
-      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      val r = goldenRun(s)
       Emit.indexCardFlat(r.edges, r.nodes)
     },
     "kg_emit_cmu" -> { (s, dir) =>
-      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      val r = goldenRun(s)
       Emit.cmuTsv(r.edges, r.nodes)
     },
     "kg_emit_assembly" -> { (s, dir) =>
       // generic assembly TSV, unconstrained variant (ReachCLI assembly-tsv
       // second output: seen > 0) on the golden corpus — event rows with
       // PRECEDED_BY + entity rows
-      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
-      s.sparkContext.register(acc)
-      val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
-        "verify", acc)
-      val canon = Pipeline.stageCanon(s, b)
-      val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
-      Emit.assemblyTsv(edges, b.toDF(), canon)
+      val g = goldenRun(s)
+      Emit.assemblyTsv(g.edges, g.b.toDF(), g.canon)
     },
     "kg_emit_assembly_mitre" -> { (s, dir) =>
       // MITRE-filtered assembly TSV on the dedicated requirements fixture
@@ -341,18 +361,14 @@ object SparkEntry {
         Transcripts.mkTurn(c, i, if (i % 2 == 0) "user" else "assistant", text)
       })
       val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
-      val canon = Pipeline.stageCanon(s, b)
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc).cache()
+      val canon = Pipeline.stageCanon(s, b).cache()
       val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
-      Emit.assemblyTsv(edges, b.toDF(), canon, mitre = true)
+      Emit.assemblyTsv(edges.cache(), b.toDF(), canon, mitre = true)
     },
     "kg_emit_serial" -> { (s, dir) =>
       // serial-json: coref-mention JSON per linked mention (SerialJsonOutput)
-      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
-      s.sparkContext.register(acc)
-      val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
-        "verify", acc)
+      val b = goldenRun(s).b
       Emit.serialJson(b.toDF())
         .filter(col("conv_id").isin("g01", "g05", "g08", "g12", "g13", "g20",
           "g23", "g28", "g30", "g39", "g42", "g46"))
@@ -360,11 +376,7 @@ object SparkEntry {
     "kg_fries_frames" -> { (s, dir) =>
       // FRIES frame GRAPH (entity/event frames with frame-id references) —
       // one JSON document per conversation, from the linked-mention table
-      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
-      s.sparkContext.register(acc)
-      val turns = Transcripts.goldenTurns(s)
-      val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      val b = goldenRun(s).b
       Emit.friesFrameGraph(b.toDF())
     },
     "kg_precedence" -> { (s, dir) =>
@@ -518,7 +530,7 @@ object SparkEntry {
     "kg_emit_arizona_sample" -> { (s, dir) =>
       // Arizona rows for three single-edge golden conversations, EVENT_ID
       // (a hash) excluded so every remaining column is hand-traceable
-      Emit.arizonaTsv(Pipeline.extract(s, Transcripts.goldenTurns(s)).edges
+      Emit.arizonaTsv(goldenRun(s).edges
           .filter(col("conv_id").isin("g05", "g12", "g16", "g18")))
         .drop("EVENT_ID")
     },
@@ -526,14 +538,14 @@ object SparkEntry {
       // hand-traced DyCE rows: chemical negative controller (g12),
       // translocation self-controller + known location (g13), positive
       // regulation of a de-modification landing in NEG_REG (g02, g29)
-      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      val r = goldenRun(s)
       Emit.cmuTsv(r.edges.filter(
         col("conv_id").isin("g02", "g12", "g13", "g29")), r.nodes)
     },
     "kg_emit_indexcard_sample" -> { (s, dir) =>
       // hand-traced cards: negated modification (g05/g45), activation card
       // (g12), translocation card with location (g13)
-      val r = Pipeline.extract(s, Transcripts.goldenTurns(s))
+      val r = goldenRun(s)
       Emit.indexCardFlat(r.edges.filter(
         col("conv_id").isin("g05", "g12", "g13", "g45")), r.nodes)
     },
@@ -547,19 +559,15 @@ object SparkEntry {
         Transcripts.mkTurn(c, i, if (i % 2 == 0) "user" else "assistant", text)
       })
       val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
-      val canon = Pipeline.stageCanon(s, b)
+        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc).cache()
+      val canon = Pipeline.stageCanon(s, b).cache()
       val (edges, _) = Pipeline.stageMaterialize(s, b, canon)
-      Emit.assemblyTsv(edges, b.toDF(), canon, mitre = true).drop("EVENT_ID")
+      Emit.assemblyTsv(edges.cache(), b.toDF(), canon, mitre = true).drop("EVENT_ID")
     },
     "kg_emit_serial_sample" -> { (s, dir) =>
       // hand-traced serial-json fields: parse the JSON back and project the
       // hash-free fields for three single-event golden conversations
-      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
-      s.sparkContext.register(acc)
-      val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, Transcripts.goldenTurns(s), "verify", acc),
-        "verify", acc)
+      val b = goldenRun(s).b
       val schema = "STRUCT<type: STRING, text: STRING, labels: ARRAY<STRING>, " +
         "tokenInterval: STRUCT<start: INT, end: INT>, sentence: INT, " +
         "document: STRING, foundBy: STRING, " +
@@ -587,11 +595,7 @@ object SparkEntry {
     "kg_fries_frames_sample" -> { (s, dir) =>
       // frame-graph content minus the hashed frame ids: parse the emitted
       // JSON back and project hand-traceable frame fields
-      val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
-      s.sparkContext.register(acc)
-      val turns = Transcripts.goldenTurns(s)
-      val b = Pipeline.stageB(s,
-        Pipeline.stageMentions(s, turns, "verify", acc), "verify", acc)
+      val b = goldenRun(s).b
       val frameSchema = "STRUCT<document: STRING, frames: ARRAY<STRUCT<" +
         "turn_idx: INT, sent_idx: INT, start_tok: INT, end_tok: INT, " +
         "frame_id: BIGINT, frame_type: STRING, type: STRING, text: STRING, " +

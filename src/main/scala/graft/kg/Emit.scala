@@ -280,6 +280,10 @@ object Emit {
       .select(col("conv_id").as("k_conv"), col("pred").as("k_pred"),
         col("obj").as("k_obj"), col("EVENT_ID").as("k_id"))
       .distinct()
+    // no broadcast hints here: precedence pairs scale with the corpus (they
+    // are cue-gated but unbounded), so the joins stay plain equi-joins and
+    // AQE promotes them to broadcast at runtime when the sieve output is
+    // actually small
     val beforeIds = pairs
       .join(edgeKeys, col("conv_id") === col("k_conv") &&
         col("before_pred") === col("k_pred") &&
@@ -288,7 +292,7 @@ object Emit {
         col("after_obj"), col("k_id").as("before_id"))
       .distinct()
     val pb = perEdge
-      .join(broadcast(beforeIds), col("conv_id") === col("p_conv") &&
+      .join(beforeIds, col("conv_id") === col("p_conv") &&
         col("pred") === col("after_pred") && col("obj") === col("after_obj"))
       .groupBy(col("EVENT_ID").as("pb_event_id"))
       .agg(collect_set(col("before_id")).as("pb_ids"))
@@ -307,7 +311,7 @@ object Emit {
         concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
           .as("EVIDENCE"),
         concat_ws("|", array_sort(collect_set(col("conv_id")))).as("SEEN_IN"))
-      .join(broadcast(pb), col("EVENT_ID") === col("pb_event_id"), "left")
+      .join(pb, col("EVENT_ID") === col("pb_event_id"), "left")
       .withColumn("pb_arr",
         array_remove(coalesce(col("pb_ids"), array().cast("array<string>")),
           col("EVENT_ID")))
@@ -384,8 +388,8 @@ object Emit {
       if (!mitre) filtered
       else {
         // prune PRECEDED_BY ids to surviving rows (filterPrecededBy intent)
-        val kept = broadcast(
-          filtered.select(col("EVENT_ID").as("kept_id")).distinct())
+        val kept =
+          filtered.select(col("EVENT_ID").as("kept_id")).distinct()
         filtered
           .withColumn("pb_one", explode_outer(col("pb_arr")))
           .join(kept, col("pb_one") === col("kept_id"), "left")
