@@ -76,13 +76,22 @@ object Annotate {
 
   object Tokenizer {
     // word chars incl. biomedical symbol chars (hyphen/slash/dot inside tokens),
-    // or single punctuation
+    // n't contractions, or single punctuation
     private val tokenRe =
-      """[A-Za-z0-9](?:[A-Za-z0-9/\-\.]*[A-Za-z0-9])?|[^\sA-Za-z0-9]""".r
+      """[A-Za-z]+n['’]t|[A-Za-z0-9](?:[A-Za-z0-9/\-\.]*[A-Za-z0-9])?|[^\sA-Za-z0-9]""".r
 
-    /** (token, charStart) pairs. */
+    /** (token, charStart) pairs. Negative clitics split PTB-style, exactly as
+      * the reference's CoreNLP tokenizer does: "doesn't" -> "does" + "n't",
+      * "can't" -> "ca" + "n't" — so negation and aux patterns see "n't" as a
+      * full token.
+      */
     def tokenize(text: String): Array[(String, Int)] =
-      tokenRe.findAllMatchIn(text).map(m => (m.matched, m.start)).toArray
+      tokenRe.findAllMatchIn(text).flatMap { m =>
+        val w = m.matched
+        if (w.length > 3 && (w.endsWith("n't") || w.endsWith("n’t")))
+          Seq((w.dropRight(3), m.start), ("n't", m.start + w.length - 3))
+        else Seq((w, m.start))
+      }.toArray
 
     private val sentSplit = """(?<=[.!?])\s+(?=[A-Z0-9])""".r
     def sentences(text: String): Array[String] = {

@@ -40,6 +40,10 @@ object BioRules {
   private val stemsAlt = modStems.keys.mkString("|")
   // verbal: phosphorylates/-ed/-ing/-e ; nominal: phosphorylation(s)
   val modVerb = s"(de-?)?($stemsAlt)(e|es|ed|ing)"
+  // past participle only — the passive construction ("X is/was TRIGGERed")
+  // requires it; accepting the progressive here misread "MEK1 is
+  // phosphorylating ERK2" as a passive with theme MEK1
+  val modParticiple = s"(de-?)?($stemsAlt)ed"
   val modNom = s"(de-?)?($stemsAlt)ions?"
   val modAny = s"(de-?)?($stemsAlt)(e|es|ed|ing|ions?)"
 
@@ -61,7 +65,7 @@ object BioRules {
   val posRegTriggers =
     "(promot\\w+|enhanc\\w+|increas\\w+|induc\\w+|mediat\\w+|stimulat\\w+|trigger\\w*|driv(e|es|en|ing)|led|lead(s|ing)?|facilitat\\w+|accelerat\\w+|augment\\w+|up-?regulat\\w+)"
   val negRegTriggers =
-    "(inhibit\\w+|block\\w+|suppress\\w+|decreas\\w+|reduc\\w+|prevent\\w+|impair\\w+|attenuat\\w+|abolish\\w+|abrogat\\w+|antagoniz\\w+|down-?regulat\\w+)"
+    "(inhibit\\w+|block\\w+|suppress\\w+|repress\\w+|decreas\\w+|reduc\\w+|prevent\\w+|impair\\w+|attenuat\\w+|abolish\\w+|abrogat\\w+|antagoniz\\w+|down-?regulat\\w+)"
   val regTriggers = s"($posRegTriggers|$negRegTriggers)"
 
   val posActTriggers = "(activat\\w+|stimulat\\w+|promot\\w+|up-?regulat\\w+)"
@@ -72,9 +76,13 @@ object BioRules {
   private val negRegP = Pattern.compile(negRegTriggers, Pattern.CASE_INSENSITIVE)
   private val negActP = Pattern.compile(negActTriggers, Pattern.CASE_INSENSITIVE)
 
-  /** Negation markers (reference: NegationHandler.scala:44-106 lexicon). */
+  /** Negation markers (reference: NegationHandler.scala:44-106 lexicon;
+    * "little"/"insufficient" cover the handler's bigram cases
+    * ("play no/little role", "be insufficient") as single-token
+    * approximations — the surrounding rule spans keep them local).
+    */
   private val negationP = Pattern.compile(
-    "not|n't|no|never|neither|nor|without|fail(s|ed|ure)?|unable|absen(t|ce)|lack(s|ed|ing)?|cannot|can't|barely|hardly",
+    "not|n't|no|never|neither|nor|without|fail(s|ed|ure)?|unable|absen(t|ce)|lack(s|ed|ing)?|cannot|can't|barely|hardly|little|insufficient",
     Pattern.CASE_INSENSITIVE)
 
   /** Hypothesis hints — the reference's exact lemma list
@@ -85,11 +93,18 @@ object BioRules {
     "argu(e|es|ed|ing|ment|ments)|believ(e|es|ed|ing)|beliefs?|conjectur\\w*|consider(s|ed|ing)?|hint(s|ed|ing)?|hypothes\\w+|implications?|impl(y|ies|ied|ying)|indicat(e|es|ed|ing)|predict(s|ed|ing|ion|ions)?|previous(ly)?|proposals?|propos(e|es|ed|ing)|questions?|speculat\\w+|suggest(s|ed|ing)?|suspect(s|ed|ing)?|theoriz\\w+|theor(y|ies)|think(s|ing)?|whether",
     Pattern.CASE_INSENSITIVE)
 
-  /** Semantic negatives that flip regulation polarity (reference:
-    * DarpaActions.countSemanticNegatives / SEMANTIC_NEGATIVE_PATTERN:425-484).
+  /** Semantic negatives that flip regulation polarity — the reference's full
+    * SEMANTIC_NEGATIVE_PATTERN (DarpaActions.scala:361, applied substring
+    * over lemmas at :425-484; here prefix-anchored token matches), plus the
+    * lack/absence/deficien/deplet/defect members kept from round 2.
     */
   private val semNegP = Pattern.compile(
-    "decreas\\w+|loss|lack|absence|deficien\\w+|knock(ed|down|out)?|silenc\\w+|deplet\\w+|reduc(ed|tion)|diminish\\w+|defect(ive)?|delet(ed|ion)|disrupt\\w+|impair\\w+",
+    "attenuat\\w*|block\\w*|deactivat\\w*|decreas\\w+|degrad\\w+|delet(ed|ion)?|" +
+      "diminish\\w+|dominant-negative|impair\\w+|imped\\w+|inhibit\\w+|" +
+      "knock(ed|down|out)?|limit(s|ed|ing)?|loss|lower\\w*|negat\\w+|" +
+      "reduc(e|es|ed|tion|ing)?|reliev\\w+|repress\\w+|restrict\\w+|revers\\w+|" +
+      "silenc\\w+|shRNA|siRNA|slow(s|ed|ing)?|starv\\w+|suppress\\w+|supress\\w+|" +
+      "target(s|ed|ing)?|lack|absence|deficien\\w+|deplet\\w+|defect(ive)?|disrupt\\w+",
     Pattern.CASE_INSENSITIVE)
 
   // ---- modifications lexicon (PTM / Mutant / EventSite) -------------------
@@ -157,10 +172,14 @@ object BioRules {
   private val quant = OptG(W("one|two|three|four|five|several|many|multiple|all|both|\\d+"))
   private val adv = OptG(W("directly|specifically|rapidly|strongly|significantly|also|further|subsequently|then|markedly|potently|efficiently|selectively"))
   // auxiliary verbs + optional negation between subject and trigger
-  // ("MEK does not phosphorylate ERK2")
+  // ("MEK does not phosphorylate ERK2", "MEK1 doesn't phosphorylate ERK2",
+  // "MEK1 isn't phosphorylating ERK2"). The tokenizer splits n't clitics
+  // PTB-style ("does"+"n't", "ca"+"n't", "wo"+"n't"), so the stems appear
+  // here and negationP sees "n't" as its own token.
   private val auxNeg = OptG(
-    W("does|do|did|can|cannot|could|may|might|will|would|should|must|has|have|had"),
-    OptG(W("not|n't")))
+    W("does|do|did|can|cannot|ca|could|may|might|will|wo|would|should|must|" +
+      "has|have|had|is|are|was|were"),
+    OptG(W("not|n't|never")))
   private val notOpt = OptG(W("not|n't"))
   private val sitePrep = OptG(AltG(
     Seq(W("on|at"), ML("site", "Site", commaOk = true)),
@@ -231,7 +250,7 @@ object BioRules {
     // passive: theme-list is/was [not] TRIGGERed [on site] [by cause]
     Rule("mod_passive", 7, SimpleModK,
       List(ML("theme", ENT), postMods, filler, W("is|are|was|were|be|been|being|gets?|got|becomes?|became"),
-        notOpt, adv, T(modVerb), sitePrep,
+        notOpt, adv, T(modParticiple), sitePrep,
         OptG(W("by"), M("cause", ENT)))),
     // nominal: TRIGGERion of theme-list [on/at site] [by cause]
     Rule("mod_nominal", 7, SimpleModK,
@@ -252,7 +271,7 @@ object BioRules {
     // surrogate for the reference's *_syntax_* dependency rules (F8)
     Rule("mod_relcl", 7, SimpleModK,
       List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
-        adv, T(modVerb), sitePrep, OptG(W("by"), M("cause", ENT)))),
+        adv, T(modParticiple), sitePrep, OptG(W("by"), M("cause", ENT)))),
 
     // transcription
     Rule("transcription_nominal", 7, FixedEventK("Transcription"),
@@ -260,17 +279,20 @@ object BioRules {
     Rule("transcription_passive", 7, FixedEventK("Transcription"),
       List(ML("theme", ENT), W("is|are|was|were"), T("transcribed"))),
 
-    // amount
-    Rule("amount_nominal", 7, FixedEventK("FromAmountTrigger"),
-      List(T("increas\\w+|decreas\\w+|overexpress\\w+|accumulat\\w+|loss|reduction"),
-        OptG(W("the")),
-        AltG(Seq(W("expression|levels?|abundance|amounts?"), W("of|in")),
-          Seq(OptG(W("of|in")))),
-        ML("theme", ENT),
-        OptG(W("expression|levels?|abundance|amounts?")))),
-    Rule("amount_expr", 7, FixedEventK("FromAmountTrigger"),
-      List(ML("theme", ENT), W("expression|levels?|abundance"),
-        W("is|are|was|were"), T("increased|decreased|elevated|reduced|higher|lower"))),
+    // amount — the reference's exact trigger inventory and argument paths
+    // (events_master.yml:28-37): "loss" -> DecreaseAmount over prep_of|prep_in
+    // (decrease_events.yml), "amount|level|quantity" -> Amount over
+    // `prep_of amod?` or `nn` (amount_events.yml). The round-2
+    // increase/decrease/overexpression triggers were over-generation the
+    // reference grammar does not have ("decreases ASPP2 phosphorylation" is a
+    // regulation, not an amount event).
+    Rule("amount_loss", 7, FixedEventK("DecreaseAmount"),
+      List(T("loss(es)?"), W("of|in"), OptG(W("the")), ML("theme", ENT))),
+    Rule("amount_nominal", 7, FixedEventK("Amount"),
+      List(T("amounts?|levels?|quantit(y|ies)"), W("of|in"), OptG(W("the")),
+        ML("theme", ENT))),
+    Rule("amount_nn", 7, FixedEventK("Amount"),
+      List(ML("theme", ENT), T("amounts?|levels?|quantit(y|ies)"))),
 
     // translocation: "X translocates to the nucleus"
     Rule("transloc_active", 7, FixedEventK("Translocation"),
@@ -320,7 +342,26 @@ object BioRules {
     // passive: controlled-event is TRIGGERed by controller
     Rule("reg_passive", 12, RegulationK,
       List(M("controlled", "Event"), X(2), W("is|are|was|were"), notOpt, adv,
-        T(regTriggers), W("by"), M("controller", "PossibleController"))),
+        T(regTriggers), W("by"), OptG(W("the")),
+        OptG(W("inhibition|knockdown|silencing|loss|depletion|suppression|blockade"), W("of")),
+        M("controller", "PossibleController"))),
+    // "plays no/little/a role in <event>" (reference: NegationHandler
+    // bigram cases :85 + regulation role-triggers) — polarity positive,
+    // negation read off the no/little token by isNegated
+    Rule("reg_role", 12, RegulationK,
+      List(M("controller", "PossibleController"), appos, X(2),
+        W("plays?|played|playing"),
+        OptG(W("a|an|no|little|key|major|critical|central|important|essential|direct|crucial")),
+        T("roles?"), W("in"), OptG(W("the")), M("controlled", "Event"))),
+    // copular nominal triggers: "X is an activator/inhibitor of <event>"
+    // (reference: TestRegulationEvents sent17/18; pos-reg/neg-reg nominal
+    // trigger lists) — polarity from the trigger noun via negRegP
+    Rule("reg_copular_nominal", 12, RegulationK,
+      List(M("controller", "PossibleController"), W("is|are|was|were"),
+        W("a|an|the"),
+        OptG(W("potent|known|novel|direct|strong|major|selective|key")),
+        T("activators?|inducers?|enhancers?|inhibitors?|suppressors?|repressors?"),
+        W("of"), OptG(W("the")), M("controlled", "Event"))),
 
     // -- p14: activations (controller/controlled entities) ---------------
     Rule("act_active", 14, ActivationK,
@@ -332,7 +373,14 @@ object BioRules {
         notOpt, T(actTriggers), W("by"), M("controller", "PossibleController"))),
     Rule("act_passive", 14, ActivationK,
       List(M("controlled", ENT), filler, W("is|are|was|were"), notOpt, adv,
-        T(actTriggers), W("by"), M("controller", "PossibleController")))
+        T(actTriggers), W("by"), M("controller", "PossibleController"))),
+    // copular nominal: "X is an inhibitor of mTOR" (entity controlled)
+    Rule("act_copular_nominal", 14, ActivationK,
+      List(M("controller", "PossibleController"), W("is|are|was|were"),
+        W("a|an|the"),
+        OptG(W("potent|known|novel|direct|strong|major|selective|key")),
+        T("activators?|inhibitors?|suppressors?|repressors?"),
+        W("of"), OptG(W("the")), M("controlled", ENT), filler))
   )
 
   val priorities: List[Int] = rules.map(_.priority).distinct.sorted
@@ -752,9 +800,15 @@ object BioRules {
         else {
           var all = subj.toList; var cur = all; var d = 0
           while (d < 2 && cur.nonEmpty) {
+            // prep_of included: a nominalized subject's participant is its
+            // of-phrase ("the inhibition of PTEN increases ..." — the parsed
+            // nsubj is "inhibition"; the reference reaches PTEN through the
+            // event-to-entity controller conversion, DarpaActions
+            // convertEventRolesToEntityRoles, and flips polarity via the
+            // semantic negatives on that path)
             val nxt = cur.flatMap(i => deps.outgoing(i).collect {
               case (j, l) if l.startsWith("conj") || l == "appos" ||
-                l == "nn" => j
+                l == "nn" || l == "prep_of" => j
             }).distinct.filterNot(all.contains)
             all = all ++ nxt; cur = nxt; d += 1
           }
@@ -949,15 +1003,7 @@ object BioRules {
           } yield m
         }
 
-      case FixedEventK(label0, themeRole) =>
-        val label =
-          if (label0 == "FromAmountTrigger") {
-            val t = trigWord.toLowerCase
-            if (t.startsWith("decreas") || t.startsWith("loss") ||
-                t.startsWith("reduc") || t.startsWith("lower"))
-              "DecreaseAmount"
-            else "IncreaseAmount"
-          } else label0
+      case FixedEventK(label, themeRole) =>
         val extras = Seq("source", "destination").flatMap(r =>
           b.caps.getOrElse(r, Nil).headOption.map(r -> _))
         b.caps.getOrElse(themeRole, Nil).map { theme =>

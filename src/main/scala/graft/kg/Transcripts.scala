@@ -130,17 +130,25 @@ object Transcripts {
       tri("g14", 0, "", "Transcription", CCND1),
       tri("g14", 0, BCAT, "Positive_regulation", s"Transcription($CCND1)"))
 
+    // "levels" is the amount trigger (reference amount_events.yml nn path);
+    // "decreases" is a regulation over that Amount event, not an amount
+    // trigger itself (the reference grammar has no increase/decrease amount
+    // triggers — events_master.yml:28-37)
     conv("g15")("user" -> "Rapamycin decreases mTOR levels.")(
-      tri("g15", 0, "", "DecreaseAmount", mTOR))
+      tri("g15", 0, "", "Amount", mTOR),
+      tri("g15", 0, RAPA, "Negative_regulation", s"Amount($mTOR)"))
 
     conv("g16")("user" -> "MEK1 phosphorylates ERK2 at T669.")(
       tri("g16", 0, "", "Phosphorylation", ERK2, "T669"),
       tri("g16", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2@T669)",
         "T669"))
 
+    // "expression" is not an amount trigger in the reference (only
+    // amount|level|quantity and loss are), so no amount event here; the
+    // semantic negative "Decreased" on the controller still flips the
+    // regulation to negative (SEMANTIC_NEGATIVE_PATTERN)
     conv("g17")("user" ->
       "Decreased ERK2 expression increases phosphorylation of AKT1.")(
-      tri("g17", 0, "", "DecreaseAmount", ERK2),
       tri("g17", 0, "", "Phosphorylation", AKT1),
       tri("g17", 0, ERK2, "Negative_regulation", s"Phosphorylation($AKT1)"))
 
@@ -360,6 +368,65 @@ object Transcripts {
     // passive binding ("is bound by")
     conv("g48")("user" -> "ERK2 is bound by STAT3.")(
       tri("g48", 0, "", "Binding", Seq(ERK2, STAT3).sorted.mkString("&")))
+
+    // ---- round 3: negation / polarity-composition / copular fixtures ----
+    // mined from the reference tests (NegationTests, TestRegulationEvents,
+    // HypothesisTests) with lexicon-covered entities substituted
+
+    // contracted negation, PTB clitic split (NegationTests "RAS doesn't
+    // phosphorylate MEK")
+    conv("g49")("user" -> "MEK1 doesn't phosphorylate ERK2.")(
+      tri("g49", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g49", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        neg = true))
+
+    // progressive + contracted negation (NegationTests "RAS isn't
+    // phosphorylating MEK")
+    conv("g50")("user" -> "MEK1 isn't phosphorylating ERK2.")(
+      tri("g50", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g50", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        neg = true))
+
+    // "plays no role in" — NegationHandler bigram (play, no); the regulation
+    // is negated, the inner event is not (NegationTests)
+    conv("g51")("user" ->
+      "MEK1 plays no role in the phosphorylation of ERK2.")(
+      tri("g51", 0, "", "Phosphorylation", ERK2),
+      tri("g51", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        neg = true))
+
+    // polarity composition Neg∘Pos: semantic negative on the controller path
+    // flips the positive trigger (TestRegulationEvents sent13)
+    conv("g52")("user" ->
+      "The inhibition of PTEN increases the phosphorylation of ASPP2.")(
+      tri("g52", 0, "", "Phosphorylation", ASPP2),
+      tri("g52", 0, PTEN, "Negative_regulation", s"Phosphorylation($ASPP2)"))
+
+    // Neg∘Neg = positive (TestRegulationEvents sent16)
+    conv("g53")("user" ->
+      "The inhibition of PTEN decreases ASPP2 phosphorylation.")(
+      tri("g53", 0, "", "Phosphorylation", ASPP2),
+      tri("g53", 0, PTEN, "Positive_regulation", s"Phosphorylation($ASPP2)"))
+
+    // passive variant of the composition (TestRegulationEvents sent14)
+    conv("g54")("user" ->
+      "The phosphorylation of ASPP2 is increased by the inhibition of PTEN.")(
+      tri("g54", 0, "", "Phosphorylation", ASPP2),
+      tri("g54", 0, PTEN, "Negative_regulation", s"Phosphorylation($ASPP2)"))
+
+    // copular nominal triggers (TestRegulationEvents sent17/sent18)
+    conv("g55")("user" -> "PTEN is an activator of the ubiquitination of ASPP2.")(
+      tri("g55", 0, "", "Ubiquitination", ASPP2),
+      tri("g55", 0, PTEN, "Positive_regulation", s"Ubiquitination($ASPP2)"))
+    conv("g56")("user" -> "PTEN is an inhibitor of the ubiquitination of ASPP2.")(
+      tri("g56", 0, "", "Ubiquitination", ASPP2),
+      tri("g56", 0, PTEN, "Negative_regulation", s"Ubiquitination($ASPP2)"))
+
+    // explicit hypothesis verb (HypothesisTests "we hypothesize that ...")
+    conv("g57")("user" -> "Now, we hypothesize that MEK1 phosphorylates ERK2.")(
+      tri("g57", 0, "", "Phosphorylation", ERK2, "", hyp = true),
+      tri("g57", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
+        hyp = true))
 
     (turns.toSeq, triples.toSeq)
   }
