@@ -35,7 +35,13 @@ object BioRules {
     "acetylat" -> "Acetylation",
     "farnesylat" -> "Farnesylation",
     "ribosylat" -> "Ribosylation",
-    "methylat" -> "Methylation"
+    "methylat" -> "Methylation",
+    // Hydrolysis (taxonomy AdditionEvent; hydrolysis_events.yml /
+    // dehydrolysis_events.yml) has irregular morphology: verbal
+    // hydrolyz|hydrolys + e/es/ed/ing, nominal "hydrolysis" (not *-ion —
+    // handled by the extra alternative in modNom/modAny below)
+    "hydrolyz" -> "Hydrolysis",
+    "hydrolys" -> "Hydrolysis"
   )
   private val stemsAlt = modStems.keys.mkString("|")
   // verbal: phosphorylates/-ed/-ing/-e ; nominal: phosphorylation(s)
@@ -44,8 +50,8 @@ object BioRules {
   // requires it; accepting the progressive here misread "MEK1 is
   // phosphorylating ERK2" as a passive with theme MEK1
   val modParticiple = s"(de-?)?($stemsAlt)ed"
-  val modNom = s"(de-?)?($stemsAlt)ions?"
-  val modAny = s"(de-?)?($stemsAlt)(e|es|ed|ing|ions?)"
+  val modNom = s"(de-?)?(($stemsAlt)ions?|hydrolys[ei]s)"
+  val modAny = s"(de-?)?(($stemsAlt)(e|es|ed|ing|ions?)|hydrolys[ei]s)"
 
   /** Trigger text -> event label; de- prefix checked first (reference:
     * DarpaActions.getModificationLabel:370-408).
@@ -239,7 +245,14 @@ object BioRules {
     Rule("site_residue", 5, EntityK("Site"),
       List(W("[ACDEFGHIKLMNPQRSTVWY]\\d{1,4}|(Ser|Thr|Tyr|Lys|Arg|His)-?\\d{1,4}"))),
     Rule("site_residue_long", 5, EntityK("Site"),
-      List(W("serine|threonine|tyrosine|lysine|arginine|histidine"), W("\\d{1,4}"))),
+      List(W("serine|threonine|tyrosine|lysine|arginine|histidine"),
+        OptG(W("residues?")), W("\\d{1,4}"))),
+    // 3-letter amino-acid codes with optional "residue(s)" before the number
+    // ("Lys residues 104" — entities.yml site_aa3letter:68-72). Case-SENSITIVE
+    // like the reference rule ("His" must not match the pronoun "his")
+    Rule("site_aa3", 5, EntityK("Site"),
+      List(W("(?-i:Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)"),
+        OptG(W("residues?")), W("\\d{1,4}"))),
 
     // -- p7: templatic simple events (modifications) ---------------------
     // active: [cause] TRIGGERs [quant] theme-list [residues (S1, S2)] [on/at site-list]
@@ -256,9 +269,28 @@ object BioRules {
     Rule("mod_nominal", 7, SimpleModK,
       List(T(modNom), W("of"), siteOfPre, quant, ML("theme", ENT), parenSites,
         sitePrep, OptG(W("by"), M("cause", ENT)))),
-    // pre-modifier nominal: "AKT phosphorylation" (theme before nominal trigger)
+    // nominal with the site list BEFORE the of/for theme (syntax_1b_noun;
+    // TestTemplaticSimpleEvents sent14a: "ubiquitination at Lys residues 104
+    // and 147 of K-Ras" — one event per site)
+    Rule("mod_nominal_siteof", 7, SimpleModK,
+      List(T(modNom), W("at|on"), ML("site", "Site", commaOk = true),
+        W("of|for"), OptG(W("the")), ML("theme", ENT))),
+    // pre-modifier nominal: "AKT phosphorylation" (theme before nominal
+    // trigger). Guarded like the reference's nn-theme rule (syntax_4_noun:
+    // `!outgoing=/prep_(by|of)/`): when the trigger governs a following
+    // of/by phrase the nn is the CAUSE, not the theme ("MEK1 phosphorylation
+    // of ERK2" — handled by mod_subjnominal below).
     Rule("mod_prenominal", 7, SimpleModK,
-      List(M("theme", ENT), T(modNom))),
+      List(M("theme", ENT), T(modNom), NotNext("of|by"))),
+    // nn-theme with by-cause (syntax_2_noun: theme prep_of? nn, cause
+    // prep_by): "ERK2 phosphorylation by MEK1 increased."
+    Rule("mod_prenominal_by", 7, SimpleModK,
+      List(ML("theme", ENT), T(modNom), W("by"), M("cause", ENT))),
+    // subject-nominal (syntax_1a_noun: cause nn, theme prep_of): "Ras
+    // phosphorylation of ASPP2 increased."
+    Rule("mod_subjnominal", 7, SimpleModK,
+      List(M("cause", ENT), T(modNom), W("of"), siteOfPre, quant,
+        ML("theme", ENT), parenSites, sitePrep)),
     // auto-modifications: label Auto<Base>, controller == theme
     Rule("auto_verb", 7, AutoModK,
       List(M("theme", ENT), filler, adv, T(s"auto-?($stemsAlt)(e|es|ed|ing)"),
@@ -418,8 +450,13 @@ object BioRules {
 
   final case class DepRule(name: String, priority: Int, kind: Kind,
                            trigRe: String, trigVerbal: Boolean,
-                           args: Seq[DepArg]) {
+                           args: Seq[DepArg],
+                           notOutgoing: String = "") {
     val trigP: Pattern = Pattern.compile(trigRe, Pattern.CASE_INSENSITIVE)
+    // Odin `!outgoing=/re/` trigger guard (syntax_4_noun): the rule is
+    // blocked when the trigger governs an edge whose label matches
+    val notOutP: Option[Pattern] =
+      if (notOutgoing.isEmpty) None else Some(Pattern.compile(notOutgoing))
   }
 
   val depRules: List[DepRule] = List(
@@ -440,13 +477,32 @@ object BioRules {
       DepArg("cause", ENT, Seq(List(O("agent|prep_by"))), required = false),
       DepArg("site", "Site", Seq(List(O("prep_at|prep_on"))),
         required = false))),
-    // nominal (syntax_4/5): theme prep_of|nn; cause prep_by
+    // nominal, of-theme (syntax_1a/2_noun): theme prep_of; cause prep_by
     DepRule("mod_dep_nominal", 7, SimpleModK, modNom, trigVerbal = false, Seq(
-      DepArg("theme", ENT, Seq(List(O("prep_of")), List(O("nn"))),
+      DepArg("theme", ENT, Seq(List(O("prep_of"))),
         expand = "conj_.*|cc|nn"),
       DepArg("cause", ENT, Seq(List(O("prep_by"))), required = false),
       DepArg("site", "Site", Seq(List(O("prep_at|prep_on"))),
         required = false))),
+    // nominal, nn-theme (syntax_2/4_noun): "GTP hydrolysis [by Ras]". The
+    // nn slot is the CAUSE when the trigger also governs a prep_of theme
+    // ("MEK1 phosphorylation of ERK2"), so this rule carries the reference's
+    // `!outgoing=prep_of` trigger guard (syntax_4_noun)
+    DepRule("mod_dep_nominal_nn", 7, SimpleModK, modNom, trigVerbal = false,
+      Seq(
+        DepArg("theme", ENT, Seq(List(O("nn"))), expand = "conj_.*|cc"),
+        DepArg("cause", ENT, Seq(List(O("prep_by"))), required = false),
+        DepArg("site", "Site", Seq(List(O("prep_at|prep_on"))),
+          required = false)),
+      notOutgoing = "prep_of"),
+    // subject-nominal (syntax_1a_noun): cause via nn ONLY when the theme came
+    // via prep_of — a separate rule because an unconditional nn cause path
+    // would grab the nn THEME of "GTP hydrolysis increased" and the
+    // cause≠theme guard in assemble would then drop the event
+    DepRule("mod_dep_subjnom", 7, SimpleModK, modNom, trigVerbal = false, Seq(
+      DepArg("theme", ENT, Seq(List(O("prep_of"))),
+        expand = "conj_.*|cc|nn"),
+      DepArg("cause", ENT, Seq(List(O("nn"))), required = false))),
     // binding (bind_events.yml syntax rules); theme1 via nsubj and the
     // raising path <xcomp nsubj(pass) ("STAT3 is known to interact with...")
     DepRule("bind_dep", 8, BindingK,
@@ -573,7 +629,9 @@ object BioRules {
         if (tagOk && rule.trigP.matcher(words(t)).matches() &&
             !state.all.exists(m => !m.is_event &&
               m.start_tok <= t && t < m.end_tok) &&
-            !consumedAsMod(state, words, t)) {
+            !consumedAsMod(state, words, t) &&
+            rule.notOutP.forall(p =>
+              !deps.outgoing(t).exists { case (_, l) => p.matcher(l).matches() })) {
           var ok = true
           var bind = emptyBind.withTrigger(t, t + 1)
           rule.args.foreach { a =>
@@ -1385,6 +1443,52 @@ object BioRules {
     newMentions.foreach(state.add)
   }
 
+  // multi-site unpack (entities.yml multi-site:114-124 + DarpaActions
+  // .unpackRelations:30-36): bare [A-Za-z]?\d+ tokens coordinated after a
+  // Site mention become Site mentions of their own ("Lys residues 104 and
+  // 147" -> a second Site "147"); a trailing residue letter or "mM" blocks
+  // the number (the reference's measurement lookahead)
+  private val bareSiteP = Pattern.compile("[A-Za-z]?\\d+")
+  private val siteSepP = Pattern.compile(",|and|or", Pattern.CASE_INSENSITIVE)
+  private val siteStopP =
+    Pattern.compile("[ACDEFGHIKLMNQRSTVWY]|mM", Pattern.CASE_INSENSITIVE)
+
+  private def unpackMultiSites(conv: String, turn: Int, sent: Sent,
+                               state: State): Unit = {
+    val words = sent.words
+    val anchors = state.all.iterator
+      .filter(m => !m.is_event && m.labels.head == "Site")
+      .map(_.end_tok).toArray.sorted
+    anchors.foreach { end0 =>
+      var i = end0
+      var run = true
+      while (run && i < words.length) {
+        if (siteSepP.matcher(words(i)).matches()) i += 1
+        else {
+          val covering = state.all.find(m =>
+            m.start_tok <= i && i < m.end_tok && !m.is_event)
+          covering match {
+            case Some(m) if m.labels.head == "Site" =>
+              i = m.end_tok // an already-recognized Site continues the list
+            case Some(_) => run = false
+            case None =>
+              if (bareSiteP.matcher(words(i)).matches() &&
+                  (i + 1 >= words.length ||
+                    !siteStopP.matcher(words(i + 1)).matches())) {
+                state.add(MentionRow(
+                  mentionId(conv, turn, sent.sent_idx, i, i + 1, "Site", "",
+                    Nil, false, false),
+                  conv, turn, sent.sent_idx, i, i + 1,
+                  Lexicon.labelClosure("Site"), words(i), "multi_site", false,
+                  "", Arg.none, false, false))
+                i += 1
+              } else run = false
+          }
+        }
+      }
+    }
+  }
+
   /** Inject conversation-scoped alias surfaces as entity mentions (the trie
     * rescan, J3): any token run equal to a rescan surface that does not
     * overlap an existing mention becomes an entity with the alias target's
@@ -1431,6 +1535,7 @@ object BioRules {
     decodeIob(conv, turn, sent).foreach(state.add)
     injectAliasSurfaces(conv, turn, sent, aliases, state)
     entityPriorities.foreach(runPriority(_, conv, turn, sent, deps, state))
+    unpackMultiSites(conv, turn, sent, state)
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
     eventPriorities.foreach { p =>

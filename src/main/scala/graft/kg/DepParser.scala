@@ -174,7 +174,8 @@ object DepParser {
   // precompiled (String.matches would recompile per call — this runs for
   // every token of every sentence in the extraction hot path)
   private val ateFamRe = Pattern.compile(""".*at(e|es|ed|ing)""")
-  private val izeFamRe = Pattern.compile(""".*iz(e|es|ed|ing)""")
+  // [iy]z: -ize family plus -yze ("hydrolyzes" — taxonomy Hydrolysis)
+  private val izeFamRe = Pattern.compile(""".*[iy]z(e|es|ed|ing)""")
   private val ptmInfixRe =
     Pattern.compile(""".*(ylat|itinat|osylat|ethylat|cetylat|umoylat).*""")
   private val ptmStemRe = Pattern.compile(

@@ -141,7 +141,8 @@ object Lexicon {
     g(
       "AKT1", "AKT", "AKT2", "JAK3", "JAK1", "HuR", "ASPP2", "53BP2",
       "optineurin", "OPTN", "MEK", "MEK1", "ERK", "ERK2", "p53", "TP53", "BRAF",
-      "KRAS", "HRAS", "mTOR", "STAT3", "EGFR", "HER2", "SRC", "JNK",
+      "KRAS", "K-Ras", "HRAS", "H-Ras", "mTOR", "STAT3", "EGFR", "HER2",
+      "SRC", "JNK",
       "GSK3", "PI3K", "PTEN", "MAPK1", "cortactin", "Gab1", "Grb2",
       "SOS", "SAF-1", "Mad-Max", "cyclin D1", "SMAD2", "SMAD4", "TGFBR2", "p38",
       "IGF-1R", "IRS-1", "Shc", "RhoA", "Rac1", "CDC42", "PLC-gamma",
@@ -233,7 +234,8 @@ object Lexicon {
       up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
       up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
       up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),
-      up("BRAF", "P15056"), up("KRAS", "P01116"), up("HRAS", "P01112"),
+      up("BRAF", "P15056"), up("KRAS", "P01116"), up("K-Ras", "P01116"),
+      up("HRAS", "P01112"), up("H-Ras", "P01112"),
       up("mTOR", "P42345"), up("STAT3", "P40763"), up("EGFR", "P00533"),
       up("HER2", "P04626"), up("SRC", "P12931"), up("JNK", "P45983"),
       up("GSK3", "P49840"), up("PI3K", "P42336"), up("PTEN", "P60484"),

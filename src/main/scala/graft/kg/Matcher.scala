@@ -63,6 +63,15 @@ object Matcher {
     */
   final case class X(max: Int) extends PE
 
+  /** Zero-width negative lookahead: succeeds iff at end of sentence or the
+    * next token does NOT match. Surface analogue of Odin's negated graph
+    * constraints on triggers (e.g. `!outgoing=/prep_(by|of)/` on the nn-theme
+    * nominal rule, simple-event_template.yml syntax_4_noun).
+    */
+  final case class NotNext(re: String) extends PE {
+    val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
+  }
+
   // ---- match state ------------------------------------------------------
 
   final case class Bind(
@@ -148,6 +157,9 @@ object Matcher {
               tryMatchCb(rest, words, state, pos + k, b)(emit)
               k += 1
             }
+          case nn: NotNext =>
+            if (pos >= words.length || !nn.p.matcher(words(pos)).matches())
+              tryMatchCb(rest, words, state, pos, b)(emit)
         }
     }
 

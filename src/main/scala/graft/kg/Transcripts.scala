@@ -428,6 +428,42 @@ object Transcripts {
       tri("g57", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
         hyp = true))
 
+    // Hydrolysis family — irregular morphology (taxonomy AdditionEvent;
+    // hydrolysis_events.yml; TestTemplaticSimpleEvents testHydrolysisPass1/
+    // SubjNom1/ObjNom1): verbal "hydrolyze(s/d)", nominal "hydrolysis"
+    val GTP = gidOf("GTP", "Simple_chemical")
+    conv("g58")("user" -> "GTP is hydrolyzed by Ras.")(
+      tri("g58", 0, "", "Hydrolysis", GTP),
+      tri("g58", 0, RAS, "Positive_regulation", s"Hydrolysis($GTP)"))
+    conv("g59")("user" -> "Ras hydrolysis of GTP increased.")(
+      tri("g59", 0, "", "Hydrolysis", GTP),
+      tri("g59", 0, RAS, "Positive_regulation", s"Hydrolysis($GTP)"))
+    conv("g60")("user" -> "GTP hydrolysis by Ras increased.")(
+      tri("g60", 0, "", "Hydrolysis", GTP),
+      tri("g60", 0, RAS, "Positive_regulation", s"Hydrolysis($GTP)"))
+    // subject-nominal cause (simple-event_template syntax_1a_noun example
+    // "Ras phosphorylation of ASPP2 increased"): the nn before the nominal
+    // trigger is the CAUSE, not a second theme
+    conv("g61")("user" -> "MEK1 phosphorylation of ERK2 increased.")(
+      tri("g61", 0, "", "Phosphorylation", ERK2),
+      tri("g61", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // multi-site unpack (entities.yml multi-site + unpackRelations;
+    // TestTemplaticSimpleEvents sent14a / TestTemplaticSimpleDeEvents
+    // sent14a-b): bare coordinated numbers after a Site become Sites; the
+    // site-before-theme nominal rule (syntax token_4_noun) yields one event
+    // per site
+    val KRAS = gidOf("K-Ras"); val HRAS = gidOf("H-Ras")
+    conv("g62")("user" ->
+      "Experiments revealed ubiquitination at Lys residues 104 and 147 of K-Ras.")(
+      tri("g62", 0, "", "Ubiquitination", KRAS, "Lys residues 104"),
+      tri("g62", 0, "", "Ubiquitination", KRAS, "147"))
+    conv("g63")("user" ->
+      "Experiments revealed deubiquitination at Lys residues 117, 147, and 170 for H-Ras.")(
+      tri("g63", 0, "", "Deubiquitination", HRAS, "Lys residues 117"),
+      tri("g63", 0, "", "Deubiquitination", HRAS, "147"),
+      tri("g63", 0, "", "Deubiquitination", HRAS, "170"))
+
     (turns.toSeq, triples.toSeq)
   }
 
