@@ -326,27 +326,56 @@ object BioRules {
     Rule("amount_nn", 7, FixedEventK("Amount"),
       List(ML("theme", ENT), T("amounts?|levels?|quantit(y|ies)"))),
 
-    // translocation: "X translocates to the nucleus"
+    // translocation (translocation_events.yml:12-172): the reference trigger
+    // inventory is exactly trans(loc|port)/release/export/recruit (verbal,
+    // nominal, and VBN-passive shapes); every rule requires at least one
+    // location argument (enforced in assemble), and coordinated sources/
+    // destinations yield one event per source x destination combination
+    // (TestTranslocationEvents sent2/sent3)
     Rule("transloc_active", 7, FixedEventK("Translocation"),
-      List(ML("theme", ENT), T("transloca\\w+|relocaliz\\w+|migrat\\w+|moves?|moved|shuttles?|accumulates?"),
-        OptG(W("from"), OptG(W("the")), M("source", "Cellular_component")),
-        W("to|into"), OptG(W("the")), M("destination", "Cellular_component"))),
+      List(ML("theme", ENT), T("(trans(loc|port)|releas|export|recruit)\\w*"),
+        OptG(W("from"), OptG(W("the")),
+          ML("source", "Cellular_component", commaOk = false)),
+        OptG(W("to|into"), OptG(W("the")),
+          ML("destination", "Cellular_component", commaOk = false)))),
+    Rule("transloc_passive", 7, FixedEventK("Translocation"),
+      List(ML("theme", ENT),
+        W("is|are|was|were|be|been|being|gets?|got"),
+        T("(trans(loc|port)|releas|export|recruit)ed"),
+        OptG(W("from"), OptG(W("the")),
+          ML("source", "Cellular_component", commaOk = false)),
+        OptG(W("to|into"), OptG(W("the")),
+          ML("destination", "Cellular_component", commaOk = false)))),
     Rule("transloc_nominal", 7, FixedEventK("Translocation"),
-      List(T("translocation|relocalization|accumulation"), W("of"), ML("theme", ENT),
-        OptG(W("from"), OptG(W("the")), M("source", "Cellular_component")),
-        W("to|into"), OptG(W("the")), M("destination", "Cellular_component"))),
+      List(T("(translocation|transport|release|export|recruitment)s?"),
+        W("of"), ML("theme", ENT),
+        OptG(W("from"), OptG(W("the")),
+          ML("source", "Cellular_component", commaOk = false)),
+        OptG(W("to|into"), OptG(W("the")),
+          ML("destination", "Cellular_component", commaOk = false)))),
 
     // -- p8: binding ------------------------------------------------------
+    // coordinated subjects each pair with the object, never with each other
+    // ("Raf and PI3K bind to Ras" -> (Raf,Ras)+(PI3K,Ras) — mkBinding
+    // theme1 x theme2 cross product, DarpaActions.scala:222-261 +
+    // TestBindingEvents sent5); an optional (non-)participle before the
+    // object is skipped by the rule and picked up as a PTM by attachMods
+    // ("bind to ubiquitinated Ras")
     Rule("bind_active", 8, BindingK,
-      List(M("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?"),
-        OptG(W("to|with|directly")), OptG(W("to|with")), ML("theme2", ENT))),
+      List(ML("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?"),
+        OptG(W("to|with|directly")), OptG(W("to|with")),
+        OptG(W(s"(non-?)?(de-?)?($stemsAlt)ed")), ML("theme2", ENT))),
     Rule("bind_nominal", 8, BindingK,
       List(T("binding|interaction|association|complex"), W("of|between"),
         M("theme", ENT), W("to|with|and"), ML("theme2", ENT))),
+    // subject-coordination binding with NO object ("A and B interact", "A and
+    // B form a complex") — blocked when a to/with object follows, where the
+    // coordinated subjects must pair with the object instead (bind_active)
     Rule("bind_coord", 8, BindingK,
       List(M("theme", ENT), W("and"), M("theme2", ENT), adv,
         T("bind|binds|interact|interacts|associate|associates|form"),
-        OptG(W("a|an")), OptG(W("complex|complexes|dimer|heterodimer")))),
+        OptG(W("a|an")), OptG(W("complex|complexes|dimer|heterodimer")),
+        NotNext("to|with"), NotNextM(ENT))),
 
     // -- p10: alias -------------------------------------------------------
     Rule("alias_paren", 10, AliasK,
@@ -396,9 +425,20 @@ object BioRules {
         W("of"), OptG(W("the")), M("controlled", "Event"))),
 
     // -- p14: activations (controller/controlled entities) ---------------
+    // coordinated controllers/controlleds each yield an activation
+    // (TestActivationEvents sent2 "activates Raf and PI3K" -> 2 events); a
+    // trailing "[enzymatic] activity" nominal already reads as the entity
+    // (prefix matching ignores it — sent1/sent17 shapes)
     Rule("act_active", 14, ActivationK,
-      List(M("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(actTriggers), OptG(W("the")), M("controlled", ENT), filler)),
+      List(ML("controller", "PossibleController"), appos, X(2), auxNeg,
+        T(actTriggers), OptG(W("the")), ML("controlled", ENT))),
+    // appositive copular nominal: "Rapamycin, an inhibitor of the mTOR
+    // kinase," (TestActivationEvents sent14/15)
+    Rule("act_appos_nominal", 14, ActivationK,
+      List(M("controller", "PossibleController"), W(","), W("a|an|the"),
+        OptG(W("potent|known|novel|direct|strong|major|selective|key")),
+        T("activators?|inducers?|enhancers?|inhibitors?|suppressors?|repressors?"),
+        W("of"), OptG(W("the")), M("controlled", ENT), filler, W(","))),
     // relative clause: "STAT3, which is activated by JAK1"
     Rule("act_relcl", 14, ActivationK,
       List(M("controlled", ENT), W(","), W("which"), W("is|was|are|were"),
@@ -1062,11 +1102,26 @@ object BioRules {
         }
 
       case FixedEventK(label, themeRole) =>
-        val extras = Seq("source", "destination").flatMap(r =>
-          b.caps.getOrElse(r, Nil).headOption.map(r -> _))
-        b.caps.getOrElse(themeRole, Nil).map { theme =>
-          mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
-            Seq("theme" -> theme) ++ extras, rule.name)
+        val srcs = b.caps.getOrElse("source", Nil)
+        val dsts = b.caps.getOrElse("destination", Nil)
+        // every reference translocation rule requires a location argument
+        // (translocation_events.yml: each shape has a required source or
+        // destination) — the bare trigger alone is not an event
+        if (label == "Translocation" && srcs.isEmpty && dsts.isEmpty) Nil
+        else {
+          // one event per coordinated source x destination combination
+          // (TestTranslocationEvents sent2: "from the membrane to the nucleus
+          // and cytosol" -> 2 events)
+          val sOpts = if (srcs.isEmpty) Seq(None) else srcs.map(Some(_))
+          val dOpts = if (dsts.isEmpty) Seq(None) else dsts.map(Some(_))
+          for {
+            theme <- b.caps.getOrElse(themeRole, Nil)
+            s <- sOpts
+            d <- dOpts
+          } yield mkEvent(conv, turn, sent.sent_idx, words, deps, label,
+            b.trigger,
+            Seq("theme" -> theme) ++ s.map("source" -> _) ++
+              d.map("destination" -> _), rule.name)
         }
 
       case BindingK =>
@@ -1101,16 +1156,25 @@ object BioRules {
       case ActivationK =>
         (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
          b.caps.get("controlled")) match {
-          // hasDistinctControllerControlled guard
-          // (reference: DarpaActions.scala:538-560)
-          case (Some(ctl :: _), Some(cld :: _))
-              if ctl.mention_id != cld.mention_id && ctl.text != cld.text =>
-            val basePos = !negActP.matcher(trigWord).matches()
-            val flips = semNegFlips(words, ctl, b.trigger._1)
-            val pos = if (flips % 2 == 1) !basePos else basePos
-            val label = if (pos) "Positive_activation" else "Negative_activation"
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
-              Seq("controller" -> ctl, "controlled" -> cld), rule.name))
+          case (Some(ctls @ (_ :: _)), Some(clds @ (_ :: _))) =>
+            // coordinated controller/controlled lists cross-product into one
+            // activation per pair (conj expansion in the reference's syntax
+            // paths); hasDistinctControllerControlled guard per pair
+            // (reference: DarpaActions.scala:538-560)
+            for {
+              ctl <- ctls
+              cld <- clds
+              if ctl.mention_id != cld.mention_id && ctl.text != cld.text
+            } yield {
+              val basePos = !negActP.matcher(trigWord).matches()
+              val flips = semNegFlips(words, ctl, b.trigger._1)
+              val pos = if (flips % 2 == 1) !basePos else basePos
+              val label =
+                if (pos) "Positive_activation" else "Negative_activation"
+              mkEvent(conv, turn, sent.sent_idx, words, deps, label,
+                b.trigger, Seq("controller" -> ctl, "controlled" -> cld),
+                rule.name)
+            }
           case _ => Nil
         }
     }

@@ -449,6 +449,7 @@ object ConvProcessor {
           val site = m.args.find(_.role == "site")
             .flatMap(a => byId.get(a.mention_id)).map(_.text).getOrElse("")
           val dest = m.args.find(_.role == "destination")
+            .orElse(m.args.find(_.role == "source"))
             .flatMap(a => byId.get(a.mention_id))
             .flatMap(d => groundings.get(d.mention_id)).map(gidOf)
           val core = m.args.find(_.role == "theme")
@@ -545,12 +546,14 @@ object ConvProcessor {
             Some(pt("", themes(0), themes(1), "", siteText))
           else None
         } else {
-          // simple events: theme(+site); Translocation carries destination gid
-          // in site when no residue site present
+          // simple events: theme(+site); Translocation carries the location
+          // gid in site when no residue site present — destination first,
+          // else source (from-only shapes like "release of X from the
+          // membrane", translocation_events.yml :114-126)
           val themeGid = argM("theme").map(m => gid(m.mention_id)).getOrElse("")
-          val destGid = argM("destination")
+          val locGid = argM("destination").orElse(argM("source"))
             .flatMap(d => groundings.get(d.mention_id)).map(gidOf).getOrElse("")
-          val st = if (siteText.nonEmpty) siteText else destGid
+          val st = if (siteText.nonEmpty) siteText else locGid
           if (themeGid.nonEmpty)
             Some(pt("", themeGid, "", "", st))
           else None

@@ -242,9 +242,14 @@ object DepParser {
       tags(i) match {
         case "TO" =>
           // prepositional "to" ("binds to ERK2", "translocates to the
-          // nucleus"): infinitival only before a verb group
-          if (i + 1 < n && !tags(i + 1).startsWith("V") &&
-              tags(i + 1) != "AUX" && npStart(tags(i + 1))) tags(i) = "IN"
+          // nucleus"): infinitival only before a verb group. An -ed form
+          // after "to" is a participial premodifier, never an infinitive
+          // ("bind to ubiquitinated Ras" — infinitives are base-form)
+          val edAfter = i + 1 < n && tags(i + 1) == "VB" &&
+            words(i + 1).toLowerCase.endsWith("ed")
+          if (i + 1 < n && ((!tags(i + 1).startsWith("V") &&
+              tags(i + 1) != "AUX" && npStart(tags(i + 1))) || edAfter))
+            tags(i) = "IN"
         case "THAT" =>
           val prev = if (i > 0) tags(i - 1) else ""
           tags(i) =
@@ -257,9 +262,11 @@ object DepParser {
           // a "verb" right after a determiner is a noun ("these results",
           // "the increase")
           if (prev == "DT") tags(i) = "NN"
-          // participial premodifier after a verb ("demonstrates increased
-          // phosphorylation") joins the following NP
-          else if (l.endsWith("ed") && prev.startsWith("V")) tags(i) = "JJ"
+          // participial premodifier after a verb or preposition
+          // ("demonstrates increased phosphorylation", "to ubiquitinated
+          // Ras") joins the following NP
+          else if (l.endsWith("ed") &&
+                   (prev.startsWith("V") || prev == "IN")) tags(i) = "JJ"
           else if (l.endsWith("ed") || l.endsWith("en") ||
                    irregularPart.contains(l)) {
             // participle context: "is/was/been V-ed" or "has V-ed"
@@ -356,11 +363,30 @@ object DepParser {
                  (k >= n || !npStart(tags(k)) || tags(k) == "DT" || tags(k) == "PRP")) {
           // ", the ..." after an NP is an appositive/clause, not a list item
           done = true
+        } else if (k < n && tags(k) == "PRP") {
+          // a pronoun after the conjunction is a new clause's subject
+          // ("..., and we hypothesize that ..."), never an NP conjunct
+          done = true
         } else {
           val (h2, j2) = baseNP(k)
-          // a conjunct immediately followed by a verb is a new clause subject
+          // a conjunct immediately followed by a verb is a new clause
+          // subject — UNLESS the verb is plural-form, where number agreement
+          // proves a coordinated subject ("RAF and PI3K bind to Ras" vs
+          // "A binds B and C phosphorylates D")
+          def pluralVerbAt(j0: Int): Boolean = {
+            var k2 = j0
+            while (k2 < n && (tags(k2) == "RB" || tags(k2) == "NEG")) k2 += 1
+            if (k2 >= n) false
+            else tags(k2) match {
+              case "AUX" => Set("are", "were", "have", "do",
+                "remain")(lc(k2))
+              case tg if tg.startsWith("V") => !lc(k2).endsWith("s")
+              case _ => false
+            }
+          }
           val clauseAhead = h2 >= 0 && j2 < n &&
-            (tags(j2).startsWith("V") || tags(j2) == "AUX" || tags(j2) == "MD")
+            (tags(j2).startsWith("V") || tags(j2) == "AUX" ||
+              tags(j2) == "MD") && !pluralVerbAt(j2)
           if (h2 < 0 || clauseAhead) done = true
           else {
             val lab = "conj_" + ccLab.map {

@@ -187,6 +187,9 @@ object Lexicon {
       "nucleus" -> "Cellular_component",
       "cytoplasm" -> "Cellular_component",
       "plasma membrane" -> "Cellular_component",
+      "nuclear membrane" -> "Cellular_component",
+      "membrane" -> "Cellular_component",
+      "cytosol" -> "Cellular_component",
       "mitochondria" -> "Cellular_component",
       "endoplasmic reticulum" -> "Cellular_component",
       "Golgi" -> "Cellular_component",
@@ -272,6 +275,9 @@ object Lexicon {
       go("nucleus", "GO:0005634", "Cellular_component"),
       go("cytoplasm", "GO:0005737", "Cellular_component"),
       go("plasma membrane", "GO:0005886", "Cellular_component"),
+      go("nuclear membrane", "GO:0031965", "Cellular_component"),
+      go("membrane", "GO:0016020", "Cellular_component"),
+      go("cytosol", "GO:0005829", "Cellular_component"),
       go("mitochondria", "GO:0005739", "Cellular_component"),
       go("endoplasmic reticulum", "GO:0005783", "Cellular_component"),
       go("Golgi", "GO:0005794", "Cellular_component"),

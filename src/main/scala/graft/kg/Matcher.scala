@@ -72,6 +72,12 @@ object Matcher {
     val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
   }
 
+  /** Zero-width negative mention lookahead: succeeds iff no mention with
+    * `label` in its closure starts at the current position. The State-probing
+    * analogue of [[NotNext]] (Odin's negated lookahead over @Label captures).
+    */
+  final case class NotNextM(label: String) extends PE
+
   // ---- match state ------------------------------------------------------
 
   final case class Bind(
@@ -159,6 +165,9 @@ object Matcher {
             }
           case nn: NotNext =>
             if (pos >= words.length || !nn.p.matcher(words(pos)).matches())
+              tryMatchCb(rest, words, state, pos, b)(emit)
+          case nm: NotNextM =>
+            if (pos >= words.length || state.at(pos, nm.label).isEmpty)
               tryMatchCb(rest, words, state, pos, b)(emit)
         }
     }

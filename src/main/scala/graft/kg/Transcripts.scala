@@ -464,6 +464,48 @@ object Transcripts {
       tri("g63", 0, "", "Deubiquitination", HRAS, "147"),
       tri("g63", 0, "", "Deubiquitination", HRAS, "170"))
 
+    // translocation faithfulness (translocation_events.yml:12-172;
+    // TestTranslocationEvents sent2/sent3b): one event per coordinated
+    // destination/source; from-only shapes carry the source gid in the
+    // site slot
+    val CYTOSOL = gidOf("cytosol", "Cellular_component")
+    val MEMBR = gidOf("membrane", "Cellular_component")
+    val PMEMBR = gidOf("plasma membrane", "Cellular_component")
+    val NMEMBR = gidOf("nuclear membrane", "Cellular_component")
+    conv("g64")("user" ->
+      "ASPP2 is transported from the membrane to the nucleus and cytosol.")(
+      tri("g64", 0, "", "Translocation", ASPP2, NUC),
+      tri("g64", 0, "", "Translocation", ASPP2, CYTOSOL))
+    conv("g65")("user" ->
+      "The release of ASPP2 from the plasma membrane and nuclear membrane was observed.")(
+      tri("g65", 0, "", "Translocation", ASPP2, PMEMBR),
+      tri("g65", 0, "", "Translocation", ASPP2, NMEMBR))
+
+    // binding coordination (TestBindingEvents sent5 / mkBinding cross
+    // product): coordinated subjects each pair with the object, never with
+    // each other; the participle before the object is a PTM, not a blocker.
+    // Subject-coordination with no object still pairs the subjects (sent7
+    // "ASPP1 and ASPP2 bind" shape / "form a complex")
+    val RAF = gidOf("RAF", "Family"); val PI3K = gidOf("PI3K")
+    conv("g66")("user" -> "RAF and PI3K bind to ubiquitinated Ras.")(
+      tri("g66", 0, "", "Binding", Seq(RAF, RAS).sorted.mkString("&")),
+      tri("g66", 0, "", "Binding", Seq(PI3K, RAS).sorted.mkString("&")))
+    conv("g67")("user" -> "Grb2 and SOS form a complex.")(
+      tri("g67", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&")))
+
+    // activation breadth (TestActivationEvents sent2/sent14/sent17):
+    // coordinated controlled entities split one activation per pair; the
+    // appositive copular nominal carries trigger-noun polarity; a trailing
+    // "enzymatic activity" nominal reads as the entity itself
+    conv("g68")("user" -> "Ubiquitinated Ras activates RAF and PI3K.")(
+      tri("g68", 0, RAS, "Positive_activation", RAF),
+      tri("g68", 0, RAS, "Positive_activation", PI3K))
+    conv("g69")("user" ->
+      "Rapamycin, an inhibitor of the mTOR kinase, was added.")(
+      tri("g69", 0, RAPA, "Negative_activation", mTOR))
+    conv("g70")("user" -> "JAK1 stimulates STAT3 enzymatic activity.")(
+      tri("g70", 0, JAK1, "Positive_activation", STAT3))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -504,10 +546,11 @@ object Transcripts {
     while (t < nTurns) {
       val role = if (t % 2 == 0) "user" else "assistant"
       // kinds 14-18 need cross-turn coref and are excluded from mega slices
-      // (chunk boundaries must not truncate anaphora lookback); 19-21 are
-      // sentence-local dependency-rule families but stay out of mega too so
-      // the mega slice distribution is unchanged
-      val maxT = if (withCoref) 22 else 14
+      // (chunk boundaries must not truncate anaphora lookback); 19-25 are
+      // sentence-local families (dependency rules, hydrolysis, subject
+      // nominal, multi-site, translocation) but stay out of mega too so the
+      // mega slice distribution is unchanged
+      val maxT = if (withCoref) 26 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -667,6 +710,43 @@ object Transcripts {
           turns += mkTurn(conv, t, role, s"$a is bound by $b.")
           triples += tri(conv, t, "", "Binding",
             Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+        case 22 =>
+          // hydrolysis (irregular morphology family)
+          val Seq(a) = genes(1)
+          val gtp = gidOf("GTP", "Simple_chemical")
+          turns += mkTurn(conv, t, role, s"GTP is hydrolyzed by $a.")
+          triples += tri(conv, t, "", "Hydrolysis", gtp)
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Hydrolysis($gtp)")
+        case 23 =>
+          // subject-nominal cause (syntax_1a_noun)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"$a phosphorylation of $b increased.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 24 =>
+          // multi-site unpack: one event per coordinated site
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"$a phosphorylates $b at Ser residues 21 and 25.")
+          val s1 = "Ser residues 21"; val s2 = "25"
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b), s1)
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b), s2)
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)}@$s1)", s1)
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)}@$s2)", s2)
+        case 25 =>
+          // translocation with coordinated destinations (one event each)
+          val Seq(b) = genes(1)
+          turns += mkTurn(conv, t, role,
+            s"$b is transported from the membrane to the nucleus and cytosol.")
+          triples += tri(conv, t, "", "Translocation", gidOf(b),
+            gidOf("nucleus", "Cellular_component"))
+          triples += tri(conv, t, "", "Translocation", gidOf(b),
+            gidOf("cytosol", "Cellular_component"))
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
       }
