@@ -305,11 +305,25 @@ object BioRules {
       List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
         adv, T(modParticiple), sitePrep, OptG(W("by"), M("cause", ENT)))),
 
-    // transcription
+    // transcription — the reference trigger inventory is
+    // transcription|expression (nominal) and (over)?express* (verbal)
+    // (transcription_events.yml:8-78); a by-cause splits into a wrapping
+    // regulation ("expression of NRF2 by Kras", "EGFR is overexpressed by
+    // Mek" — TestTranscriptionEvents sent1/sent6)
     Rule("transcription_nominal", 7, FixedEventK("Transcription"),
-      List(T("transcription"), W("of"), ML("theme", ENT))),
+      List(T("transcription|(over-?)?expression"), W("of"), ML("theme", ENT),
+        OptG(W("by"), M("cause", "PossibleController")))),
+    // prenominal: "MMP-9 expression", "ErbB3 gene transcription" (sent2/8);
+    // the of/by guard mirrors syntax_4_noun's !outgoing — with a following
+    // of-phrase the nn is not the theme
+    Rule("transcription_prenominal", 7, FixedEventK("Transcription"),
+      List(ML("theme", ENT), OptG(W("gene|genes|protein|proteins|mRNA")),
+        T("transcription|(over-?)?expression"), NotNext("of|by"))),
     Rule("transcription_passive", 7, FixedEventK("Transcription"),
-      List(ML("theme", ENT), W("is|are|was|were"), T("transcribed"))),
+      List(ML("theme", ENT),
+        W("is|are|was|were|be|been|being|gets?|got"), notOpt, adv,
+        T("transcribed|(over-?)?expressed"),
+        OptG(W("by"), M("cause", "PossibleController")))),
 
     // amount — the reference's exact trigger inventory and argument paths
     // (events_master.yml:28-37): "loss" -> DecreaseAmount over prep_of|prep_in
@@ -414,6 +428,13 @@ object BioRules {
         W("plays?|played|playing"),
         OptG(W("a|an|no|little|key|major|critical|central|important|essential|direct|crucial")),
         T("roles?"), W("in"), OptG(W("the")), M("controlled", "Event"))),
+    // subject-nominal: controller nn directly before a nominal reg trigger
+    // governing an of-event ("rapamycin inhibition of the phosphorylation of
+    // ERK" — TestRegulationEvents sent28); polarity from the trigger via
+    // negRegP as usual ("inhibition" matches inhibit\w+)
+    Rule("reg_subjnominal", 12, RegulationK,
+      List(M("controller", "PossibleController"), T(regTriggers), W("of"),
+        OptG(W("the")), M("controlled", "Event"))),
     // copular nominal triggers: "X is an activator/inhibitor of <event>"
     // (reference: TestRegulationEvents sent17/18; pos-reg/neg-reg nominal
     // trigger lists) — polarity from the trigger noun via negRegP
@@ -1114,14 +1135,35 @@ object BioRules {
           // and cytosol" -> 2 events)
           val sOpts = if (srcs.isEmpty) Seq(None) else srcs.map(Some(_))
           val dOpts = if (dsts.isEmpty) Seq(None) else dsts.map(Some(_))
+          val causes = b.caps.getOrElse("cause", Nil).filter(surfaceSubjOk)
           for {
             theme <- b.caps.getOrElse(themeRole, Nil)
             s <- sOpts
             d <- dOpts
-          } yield mkEvent(conv, turn, sent.sent_idx, words, deps, label,
-            b.trigger,
-            Seq("theme" -> theme) ++ s.map("source" -> _) ++
-              d.map("destination" -> _), rule.name)
+            if causes.forall(_.mention_id != theme.mention_id)
+            m <- {
+              val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
+                b.trigger,
+                Seq("theme" -> theme) ++ s.map("source" -> _) ++
+                  d.map("destination" -> _), rule.name)
+              causes.headOption match {
+                case None => Seq(ev)
+                case Some(cause) =>
+                  // splitSimpleEvents, as in SimpleModK: the event loses its
+                  // cause and a regulation wraps it ("expression of NRF2 by
+                  // Kras" -> Transcription + Positive_regulation,
+                  // TestTranscriptionEvents sent1)
+                  val flips = semNegFlips(words, cause, b.trigger._1)
+                  val regLabel =
+                    if (flips % 2 == 1) "Negative_regulation"
+                    else "Positive_regulation"
+                  Seq(ev, mkEvent(conv, turn, sent.sent_idx, words, deps,
+                    regLabel, b.trigger,
+                    Seq("controller" -> cause, "controlled" -> ev),
+                    rule.name + "_split"))
+              }
+            }
+          } yield m
         }
 
       case BindingK =>

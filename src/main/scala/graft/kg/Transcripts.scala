@@ -100,6 +100,7 @@ object Transcripts {
     conv("g08")(
       "user" -> "AKT1 is expressed in HeLa cells.",
       "assistant" -> "It is phosphorylated by MEK.")(
+      tri("g08", 0, "", "Transcription", AKT1),
       tri("g08", 1, "", "Phosphorylation", AKT1),
       tri("g08", 1, MEK, "Positive_regulation", s"Phosphorylation($AKT1)"))
 
@@ -150,7 +151,10 @@ object Transcripts {
     conv("g17")("user" ->
       "Decreased ERK2 expression increases phosphorylation of AKT1.")(
       tri("g17", 0, "", "Phosphorylation", AKT1),
-      tri("g17", 0, ERK2, "Negative_regulation", s"Phosphorylation($AKT1)"))
+      tri("g17", 0, ERK2, "Negative_regulation", s"Phosphorylation($AKT1)"),
+      // "ERK2 expression" is itself a Transcription event in the reference
+      // grammar (transcription_events.yml nominal trigger)
+      tri("g17", 0, "", "Transcription", ERK2))
 
     conv("g18")("user" -> "STAT3 is activated by JAK1.")(
       tri("g18", 0, JAK1, "Positive_activation", STAT3))
@@ -290,6 +294,7 @@ object Transcripts {
     conv("g38")(
       "user" -> "Cyclin D1 is expressed in HeLa cells.",
       "assistant" -> "The cyclin binds AKT1.")(
+      tri("g38", 0, "", "Transcription", CCND1),
       tri("g38", 1, "", "Binding", Seq(CCND1, AKT1).sorted.mkString("&")))
 
     // degree-2 dependency hypothesis scope (HypothesisHandler.scala:12,47-76):
@@ -506,6 +511,29 @@ object Transcripts {
     conv("g70")("user" -> "JAK1 stimulates STAT3 enzymatic activity.")(
       tri("g70", 0, JAK1, "Positive_activation", STAT3))
 
+    // transcription/expression family (transcription_events.yml:8-78;
+    // TestTranscriptionEvents sent1/sent6/sent8): expression nominals and
+    // (over)expressed passives are Transcription events; a by-cause splits
+    // into a wrapping regulation; "upregulates X expression" is a regulation
+    // over the Transcription, not an activation
+    conv("g71")("user" ->
+      "Expression of cyclin D1 by beta-catenin was detected.")(
+      tri("g71", 0, "", "Transcription", CCND1),
+      tri("g71", 0, BCAT, "Positive_regulation", s"Transcription($CCND1)"))
+    conv("g72")("user" -> "EGFR is overexpressed by MEK1.")(
+      tri("g72", 0, "", "Transcription", EGFR),
+      tri("g72", 0, MEK1, "Positive_regulation", s"Transcription($EGFR)"))
+    conv("g73")("user" -> "JAK1 upregulates STAT3 expression.")(
+      tri("g73", 0, "", "Transcription", STAT3),
+      tri("g73", 0, JAK1, "Positive_regulation", s"Transcription($STAT3)"))
+
+    // subject-nominal regulation (TestRegulationEvents sent28): the
+    // controller nn precedes the nominal reg trigger; trigger-noun polarity
+    conv("g74")("user" ->
+      "Rapamycin inhibition of the phosphorylation of ERK2 was observed.")(
+      tri("g74", 0, "", "Phosphorylation", ERK2),
+      tri("g74", 0, RAPA, "Negative_regulation", s"Phosphorylation($ERK2)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -640,6 +668,9 @@ object Transcripts {
           turns += mkTurn(conv, t, role, s"$a is expressed in HeLa cells.")
           turns += mkTurn(conv, t + 1, if (role == "user") "assistant" else "user",
             s"It is phosphorylated by $c.")
+          // "is expressed" is a Transcription event (transcription_events.yml
+          // verbal passive trigger)
+          triples += tri(conv, t, "", "Transcription", gidOf(a))
           triples += tri(conv, t + 1, "", "Phosphorylation", gidOf(a))
           triples += tri(conv, t + 1, gidOf(c), "Positive_regulation",
             s"Phosphorylation(${gidOf(a)})")
