@@ -1,11 +1,38 @@
 package graft.kg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Export sinks beyond the primary edges/nodes tables (SURVEY.md §2.1 S8-S10).
   */
 object Emit {
+
+  /** Per-key list-aggregation fan-in bound (scale guard for the
+    * interaction-level exports): a viral interaction ("MEK1 phosphorylates
+    * ERK2" across millions of conversations) or a ubiquitous entity would
+    * otherwise collect an unbounded evidence/conv-id set into ONE output
+    * row — the same unbounded-row class as the (fixed) pre-chunking FRIES
+    * frame graph. Far above anything the contract corpora produce, so
+    * oracle outputs are unchanged.
+    */
+  val MaxListPerKey = 1000
+
+  /** Null the list-contributing columns beyond rank [[MaxListPerKey]] within
+    * each aggregation key (`collect_set` skips nulls), ordered
+    * deterministically so resume ≡ cold holds at any scale. The window
+    * requires the same hash partitioning as the downstream groupBy, so the
+    * exchange is shared — no extra shuffle. Count-style aggregates (SEEN)
+    * still see every row.
+    */
+  private def capListCols(df: DataFrame, keys: Seq[Column],
+                          order: Seq[Column], capped: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val withRk = df.withColumn("_cap_rk", row_number().over(w))
+    capped.foldLeft(withRk) { (d, c) =>
+      d.withColumn(c, when(col("_cap_rk") <= MaxListPerKey, col(c)))
+    }.drop("_cap_rk")
+  }
 
   /** FRIES-shaped nested JSON export (reference: export/.../fries/
     * FriesOutput.scala:75-111 — one frame per event with nested argument
@@ -145,9 +172,14 @@ object Emit {
       .when(col("pred").rlike("regulation$") &&
         col("obj").rlike("regulation\\("), lit(true))
       .otherwise(lit(false))
-    edges
-      .withColumn("OUTPUT", output)
-      .withColumn("INDIRECT", indirect)
+    capListCols(
+      edges
+        .withColumn("OUTPUT", output)
+        .withColumn("INDIRECT", indirect),
+      keys = Seq(col("obj"), col("OUTPUT"), col("subj"), col("pred"),
+        col("site"), col("negated"), col("INDIRECT"), col("hypothesis")),
+      order = Seq(col("evidence_text"), col("conv_id"), col("turn_idx")),
+      capped = Seq("evidence_text", "conv_id"))
       .groupBy(
         col("obj").as("INPUT"),
         col("OUTPUT"),
@@ -297,7 +329,11 @@ object Emit {
       .groupBy(col("EVENT_ID").as("pb_event_id"))
       .agg(collect_set(col("before_id")).as("pb_ids"))
 
-    val eventRows = perEdge
+    val eventRows = capListCols(perEdge,
+      keys = Seq(col("INPUT"), col("OUTPUT"), col("CONTROLLER"),
+        col("EVENT_ID"), col("EVENT_LABEL"), col("NEGATED"), col("INDIRECT")),
+      order = Seq(col("evidence_text"), col("conv_id"), col("turn_idx")),
+      capped = Seq("evidence_text", "conv_id"))
       .groupBy(col("INPUT"), col("OUTPUT"), col("CONTROLLER"),
         col("EVENT_ID"), col("EVENT_LABEL"), col("NEGATED"), col("INDIRECT"))
       .agg(
@@ -333,11 +369,17 @@ object Emit {
         filter(col("mods"), m => m.getField("kind") === "PTM"),
         m => m.getField("label"))))
 
-    val entGrouped = entBase
+    val entGrouped = capListCols(entBase,
+      keys = Seq(col("cgid"), col("mutant_forms"), col("ptm_feats")),
+      // text-first ordering keeps min(text) == rep_text exact under the cap
+      order = Seq(col("text"), col("conv_id"), col("turn_idx")),
+      capped = Seq("conv_id"))
       .groupBy(col("cgid"), col("mutant_forms"), col("ptm_feats"))
       .agg(
         min(col("ptm_label")).as("ptm_label"),
         count(lit(1)).as("SEEN"),
+        // text variety is bounded by the surface-form space of one grounding;
+        // conv_id fan-in is not — only the latter needs the cap
         concat_ws(" | ", array_sort(collect_set(col("text")))).as("EVIDENCE"),
         concat_ws("|", array_sort(collect_set(col("conv_id")))).as("SEEN_IN"),
         // representative resolved text: lexicographic min (deterministic
@@ -616,11 +658,14 @@ object Emit {
     val withB = withParticipant(
       withParticipant(cards, nodes, "participant_a_gid", "participant_a"),
       nodes, "participant_b_gid", "participant_b")
-    withB
-      .groupBy((base.filterNot(_ == "evidence_text").map(col) ++ Seq(
-        col("participant_a_text"), col("participant_a_type"),
-        col("participant_a_identifier"), col("participant_b_text"),
-        col("participant_b_type"), col("participant_b_identifier"))): _*)
+    val icKeys = base.filterNot(_ == "evidence_text").map(col) ++ Seq(
+      col("participant_a_text"), col("participant_a_type"),
+      col("participant_a_identifier"), col("participant_b_text"),
+      col("participant_b_type"), col("participant_b_identifier"))
+    capListCols(withB, keys = icKeys,
+      order = Seq(col("evidence_text"), col("pmc_id")),
+      capped = Seq("evidence_text"))
+      .groupBy(icKeys: _*)
       .agg(count(lit(1)).as("seen"),
         concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
           .as("evidence"))
@@ -779,17 +824,24 @@ object Emit {
           col("obj").rlike("regulation\\("), lit("I")).otherwise(lit("D")))
       .withColumn("MECHANISM_TYPE",
         when(col("mech0") === "", lit("NONE")).otherwise(col("mech0")))
-      .groupBy(col("ELEMENT_NAME"), col("ELEMENT_TYPE"), col("DATABASE_NAME"),
-        col("ELEMENT_IDENTIFIER"), col("LOCATION"), col("LOCATION_IDENTIFIER"),
-        col("POS_REG_NAME"), col("POS_REG_TYPE"), col("POS_REG_ID"),
-        col("NEG_REG_NAME"), col("NEG_REG_TYPE"), col("NEG_REG_ID"),
-        col("IS_INDIRECT"), col("MECHANISM_TYPE"))
-      .agg(
-        max(col("ctx_cell_line")).as("CELL_LINE"),
-        max(col("ctx_cell_type")).as("CELL_TYPE"),
-        max(col("ctx_organ")).as("ORGANISM"),
-        concat_ws("|", array_sort(collect_set(col("conv_id")))).as("PAPER_ID"),
-        concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
-          .as("EVIDENCE"))
+      .transform { d =>
+        val cmuKeys = Seq("ELEMENT_NAME", "ELEMENT_TYPE", "DATABASE_NAME",
+          "ELEMENT_IDENTIFIER", "LOCATION", "LOCATION_IDENTIFIER",
+          "POS_REG_NAME", "POS_REG_TYPE", "POS_REG_ID",
+          "NEG_REG_NAME", "NEG_REG_TYPE", "NEG_REG_ID",
+          "IS_INDIRECT", "MECHANISM_TYPE").map(col)
+        capListCols(d, keys = cmuKeys,
+          order = Seq(col("evidence_text"), col("conv_id"), col("turn_idx")),
+          capped = Seq("evidence_text", "conv_id"))
+          .groupBy(cmuKeys: _*)
+          .agg(
+            max(col("ctx_cell_line")).as("CELL_LINE"),
+            max(col("ctx_cell_type")).as("CELL_TYPE"),
+            max(col("ctx_organ")).as("ORGANISM"),
+            concat_ws("|", array_sort(collect_set(col("conv_id"))))
+              .as("PAPER_ID"),
+            concat_ws(" | ", array_sort(collect_set(col("evidence_text"))))
+              .as("EVIDENCE"))
+      }
   }
 }

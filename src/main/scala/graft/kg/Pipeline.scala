@@ -228,7 +228,12 @@ object Pipeline {
         max(when(col("rn") === 1, col("ns"))).as("ns"),
         max(when(col("rn") === 1, col("ns_id"))).as("ns_id"),
         max(when(col("rn") === 1, col("species"))).as("species"),
-        collect_set(col("text")).as("alias_surface_forms"))
+        // fan-in bound (same class as Emit.MaxListPerKey): keep the 1000
+        // most-frequent surface forms — input is already distinct-per-form,
+        // but an alias-heavy corpus could still grow one node's form set
+        // without bound
+        collect_set(when(col("rn") <= 1000, col("text")))
+          .as("alias_surface_forms"))
     (edges, nodes)
   }
 

@@ -145,4 +145,38 @@ class EmitSpec extends AnyFunSuite {
     assert(reg.forall(_.getAs[String]("participant_a_text") != ""),
       "in-conversation consumption must still suppress the bare event row")
   }
+
+  test("interaction exports bound per-key evidence fan-in at MaxListPerKey " +
+       "while SEEN still counts every occurrence") {
+    import spark.implicits._
+    // one viral interaction seen in 1,200 conversations with distinct
+    // evidence — without the cap this forms a single unbounded output row
+    val n = Emit.MaxListPerKey + 200
+    val edges = spark.range(n).select(
+      org.apache.spark.sql.functions.lit("uniprot:P28482").as("subj"),
+      org.apache.spark.sql.functions.lit("Positive_regulation").as("pred"),
+      org.apache.spark.sql.functions.lit("Phosphorylation(uniprot:P31749)").as("obj"),
+      org.apache.spark.sql.functions.lit("").as("site"),
+      org.apache.spark.sql.functions.lit(false).as("negated"),
+      org.apache.spark.sql.functions.lit(false).as("hypothesis"),
+      org.apache.spark.sql.functions.format_string("c%05d", col("id")).as("conv_id"),
+      org.apache.spark.sql.functions.lit(0).as("turn_idx"),
+      org.apache.spark.sql.functions.format_string("evidence %05d", col("id")).as("evidence_text"),
+      org.apache.spark.sql.functions.lit("r").as("found_by"),
+      org.apache.spark.sql.functions.lit("phosphorylates").as("trigger_text"),
+      org.apache.spark.sql.functions.lit("").as("ctx_species"),
+      org.apache.spark.sql.functions.lit("").as("ctx_organ"),
+      org.apache.spark.sql.functions.lit("").as("ctx_cell_line"),
+      org.apache.spark.sql.functions.lit("").as("ctx_cell_type"))
+    val row = Emit.arizonaTsv(edges).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Long]("SEEN") === n.toLong, "SEEN counts all rows")
+    val ev = row.head.getAs[String]("EVIDENCE").split(" \\| ")
+    val seenIn = row.head.getAs[String]("SEEN_IN").split("\\|")
+    assert(ev.length === Emit.MaxListPerKey, "evidence capped")
+    assert(seenIn.length === Emit.MaxListPerKey, "conv ids capped")
+    // deterministic selection: the lexicographically-first K survive
+    assert(ev.head === "evidence 00000" &&
+      ev.last === f"evidence ${Emit.MaxListPerKey - 1}%05d")
+  }
 }
