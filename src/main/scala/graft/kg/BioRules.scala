@@ -428,6 +428,12 @@ object BioRules {
         W("plays?|played|playing"),
         OptG(W("a|an|no|little|key|major|critical|central|important|essential|direct|crucial")),
         T("roles?"), W("in"), OptG(W("the")), M("controlled", "Event"))),
+    // by-gerund controlled: "GSK3 promotes apoptosis by phosphorylating BAD"
+    // (TestRegulationEvents sent40 — the controlled is the gerund event
+    // reached through prep_by in the reference's syntax paths)
+    Rule("reg_bygerund", 12, RegulationK,
+      List(M("controller", "PossibleController"), appos, X(2), auxNeg,
+        T(regTriggers), X(3), W("by"), M("controlled", "Event"))),
     // subject-nominal: controller nn directly before a nominal reg trigger
     // governing an of-event ("rapamycin inhibition of the phosphorylation of
     // ERK" — TestRegulationEvents sent28); polarity from the trigger via

@@ -534,6 +534,12 @@ object Transcripts {
       tri("g74", 0, "", "Phosphorylation", ERK2),
       tri("g74", 0, RAPA, "Negative_regulation", s"Phosphorylation($ERK2)"))
 
+    // by-gerund controlled (TestRegulationEvents sent40): the regulation's
+    // controlled is the gerund event behind "by"
+    conv("g75")("user" -> "GSK3 promotes apoptosis by phosphorylating BAD.")(
+      tri("g75", 0, "", "Phosphorylation", BAD),
+      tri("g75", 0, GSK3, "Positive_regulation", s"Phosphorylation($BAD)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
