@@ -847,7 +847,7 @@ object SparkEntry {
         |   '', 'Positive_regulation', TRUE),
         |  ('CorefEventMention', 'phosphorylate ERK2', 'Phosphorylation',
         |   3, 5, 0, 'g05', 1, 'evt', '', 'Phosphorylation',
-        |   TRUE),
+        |   FALSE),
         |  ('CorefEventMention', 'Rapamycin inhibits mTOR',
         |   'Negative_activation', 0, 3, 0, 'g12', 2, 'evt',
         |   '', 'Negative_activation', FALSE),
@@ -1061,7 +1061,7 @@ object SparkEntry {
     "kg_emit_arizona_sample" ->
       """SELECT * FROM (VALUES
         |  ('uniprot:P28482', 'uniprot:P28482.p', '', 'Phosphorylation', '',
-        |   TRUE, FALSE, FALSE, '', '', '', '', '', 'phosphorylate', 1,
+        |   FALSE, FALSE, FALSE, '', '', '', '', '', 'phosphorylate', 1,
         |   'phosphorylate ERK2', 'g05'),
         |  ('Phosphorylation(uniprot:P28482)', 'Phosphorylation(uniprot:P28482)',
         |   'uniprot:Q02750', 'Positive_regulation', '',
@@ -1095,7 +1095,7 @@ object SparkEntry {
         |   'phosphorylate', 2, TRUE),
         |  ('g05', 0, 3, 5, 'event-mention', 'Phosphorylation',
         |   'phosphorylate ERK2', '', 'Phosphorylation', 'phosphorylate', 1,
-        |   TRUE),
+        |   FALSE),
         |  ('g05', 0, 4, 5, 'entity-mention', 'Gene_or_gene_product', 'ERK2',
         |   'uniprot:P28482', 'Protein', '', 0, FALSE),
         |  ('g12', 0, 0, 1, 'entity-mention', 'Simple_chemical', 'Rapamycin',

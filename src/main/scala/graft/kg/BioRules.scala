@@ -764,11 +764,21 @@ object BioRules {
     c
   }
 
-  /** Negation parity over the event neighborhood (reference:
-    * NegationHandler.scala:115-137 — even count cancels, odd keeps one).
+  /** Negation evidence must lie INSIDE the event's token interval, outside
+    * the trigger span (reference: NegationHandler.detectNegations:48-75 scans
+    * `event.tokenInterval zip event.lemmas` split around the trigger), with
+    * parity over the count (handleNegations:115-137 — even cancels, odd
+    * keeps one). Consequence pinned by NegationTests sen1-4: in "RAS does
+    * not phosphorylate MEK" only the Positive_regulation (whose span covers
+    * "not") is negated — the inner Phosphorylation, whose span starts at the
+    * trigger, is NOT.
     */
-  private def isNegated(words: Array[String], s: Int, e: Int): Boolean =
-    countIn(negationP, words, s - 3, e + 1) % 2 == 1
+  private def isNegated(words: Array[String], s: Int, e: Int,
+                        trig: (Int, Int)): Boolean = {
+    val left = countIn(negationP, words, s, math.max(s, trig._1))
+    val right = countIn(negationP, words, math.min(e, math.max(s, trig._2)), e)
+    (left + right) % 2 == 1
+  }
 
   /** Faithful hypothesis detection (HypothesisHandler.scala:47-110): a hint
     * lemma within the degree-2 dependency neighborhood of the event span
@@ -849,7 +859,7 @@ object BioRules {
     val ends = trig._2 +: args.map(_._2.end_tok)
     val (s, e) = (starts.filter(_ >= 0).min, ends.max)
     val hyp = trig._1 >= 0 && isHypothesisDep(words, deps, s, e)
-    val neg = isNegated(words, s, e)
+    val neg = isNegated(words, s, e, trig)
     val argRefs = args.map { case (r, m) => Arg(r, m.mention_id) }
     val trigText = if (trig._1 >= 0) words.slice(trig._1, trig._2).mkString(" ") else ""
     MentionRow(

@@ -84,12 +84,15 @@ object Transcripts {
       tri("g04", 0, "", "Binding", Seq(AKT1, BAD).sorted.mkString("&")))
 
     conv("g05")("user" -> "MEK does not phosphorylate ERK2.")(
-      tri("g05", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g05", 0, "", "Phosphorylation", ERK2, "", neg = false),
       tri("g05", 0, MEK, "Positive_regulation", s"Phosphorylation($ERK2)", "",
         neg = true))
 
+    // "not" lies INSIDE the passive event's token interval (theme..trigger),
+    // so the event is negated; "Without" is outside the interval and does
+    // not participate (NegationHandler scans event.tokenInterval only)
     conv("g06")("user" -> "Without MEK, ERK2 is not phosphorylated.")(
-      tri("g06", 0, "", "Phosphorylation", ERK2, "", neg = false))
+      tri("g06", 0, "", "Phosphorylation", ERK2, "", neg = true))
 
     conv("g07")("user" ->
       "These results suggest that MEK1 phosphorylates ERK2.")(
@@ -354,7 +357,7 @@ object Transcripts {
 
     // xcomp control under a negation-class matrix verb ("fails")
     conv("g45")("user" -> "MEK1 fails to phosphorylate ERK2.")(
-      tri("g45", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g45", 0, "", "Phosphorylation", ERK2, "", neg = false),
       tri("g45", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
         neg = true))
 
@@ -381,14 +384,14 @@ object Transcripts {
     // contracted negation, PTB clitic split (NegationTests "RAS doesn't
     // phosphorylate MEK")
     conv("g49")("user" -> "MEK1 doesn't phosphorylate ERK2.")(
-      tri("g49", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g49", 0, "", "Phosphorylation", ERK2, "", neg = false),
       tri("g49", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
         neg = true))
 
     // progressive + contracted negation (NegationTests "RAS isn't
     // phosphorylating MEK")
     conv("g50")("user" -> "MEK1 isn't phosphorylating ERK2.")(
-      tri("g50", 0, "", "Phosphorylation", ERK2, "", neg = true),
+      tri("g50", 0, "", "Phosphorylation", ERK2, "", neg = false),
       tri("g50", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)", "",
         neg = true))
 
@@ -540,6 +543,12 @@ object Transcripts {
       tri("g75", 0, "", "Phosphorylation", BAD),
       tri("g75", 0, GSK3, "Positive_regulation", s"Phosphorylation($BAD)"))
 
+    // negation parity INSIDE one event interval (handleNegations:115-137):
+    // "not" + "fail" = even -> both cancel, the regulation is asserted
+    conv("g76")("user" -> "MEK1 does not fail to phosphorylate ERK2.")(
+      tri("g76", 0, "", "Phosphorylation", ERK2),
+      tri("g76", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
@@ -596,7 +605,9 @@ object Transcripts {
         case 1 =>
           val Seq(a, b) = genes(2)
           turns += mkTurn(conv, t, role, s"$a does not phosphorylate $b.")
-          triples += tri(conv, t, "", "Phosphorylation", gidOf(b), neg = true)
+          // only the regulation is negated — the inner event's span starts at
+          // the trigger, past the "not" (NegationTests sen1-4 semantics)
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
           triples += tri(conv, t, gidOf(a), "Positive_regulation",
             s"Phosphorylation(${gidOf(b)})", neg = true)
         case 2 =>

@@ -74,11 +74,22 @@ class MatcherSpec extends AnyFunSuite {
     assert(ev.count(_.labels.head == "Positive_regulation") == 3)
   }
 
-  test("negation parity: single not -> negated; even count cancels") {
+  test("negation scope + parity: evidence inside the event interval only; " +
+       "even count cancels") {
+    // NegationTests sen1-4 semantics: "not" is inside the regulation's span
+    // but NOT inside the inner event's (which starts at the trigger)
     val ev1 = events("MEK does not phosphorylate ERK2.")
-    assert(ev1.nonEmpty && ev1.forall(_.negated))
+    val reg1 = ev1.filter(_.labels.head == "Positive_regulation")
+    val inner1 = ev1.filter(_.labels.head == "Phosphorylation")
+    assert(reg1.nonEmpty && reg1.forall(_.negated))
+    assert(inner1.nonEmpty && inner1.forall(!_.negated))
+    // "Without" sits OUTSIDE the passive event's interval: only the inner
+    // "not" counts, so the event IS negated
     val ev2 = events("Without MEK, ERK2 is not phosphorylated.")
-    assert(ev2.nonEmpty && ev2.forall(!_.negated))
+    assert(ev2.nonEmpty && ev2.forall(_.negated))
+    // two negatives inside one interval cancel (handleNegations parity)
+    val ev3 = events("MEK1 does not fail to phosphorylate ERK2.")
+    assert(ev3.nonEmpty && ev3.forall(!_.negated))
   }
 
   test("hypothesis hints mark events") {
