@@ -74,9 +74,16 @@ object BioRules {
     "(inhibit\\w+|block\\w+|suppress\\w+|repress\\w+|decreas\\w+|reduc\\w+|prevent\\w+|impair\\w+|attenuat\\w+|abolish\\w+|abrogat\\w+|antagoniz\\w+|down-?regulat\\w+)"
   val regTriggers = s"($posRegTriggers|$negRegTriggers)"
 
-  val posActTriggers = "(activat\\w+|stimulat\\w+|promot\\w+|up-?regulat\\w+)"
-  val negActTriggers =
-    "(inhibit\\w+|suppress\\w+|repress\\w+|inactivat\\w+|down-?regulat\\w+|antagoniz\\w+)"
+  // the reference's pos/neg-act templates share the SAME trigger vocabulary
+  // as the regulations (events_master.yml:6-7 posTriggers/negTriggers feed
+  // both template families) — whether the event is a Regulation or an
+  // Activation is decided by the controlled's TYPE (event vs entity), not by
+  // a different trigger list. "RAS impairs MEK" is a Negative_activation;
+  // "MEK1 increases ERK2" a Positive_activation. The activation-vs-regulation
+  // preference in mostComplete keeps the regulation reading whenever the same
+  // trigger also governs an event.
+  val posActTriggers = s"(activat\\w+|$posRegTriggers)"
+  val negActTriggers = s"(inactivat\\w+|$negRegTriggers)"
   val actTriggers = s"($posActTriggers|$negActTriggers)"
 
   private val negRegP = Pattern.compile(negRegTriggers, Pattern.CASE_INSENSITIVE)

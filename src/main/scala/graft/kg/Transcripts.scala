@@ -549,6 +549,17 @@ object Transcripts {
       tri("g76", 0, "", "Phosphorylation", ERK2),
       tri("g76", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
 
+    // activations share the regulation trigger vocabulary (events_master.yml
+    // posTriggers/negTriggers feed both template families); a semantic
+    // negative on the controller flips polarity — "negative of negative"
+    // (NegationTests sent14/15)
+    conv("g77")("user" -> "Dominant negative ASPP2 impaired AKT1.")(
+      tri("g77", 0, ASPP2, "Positive_activation", AKT1))
+    conv("g78")("user" -> "JAK1 knockdown impaired STAT3.")(
+      tri("g78", 0, JAK1, "Positive_activation", STAT3))
+    conv("g79")("user" -> "MEK1 increases ERK2.")(
+      tri("g79", 0, MEK1, "Positive_activation", ERK2))
+
     (turns.toSeq, triples.toSeq)
   }
 
