@@ -26,7 +26,10 @@ object DebugExtract {
         }
         BioRules.extractSentence("dbg", 0, s).foreach { m =>
           println(s"  M ${m.labels.head} '${m.text}' [${m.start_tok},${m.end_tok}) by=${m.found_by} args=" +
-            m.args.map(a => a.role + ":" + a.mention_id).mkString(","))
+            m.args.map(a => a.role + ":" + a.mention_id).mkString(",") +
+            (if (m.mods.isEmpty) ""
+             else " mods=" + m.mods.map(mo =>
+               s"${mo.kind}(${mo.label},site=${mo.site_text})").mkString(";")))
         }
       }
     }

@@ -24,8 +24,10 @@ object Annotate {
     final class Node extends Serializable {
       var children: Map[String, Node] = Map.empty
       var label: String = null // non-null => phrase ends here
-      var caseSensitive: Boolean = false
-      var surface: String = null
+      // case-sensitive surfaces registered at this node (case variants of the
+      // same symbol, e.g. "SRC" and "Src", share one lowercased key)
+      var surfaces: Set[String] = Set.empty
+      var anyCase: Boolean = false // some surface here matches any casing
     }
     val root = new Node
 
@@ -39,10 +41,10 @@ object Annotate {
         })
       }
       cur.label = label
-      cur.surface = phrase
       // short all-caps/mixed gene symbols match case-sensitively to avoid
       // matching common words; lowercase dictionary words match any case
-      cur.caseSensitive = phrase.exists(_.isUpper) && phrase.length <= 6
+      if (phrase.exists(_.isUpper) && phrase.length <= 6) cur.surfaces += phrase
+      else cur.anyCase = true
     }
 
     /** Scan tokens; return (startTok, endTokExcl, label) for longest matches. */
@@ -60,8 +62,8 @@ object Annotate {
             case Some(n) =>
               cur = n; j += 1
               if (n.label != null) {
-                val exact = !n.caseSensitive ||
-                  words.slice(i, j).mkString(" ") == n.surface
+                val exact = n.anyCase ||
+                  n.surfaces.contains(words.slice(i, j).mkString(" "))
                 if (exact) { best = j; bestLabel = n.label }
               }
             case None => ok = false

@@ -1460,10 +1460,21 @@ object BioRules {
       else {
         val mods = mutable.ArrayBuffer.empty[Mod]
 
-        // PTM participle prefix: "phosphorylated ERK2" / "deubiquitinated X"
+        // PTM participle prefix: "phosphorylated ERK2" / "deubiquitinated X";
+        // a rightward "at SITE" (optionally across "protein(s)") supplies the
+        // site — "[The] ubiquitinated Ras [protein] at Ser16 binds AKT"
+        // (TestModifications JJWithSite / IntercedingWithSite shapes)
         if (m.start_tok > 0 &&
-            ptmParticipleP.matcher(words(m.start_tok - 1)).matches())
-          mods += Mod("PTM", modLabel(words(m.start_tok - 1)), "", 0L)
+            ptmParticipleP.matcher(words(m.start_tok - 1)).matches()) {
+          var r = m.end_tok
+          if (r < n && (words(r) == "protein" || words(r) == "proteins")) r += 1
+          val site =
+            if (r < n && (words(r) == "at" || words(r) == "on"))
+              siteByStart.get(r + 1)
+            else None
+          mods += Mod("PTM", modLabel(words(m.start_tok - 1)),
+            site.map(_.text).getOrElse(""), site.map(_.mention_id).getOrElse(0L))
+        }
         // fused prefix in the token itself: "p-ERK2", "phospho-AKT1", "u-Ras"
         else if (m.end_tok - m.start_tok == 1 &&
                  fusedPhosP.matcher(words(m.start_tok)).matches())

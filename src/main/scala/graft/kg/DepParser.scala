@@ -262,6 +262,13 @@ object DepParser {
           // a "verb" right after a determiner is a noun ("these results",
           // "the increase")
           if (prev == "DT") tags(i) = "NN"
+          // sentence-initial -ed participle heading an NP is a premodifier,
+          // not an imperative: "Ubiquitinated Ras at Ser16 binds AKT"
+          // (TestModifications ubiqVBNWithSite shapes) — English imperatives
+          // are base-form, so an -ed form opening a sentence before a noun
+          // can only be participial
+          else if (i == 0 && l.endsWith("ed") && i + 1 < n &&
+                   (tags(i + 1) == "NN" || tags(i + 1) == "NNP")) tags(i) = "JJ"
           // participial premodifier after a verb or preposition
           // ("demonstrates increased phosphorylation", "to ubiquitinated
           // Ras") joins the following NP

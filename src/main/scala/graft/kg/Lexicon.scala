@@ -142,7 +142,7 @@ object Lexicon {
       "AKT1", "AKT", "AKT2", "JAK3", "JAK1", "HuR", "ASPP2", "53BP2",
       "optineurin", "OPTN", "MEK", "MEK1", "ERK", "ERK2", "p53", "TP53", "BRAF",
       "KRAS", "K-Ras", "HRAS", "H-Ras", "mTOR", "STAT3", "EGFR", "HER2",
-      "SRC", "JNK",
+      "SRC", "Src", "JNK",
       "GSK3", "PI3K", "PTEN", "MAPK1", "cortactin", "Gab1", "Grb2",
       "SOS", "SAF-1", "Mad-Max", "cyclin D1", "SMAD2", "SMAD4", "TGFBR2", "p38",
       "IGF-1R", "IRS-1", "Shc", "RhoA", "Rac1", "CDC42", "PLC-gamma",

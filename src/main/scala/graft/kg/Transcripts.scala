@@ -560,6 +560,30 @@ object Transcripts {
     conv("g79")("user" -> "MEK1 increases ERK2.")(
       tri("g79", 0, MEK1, "Positive_activation", ERK2))
 
+    // PTM-participle premodifier shapes (TestModifications JJ/VBN ±site
+    // ±interceding "protein(s)"): the participle becomes a PTM mod on the
+    // entity (with site when "at SITE" follows), never an event; the main
+    // verb still extracts. Sentence-initial participles must parse as
+    // premodifiers, not imperatives.
+    val AKT = gidOf("AKT"); val SRC = gidOf("Src")
+    conv("g80")("user" -> "Ubiquitinated Ras at Ser16 binds AKT and ASPP2.")(
+      tri("g80", 0, "", "Binding", Seq(RAS, AKT).sorted.mkString("&")),
+      tri("g80", 0, "", "Binding", Seq(RAS, ASPP2).sorted.mkString("&")))
+    conv("g81")("user" ->
+      "The phosphorylated Ras protein at Ser16 binds AKT and ASPP2.")(
+      tri("g81", 0, "", "Binding", Seq(RAS, AKT).sorted.mkString("&")),
+      tri("g81", 0, "", "Binding", Seq(RAS, ASPP2).sorted.mkString("&")))
+    // relative-clause passive PTM with long-form site (TestModifications
+    // VBNThatIs): the clause is a real event; the matrix Binding survives
+    conv("g82")("user" ->
+      "Src tyrosyl binds Ras that is ubiquitinated at serine 286.")(
+      tri("g82", 0, "", "Binding", Seq(SRC, RAS).sorted.mkString("&")),
+      tri("g82", 0, "", "Ubiquitination", RAS, "serine 286"))
+    // de-PTM premodifier (TestDeModifications deubiqVBNWithSite analogue)
+    conv("g83")("user" -> "Dephosphorylated Ras at Ser16 binds AKT and ASPP2.")(
+      tri("g83", 0, "", "Binding", Seq(RAS, AKT).sorted.mkString("&")),
+      tri("g83", 0, "", "Binding", Seq(RAS, ASPP2).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 
