@@ -183,7 +183,7 @@ object BioRules {
   private val ENT = "BioChemicalEntity"
   private val filler = OptG(W("protein|proteins|kinase|gene|enzyme|receptor|complex"))
   private val quant = OptG(W("one|two|three|four|five|several|many|multiple|all|both|\\d+"))
-  private val adv = OptG(W("directly|specifically|rapidly|strongly|significantly|also|further|subsequently|then|markedly|potently|efficiently|selectively"))
+  private val adv = OptG(W("directly|specifically|rapidly|strongly|significantly|also|further|subsequently|then|markedly|potently|efficiently|selectively|often|frequently|usually|typically|commonly|constitutively"))
   // auxiliary verbs + optional negation between subject and trigger
   // ("MEK does not phosphorylate ERK2", "MEK1 doesn't phosphorylate ERK2",
   // "MEK1 isn't phosphorylating ERK2"). The tokenizer splits n't clitics
@@ -224,7 +224,7 @@ object BioRules {
     // plural forms carry cardinality 2 (reference: Anaphoric.cardinality
     // from determiners/number, Anaphoric.scala:49-127)
     Rule("generic_pronoun", 2, EntityK("Generic_entity"),
-      List(W("it|its|they|them|both"))),
+      List(W("it|its|they|them|both|their"))),
     // class-word generics: the head noun constrains the antecedent's label
     // in the fold's nounPhraseMatch sieve ("this protein" cannot resolve to
     // a chemical — DarpaLinks.scala:267-354 label-subset check)
@@ -268,8 +268,15 @@ object BioRules {
         ML("theme", ENT), parenSites, sitePrep)),
     // active without cause: "TRIGGER of ..." won't match this (T is verbal)
     // passive: theme-list is/was [not] TRIGGERed [on site] [by cause]
+    // subject-verb agreement guards the theme list: a SINGULAR aux after a
+    // multi-entity surface coordination means only the nearest entity is the
+    // subject ("...more common than BEF, and it is often ubiquitinated" must
+    // not unpack a {BEF, it} theme list — TestCoreference sent1)
     Rule("mod_passive", 7, SimpleModK,
-      List(ML("theme", ENT), postMods, filler, W("is|are|was|were|be|been|being|gets?|got|becomes?|became"),
+      List(AltG(
+        Seq(ML("theme", ENT), postMods, filler, W("are|were|be|been|being")),
+        Seq(M("theme", ENT), postMods, filler,
+          W("is|was|are|were|be|been|being|gets?|got|becomes?|became"))),
         notOpt, adv, T(modParticiple), sitePrep,
         OptG(W("by"), M("cause", ENT)))),
     // nominal: TRIGGERion of theme-list [on/at site] [by cause]
@@ -389,6 +396,12 @@ object BioRules {
     Rule("bind_nominal", 8, BindingK,
       List(T("binding|interaction|association|complex"), W("of|between"),
         M("theme", ENT), W("to|with|and"), ML("theme2", ENT))),
+    // bare prenominal binding nominal with no linked object ("as is their
+    // binding" — TestCoreference sent3/sent18): a single plural generic theme
+    // later expands into the binding's joint participants in the coref fold
+    Rule("bind_prenominal", 8, BindingK,
+      List(ML("theme", ENT), T("binding|interaction|association"),
+        NotNext("of|between|to|with"))),
     // subject-coordination binding with NO object ("A and B interact", "A and
     // B form a complex") — blocked when a to/with object follows, where the
     // coordinated subjects must pair with the object instead (bind_active)
@@ -1193,15 +1206,28 @@ object BioRules {
         // pair expansion (reference: DarpaActions.mkBinding:222-261)
         val as = b.caps.getOrElse("theme", Nil).filter(surfaceSubjOk)
         val bs = b.caps.getOrElse("theme2", Nil).filter(surfaceSubjOk)
-        for {
-          x <- as; y <- bs
-          if x.mention_id != y.mention_id && x.text != y.text
-        } yield {
-          val (t1, t2) =
-            if (x.text <= y.text) (x, y) else (y, x)
-          mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding", b.trigger,
-            Seq("theme" -> t1, "theme" -> t2), rule.name)
-        }
+        if (bs.isEmpty)
+          // bare nominal with a lone GENERIC theme ("as is their binding",
+          // TestCoreference sent3/sent18): keep the single-theme binding —
+          // the coref fold expands a plural antecedent set into joint
+          // participants, and a singular one leaves the binding incomplete
+          // (dropped at emission, sent18)
+          as match {
+            case Seq(g) if g.labels.head == "Generic_entity" =>
+              Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding",
+                b.trigger, Seq("theme" -> g), rule.name))
+            case _ => Nil
+          }
+        else
+          for {
+            x <- as; y <- bs
+            if x.mention_id != y.mention_id && x.text != y.text
+          } yield {
+            val (t1, t2) =
+              if (x.text <= y.text) (x, y) else (y, x)
+            mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding", b.trigger,
+              Seq("theme" -> t1, "theme" -> t2), rule.name)
+          }
 
       case RegulationK =>
         (b.caps.get("controller").map(_.filter(surfaceSubjOk)),

@@ -160,7 +160,7 @@ object ConvProcessor {
     // expand into one event per antecedent.
     def cardinality(m: MentionRow): Int = {
       val t = m.text.toLowerCase
-      if (t == "they" || t == "them" || t == "both") 2
+      if (t == "they" || t == "them" || t == "both" || t == "their") 2
       else if (t.startsWith("these ") || t.startsWith("those ") ||
                (t.indexOf(' ') >= 0 && t.endsWith("s"))) 2
       else 1
@@ -180,6 +180,49 @@ object ConvProcessor {
           case Some(lbl) => gidOf(kb.resolve(c.text, lbl, ""))
           case None => ""
         })
+
+    // coArguments exclusion (CorefUtils.coArguments:179-185 + the
+    // pronominalMatch excludeThese set, DarpaLinks.scala:248-249): an anaphor
+    // must not resolve to a mention that is — or shares grounding/surface
+    // with — another (recursively collapsed) argument of any event the
+    // anaphor itself appears in ("BEF phosphorylates it" yields nothing), and
+    // an antecedent already chosen by a sibling generic arg of the same event
+    // is excluded too ("its binding to them": "them" skips "its" antecedent).
+    val coArgIdsOf: Map[Long, Set[Long]] = {
+      val events = mentions.filter(_.is_event)
+      if (events.isEmpty) Map.empty
+      else {
+        val memo = mutable.Map.empty[Long, Set[Long]]
+        def collapse(id: Long): Set[Long] = byId.get(id) match {
+          case Some(mm) if !mm.is_event => Set(id)
+          case Some(mm) => memo.getOrElseUpdate(id,
+            mm.args.iterator.flatMap(a => collapse(a.mention_id)).toSet)
+          case None => Set.empty
+        }
+        val acc = mutable.Map.empty[Long, Set[Long]]
+        events.foreach { e =>
+          val cset = collapse(e.mention_id)
+          cset.foreach(id => acc(id) = acc.getOrElse(id, Set.empty) ++ (cset - id))
+        }
+        acc.toMap
+      }
+    }
+    def coArgExcluded(g: MentionRow, c: MentionRow): Boolean = {
+      val co = coArgIdsOf.getOrElse(g.mention_id, Set.empty)
+      co.nonEmpty && {
+        // a resolved sibling generic contributes its antecedents as well
+        val ids = co.flatMap(id => corefMap.getOrElse(id, Nil).toSet + id)
+        val cg = gidFor(c)
+        ids.exists { id =>
+          id == c.mention_id || (byId.get(id) match {
+            case Some(mm) if !mm.is_event =>
+              mm.text.equalsIgnoreCase(c.text) ||
+                (cg.nonEmpty && gidFor(mm) == cg)
+            case _ => false
+          })
+        }
+      }
+    }
 
     def specificMutants(c: MentionRow): Seq[String] =
       c.mods.toSeq.filter(mo => mo.kind == "Mutant" && mo.site_text.nonEmpty)
@@ -266,15 +309,17 @@ object ConvProcessor {
               // the antecedent's own tokens ("Cyclin D1 ... the cyclin")
               val hd = m.text.split(" ").last.toLowerCase
               selectLinear(m, want, pronounLike = false) { c =>
-                c.text.toLowerCase.split("[ \\-]").contains(hd)
+                c.text.toLowerCase.split("[ \\-]").contains(hd) &&
+                  !coArgExcluded(m, c)
               }
             case "generic_np" =>
               val cw = m.text.split(" ").last
-              selectLinear(m, want, pronounLike = false)(
-                classCompatible(cw, _))
+              selectLinear(m, want, pronounLike = false)(c =>
+                classCompatible(cw, c) && !coArgExcluded(m, c))
             case _ => // generic_pronoun
               val isPronoun = m.end_tok - m.start_tok == 1
-              selectLinear(m, want, pronounLike = isPronoun)(_ => true)
+              selectLinear(m, want, pronounLike = isPronoun)(
+                c => !coArgExcluded(m, c))
           }
           // a plural needs its full antecedent count (the reference skips the
           // link otherwise); singles resolve on the first hit
@@ -341,14 +386,24 @@ object ConvProcessor {
         // this loop runs 3x over every event of the conversation)
         if (!e.args.exists(a => idRemap.contains(a.mention_id))) Seq(e)
         else {
-          val choices: Seq[Seq[Arg]] = e.args.toSeq.map { a =>
+          // a Binding whose ONLY theme is a plural generic takes its
+          // antecedents as JOINT participants of one binding ("as is their
+          // binding" -> Binding{ASPP2, BEF}, TestCoreference sent3/sent18);
+          // with a second theme present the plural expands per-antecedent
+          // instead ("its binding to them" -> two pairs, sent4)
+          val soleTheme = e.labels.head == "Binding" &&
+            e.args.count(_.role == "theme") == 1
+          // each choice contributes a LIST of args (joint fill = one choice)
+          val choices: Seq[Seq[Seq[Arg]]] = e.args.toSeq.map { a =>
             idRemap.get(a.mention_id) match {
-              case Some(ids) => ids.map(i => Arg(a.role, i))
-              case None => Seq(a)
+              case Some(ids) if soleTheme && a.role == "theme" && ids.size >= 2 =>
+                Seq(ids.map(i => Arg(a.role, i)))
+              case Some(ids) => ids.map(i => Seq(Arg(a.role, i)))
+              case None => Seq(Seq(a))
             }
           }
           val combos = choices.foldLeft(Seq(Seq.empty[Arg])) { (acc, c) =>
-            acc.flatMap(pre => c.map(pre :+ _))
+            acc.flatMap(pre => c.map(pre ++ _))
           }.take(maxExpand)
           val variants = combos.map { newArgs =>
             val nid = Matcher.mentionId(e.conv_id, e.turn_idx, e.sent_idx,

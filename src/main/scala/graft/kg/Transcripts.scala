@@ -584,6 +584,40 @@ object Transcripts {
       tri("g83", 0, "", "Binding", Seq(RAS, AKT).sorted.mkString("&")),
       tri("g83", 0, "", "Binding", Seq(RAS, ASPP2).sorted.mkString("&")))
 
+    // Coref sieve faithfulness (TestCoreference sent1-sent9 shapes):
+    // subject-verb agreement blocks the false {STAT3, it} theme coordination,
+    // and the LinearSelector picks the mention closest to sentence START
+    // ("it" -> ASPP2, not the nearer STAT3)
+    conv("g84")("user" ->
+      "ASPP2 is even more common than STAT3, and it is often ubiquitinated.")(
+      tri("g84", 0, "", "Ubiquitination", ASPP2))
+    // possessive plural nominal events: a non-binding expands per antecedent
+    // (sent2), a binding takes the antecedents jointly (sent3)
+    conv("g85")("user" ->
+      "Even more than STAT3, ASPP2 is common, as is their phosphorylation.")(
+      tri("g85", 0, "", "Phosphorylation", ASPP2),
+      tri("g85", 0, "", "Phosphorylation", STAT3))
+    conv("g86")("user" ->
+      "Even more than STAT3, ASPP2 is common, as is their binding.")(
+      tri("g86", 0, "", "Binding", Seq(ASPP2, STAT3).sorted.mkString("&")))
+    // sibling-generic exclusion: "them" skips the antecedent "its" already
+    // took, yielding the two cross pairs and never (STAT3, MEK1) (sent4)
+    conv("g87")("user" -> ("ASPP2 is common, even more than STAT3 and MEK1, " +
+      "and so is its binding to them."))(
+      tri("g87", 0, "", "Binding", Seq(ASPP2, STAT3).sorted.mkString("&")),
+      tri("g87", 0, "", "Binding", Seq(ASPP2, MEK1).sorted.mkString("&")))
+    // unresolved generic controller drops ONLY the regulation (sent6);
+    // coArguments exclusion leaves "it" unresolvable -> no events (sent7);
+    // a singular anaphor cannot fill a binding -> no events (sent18)
+    conv("g88")("user" -> "It phosphorylates ERK2.")(
+      tri("g88", 0, "", "Phosphorylation", ERK2))
+    conv("g89")("user" -> "MEK1 phosphorylates it.")()
+    conv("g90")("user" -> "ASPP2 and STAT3 are common, as is its binding.")()
+    // cross-sentence pronominal link once the co-argument is excluded (sent9)
+    conv("g91")("user" ->
+      "Much work has been done on ASPP2. It is known that MEK1 binds it.")(
+      tri("g91", 0, "", "Binding", Seq(MEK1, ASPP2).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 
