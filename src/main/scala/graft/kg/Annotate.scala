@@ -96,9 +96,24 @@ object Annotate {
       }.toArray
 
     private val sentSplit = """(?<=[.!?])\s+(?=[A-Z0-9])""".r
+    // a period that belongs to an abbreviation is not a sentence boundary
+    // ("Akt1 (a.k.a. Akt334) ..." — the CoreNLP splitter the reference uses
+    // knows these; without the guard the alias series is torn apart)
+    private val abbrevTail =
+      """(?i)(?:\b(?:a\.k\.a|e\.g|i\.e|etc|vs|cf|ca|approx|no|fig)\.)$""".r
     def sentences(text: String): Array[String] = {
       val t = text.trim
-      if (t.isEmpty) Array.empty else sentSplit.split(t)
+      if (t.isEmpty) return Array.empty
+      val parts = Array.newBuilder[String]
+      var start = 0
+      sentSplit.findAllMatchIn(t).foreach { m =>
+        if (abbrevTail.findFirstIn(t.substring(start, m.start)).isEmpty) {
+          parts += t.substring(start, m.start)
+          start = m.end
+        }
+      }
+      parts += t.substring(start)
+      parts.result()
     }
   }
 

@@ -194,6 +194,17 @@ object BioRules {
       "has|have|had|is|are|was|were"),
     OptG(W("not|n't|never")))
   private val notOpt = OptG(W("not|n't"))
+  // alias cue vocabulary (reference: coref/alias_template.yml, eight
+  // templates sharing "[which is] [RB] CUE" with CUE one of four families)
+  private val aliasWhichIs = OptG(W("which"), W("is|are|was|were"))
+  private val aliasRb = OptG(
+    W("also|commonly|usually|typically|sometimes|previously|hereafter|formerly|often"))
+  private val aliasCue = AltG(
+    Seq(W("referred"), W("to"), W("as")),
+    Seq(W("known|designated"), OptG(W("as"))),
+    Seq(W("called|termed|named")),
+    // "a.k.a." tokenizes as "a.k.a" + a dangling "." token
+    Seq(W("alias|a\\.k\\.a\\.?|aka"), OptG(W("\\."))))
   private val sitePrep = OptG(AltG(
     Seq(W("on|at"), ML("site", "Site", commaOk = true)),
     Seq(W("on|at"), W("residues?|sites?"), ML("site", "Site", commaOk = true))))
@@ -412,18 +423,34 @@ object BioRules {
         NotNext("to|with"), NotNextM(ENT))),
 
     // -- p10: alias -------------------------------------------------------
+    // cue vocabulary mirrors the reference's five paren + three comma alias
+    // templates (alias_template.yml): "[which is] [RB] referred to as /
+    // known|designated [as] / called|termed|named / alias|a.k.a." — plus the
+    // cue-less paren (paren1_nil). Known<->known aliases additionally require
+    // the same head label (the reference never aliases two existing mentions,
+    // and cross-type pairs must not merge — TestCoreference sent38/sent50)
     Rule("alias_paren", 10, AliasK,
-      List(M("a", ENT), W("\\("), OptG(W("also")), W("also|aka|known"),
-        OptG(W("known")), OptG(W("as")), M("b", ENT), W("\\)"))),
+      List(M("a", ENT), W("\\("), aliasWhichIs, aliasRb, aliasCue,
+        ML("b", ENT, commaOk = true, conj = "or|/"), W("\\)"))),
     Rule("alias_comma", 10, AliasK,
-      List(M("a", ENT), W(","), W("also"), W("known"), W("as"), M("b", ENT))),
-    // unknown-surface alias: "Optineurin-like kinase (OLK1)" where OLK1 is not
-    // in the NER lexicon — captured raw, entity synthesized, conversation-wide
-    // rescan in the pipeline (J3)
+      List(M("a", ENT), W(","), aliasWhichIs, aliasRb, aliasCue,
+        ML("b", ENT, commaOk = true, conj = "or|/"), W("[.,:]"))),
+    // unknown-surface alias targets: "Optineurin-like kinase (OLK1)",
+    // "Akt1 (a.k.a. Akt334, AktTR, or Akt4H)" — raw tokens captured as a
+    // series (",", "/", "or" separators — NOT "and", sent43), one entity
+    // synthesized per target, conversation-wide rescan in the pipeline (J3)
     Rule("alias_unknown", 10, AliasUnknownK,
-      List(M("a", ENT), W("\\("), OptG(W("also")), OptG(W("also|aka|known")),
-        OptG(W("known")), OptG(W("as")), T("[A-Z][A-Za-z0-9-]{1,14}"),
-        W("\\)"))),
+      List(M("a", ENT), W("\\("), OptG(aliasWhichIs, aliasRb, aliasCue),
+        TL("[A-Z][A-Za-z0-9-]{1,14}"), W("\\)"))),
+    // unknown on the LEFT, known inside/after (the reference's
+    // Nonce-source x Equivalable-target instantiation: "BEF4H protein
+    // (hereafter referred to as BEF)", "BEF4H, sometimes called BEF,")
+    Rule("alias_unknown_rev", 10, AliasUnknownK,
+      List(TL("[A-Z][A-Za-z0-9-]{1,14}", max = 1), filler, W("\\("),
+        OptG(aliasWhichIs, aliasRb, aliasCue), M("a", ENT), W("\\)"))),
+    Rule("alias_unknown_rev_comma", 10, AliasUnknownK,
+      List(TL("[A-Z][A-Za-z0-9-]{1,14}", max = 1), filler, W(","),
+        aliasWhichIs, aliasRb, aliasCue, M("a", ENT), W("[.,:]"))),
 
     // -- p12: regulations over events ------------------------------------
     // active: controller TRIGGERs controlled-event
@@ -1058,31 +1085,42 @@ object BioRules {
         } yield m
 
       case AliasK =>
+        // same-head-label guard: the reference only aliases an existing
+        // mention with an UNKNOWN surface, so a known<->known alias is our
+        // extension and must never merge across types ("Akt (referred to as
+        // diacylglycerol)" — TestCoreference sent50)
         (b.caps.get("a"), b.caps.get("b")) match {
-          case (Some(a :: _), Some(bb :: _)) if a.text != bb.text =>
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, "Alias", (-1, -1),
-              Seq("a" -> a, "b" -> bb), rule.name))
+          case (Some(a :: _), Some(bs)) =>
+            bs.filter(bb => a.text != bb.text &&
+                a.labels.head == bb.labels.head)
+              .map(bb => mkEvent(conv, turn, sent.sent_idx, words, deps,
+                "Alias", (-1, -1), Seq("a" -> a, "b" -> bb), rule.name))
           case _ => Nil
         }
 
       case AliasUnknownK =>
-        // only when the parenthesized token is NOT already an entity (else
-        // alias_paren covers it) — the NER-overlap anti-join shape (P3)
+        // the trigger span is a SERIES of raw alias-target tokens (TL). Each
+        // target that is NOT already an entity (else alias_paren covers it —
+        // the NER-overlap anti-join shape P3; Sites are Entity too, so
+        // "(referred to as S135)" never aliases, sent38/sent51) yields one
+        // synthesized entity + one alias edge.
         b.caps.get("a") match {
-          case Some(a :: _)
-              if b.trigger._1 >= 0 &&
-                state.at(b.trigger._1, "Entity").isEmpty &&
-                !words(b.trigger._1).equalsIgnoreCase(a.text) =>
-            val (s, e) = (b.trigger._1, b.trigger._2)
+          case Some(a :: _) if b.trigger._1 >= 0 =>
             val label = a.labels.head
-            val bm = MentionRow(
-              mentionId(conv, turn, sent.sent_idx, s, e, label, "", Nil,
-                false, false),
-              conv, turn, sent.sent_idx, s, e, Lexicon.labelClosure(label),
-              words.slice(s, e).mkString(" "), "alias_unknown_b", false, "",
-              Arg.none, false, false)
-            Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, deps, "Alias", (-1, -1),
-              Seq("a" -> a, "b" -> bm), rule.name))
+            (b.trigger._1 until b.trigger._2).iterator.filter { i =>
+              val w = words(i)
+              w != "," && w != "/" && !w.equalsIgnoreCase("or") &&
+                state.at(i, "Entity").isEmpty && !w.equalsIgnoreCase(a.text)
+            }.flatMap { i =>
+              val bm = MentionRow(
+                mentionId(conv, turn, sent.sent_idx, i, i + 1, label, "", Nil,
+                  false, false),
+                conv, turn, sent.sent_idx, i, i + 1, Lexicon.labelClosure(label),
+                words(i), "alias_unknown_b", false, "",
+                Arg.none, false, false)
+              Seq(bm, mkEvent(conv, turn, sent.sent_idx, words, deps, "Alias",
+                (-1, -1), Seq("a" -> a, "b" -> bm), rule.name))
+            }.toSeq
           case _ => Nil
         }
 

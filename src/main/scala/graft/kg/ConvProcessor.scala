@@ -313,9 +313,15 @@ object ConvProcessor {
                   !coArgExcluded(m, c)
               }
             case "generic_np" =>
+              // compatibleMutants (CorefUtils.scala:102-111 via
+              // nounPhraseMatch:312-330): a plain generic NP carries no
+              // mutants, so a specifically-mutated antecedent is incompatible
+              // ("ASPP1 K341L is common, and the protein binds GTP" links
+              // nothing — TestCoreference sent33c)
               val cw = m.text.split(" ").last
               selectLinear(m, want, pronounLike = false)(c =>
-                classCompatible(cw, c) && !coArgExcluded(m, c))
+                classCompatible(cw, c) && specificMutants(c).isEmpty &&
+                  !coArgExcluded(m, c))
             case _ => // generic_pronoun
               val isPronoun = m.end_tok - m.start_tok == 1
               selectLinear(m, want, pronounLike = isPronoun)(

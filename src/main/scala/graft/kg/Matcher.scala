@@ -34,6 +34,17 @@ object Matcher {
     val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
   }
 
+  /** Trigger series: 1..max tokens each matching `re`, separated by "," |
+    * "/" | "or" | ", or" — the alias-target list shape (reference:
+    * alias_template.yml `([word=/^,|\/|or$/]+ bCapture)*`; "and" is
+    * deliberately NOT a separator, TestCoreference sent43). The trigger span
+    * covers the whole series; consumers split it on the separators.
+    */
+  final case class TL(re: String, max: Int = 4) extends PE {
+    val p: Pattern = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
+    val sep: Pattern = Pattern.compile(",|/|or", Pattern.CASE_INSENSITIVE)
+  }
+
   /** Capture one existing mention with `label` in its closure, starting here.
     * Mirrors Odin's `@role:Label` captures probing the State (SURVEY.md J2).
     */
@@ -48,7 +59,13 @@ object Matcher {
     * bare commas.
     */
   final case class ML(role: String, label: String,
-                      commaOk: Boolean = false) extends PE
+                      commaOk: Boolean = false,
+                      // conjunction tokens accepted as list separators;
+                      // alias target lists take "or"/"/" but NOT "and"
+                      // (alias_template.yml separators; sent43)
+                      conj: String = "and|or|&") extends PE {
+    val conjP: Pattern = Pattern.compile(conj, Pattern.CASE_INSENSITIVE)
+  }
 
   /** Optional group. */
   final case class OptG(ps: PE*) extends PE
@@ -140,6 +157,26 @@ object Matcher {
             if (pos < words.length && t.p.matcher(words(pos)).matches())
               tryMatchCb(rest, words, state, pos + 1,
                 b.withTrigger(pos, pos + 1))(emit)
+          case tl: TL =>
+            if (pos < words.length && tl.p.matcher(words(pos)).matches() &&
+                !tl.sep.matcher(words(pos)).matches()) {
+              def go(end: Int, n: Int): Unit = {
+                tryMatchCb(rest, words, state, end,
+                  b.withTrigger(pos, end))(emit)
+                if (n < tl.max) {
+                  var k = end
+                  if (k < words.length && tl.sep.matcher(words(k)).matches()) {
+                    k += 1
+                    if (k < words.length && words(k).equalsIgnoreCase("or"))
+                      k += 1 // ", or"
+                    if (k < words.length &&
+                        tl.p.matcher(words(k)).matches() &&
+                        !tl.sep.matcher(words(k)).matches()) go(k + 1, n + 1)
+                  }
+                }
+              }
+              go(pos + 1, 1)
+            }
           case m: M =>
             state.at(pos, m.label) match {
               case Nil => ()
@@ -188,15 +225,15 @@ object Matcher {
       case cand :: _ =>
         val b2 = b.add(ml.role, cand)
         val end = cand.end_tok
-        // separators: "," | "and"/"or" | ", and" — longest lists first
+        // separators: "," | conj | ", " conj — longest lists first
         if (end < words.length) {
           if (words(end) == ",") {
             if (end + 1 < words.length &&
-                sepAnd.matcher(words(end + 1)).matches())
+                ml.conjP.matcher(words(end + 1)).matches())
               mlMatchCb(ml, words, state, end + 2, b2)(emit)
             if (ml.commaOk)
               mlMatchCb(ml, words, state, end + 1, b2)(emit)
-          } else if (sepAnd.matcher(words(end)).matches()) {
+          } else if (ml.conjP.matcher(words(end)).matches()) {
             mlMatchCb(ml, words, state, end + 1, b2)(emit)
           }
         }

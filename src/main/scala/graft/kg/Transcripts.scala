@@ -618,6 +618,27 @@ object Transcripts {
       "Much work has been done on ASPP2. It is known that MEK1 binds it.")(
       tri("g91", 0, "", "Binding", Seq(MEK1, ASPP2).sorted.mkString("&")))
 
+    // Alias template vocabulary (TestCoreference sent37-44 shapes):
+    // "a.k.a." series with ,/or separators shares grounding with every
+    // target; "and" is not a series separator; the unknown side may sit
+    // on the left ("AKTX4, sometimes called AKT1"); a Site can never be
+    // an alias target (sent38)
+    conv("g92")("user" -> ("AKT1 (a.k.a. Akt334, AktTR, or Akt4H) is " +
+      "phosphorylated. AktTR is ubiquitinated."))(
+      tri("g92", 0, "", "Phosphorylation", AKT1),
+      tri("g92", 0, "", "Ubiquitination", AKT1))
+    conv("g93")("user" -> "AKTX4, sometimes called AKT1, phosphorylates ERK2.")(
+      tri("g93", 0, "", "Phosphorylation", ERK2),
+      tri("g93", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    conv("g94")("user" -> ("AKT1 (a.k.a. Akt334 and Akt4H) is phosphorylated. " +
+      "Akt334 is ubiquitinated."))(
+      tri("g94", 0, "", "Phosphorylation", AKT1))
+    conv("g95")("user" -> "STAT3 (hereafter referred to as Y63) is phosphorylated.")(
+      tri("g95", 0, "", "Phosphorylation", STAT3))
+    // compatibleMutants: a plain generic NP never links to a specifically-
+    // mutated antecedent (sent33c)
+    conv("g96")("user" -> "AKT1 K341L is common, and the protein binds GTP.")()
+
     (turns.toSeq, triples.toSeq)
   }
 

@@ -21,8 +21,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Known deviation from batch: the BACKWARD alias rescan (J3 — an alias
   * surface used before its parenthetical definition) requires a second pass
   * over already-emitted turns, which append-mode streaming cannot replay;
-  * batch mode covers it. Forward uses (definition first) resolve normally
-  * through the per-conversation state.
+  * batch mode covers it. Forward uses (definition in an earlier or the same
+  * turn) resolve exactly as in batch: alias defs accumulate in the
+  * per-conversation state and extraction runs inside the fold with them.
   *
   * Scale: state is O(lookback x mentions-per-turn) per live conversation;
   * with watermarking on `ts` (caller adds `withWatermark` upstream) idle
@@ -32,42 +33,65 @@ object StreamingPipeline {
 
   val lookback = 4 // turns kept in state: covers context bound 3 + coref 1
 
-  final case class ConvState(mentions: Seq[MentionRow], maxTurn: Int)
+  final case class ConvState(mentions: Seq[MentionRow],
+                             aliasDefs: Seq[(String, String)], maxTurn: Int)
+
+  // cheap token guard: only turns that can possibly DEFINE an alias pay the
+  // defs pre-scan (mirrors the batch pre-filter in Pipeline.aliasDefsDs)
+  private def mayDefineAlias(at: AnnotatedTurn): Boolean =
+    at.sents.exists(s => s.words.exists(w =>
+      w == "(" || w == "known" || w == "called" || w == "referred" ||
+        w == "designated" || w == "termed" || w == "named"))
 
   def triples(spark: SparkSession, turns: Dataset[Turn],
               idleTimeout: Option[String] = None): Dataset[PreTriple] = {
     import spark.implicits._
     val (bTrie, bKb) = Broadcasts.get(spark.sparkContext)
 
-    // stage 1 (stateless, streaming-safe): annotate + rule-match per turn
-    val mentions: Dataset[MentionRow] = turns
+    // stage 1 (stateless, streaming-safe): annotate per turn. Rule matching
+    // moves into the stateful fold so FORWARD alias uses (definition in an
+    // earlier — or the same — turn) inject rescan surfaces exactly as the
+    // batch pre-pass does; only the BACKWARD rescan stays batch-only.
+    val annotated: Dataset[AnnotatedTurn] = turns
       .filter(t => t.role != "tool" && t.text != null && t.text.nonEmpty)
-      .flatMap(t => BioRules.extractTurn(AnnotatedTurn(t.conv_id, t.turn_idx,
-        t.role, Annotate.annotateText(bTrie.value, t.text))))
+      .map(t => AnnotatedTurn(t.conv_id, t.turn_idx, t.role,
+        Annotate.annotateText(bTrie.value, t.text)))
 
-    // stage 2 (stateful): bounded-lookback conversation fold
-    mentions
+    // stage 2 (stateful): bounded-lookback conversation fold; state carries
+    // the last `lookback` turns' mentions plus ALL alias defs seen so far
+    // (tiny — parenthetical definitions are rare)
+    annotated
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append,
         if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(
-        (convId: String, it: Iterator[MentionRow], state: GroupState[ConvState]) => {
+        (convId: String, it: Iterator[AnnotatedTurn], state: GroupState[ConvState]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val incoming = it.toSeq
+            val incoming = it.toSeq.sortBy(_.turn_idx)
             val prior = state.getOption.map(_.mentions).getOrElse(Seq.empty)
+            var defs = state.getOption.map(_.aliasDefs).getOrElse(Seq.empty)
+            val newMentions = incoming.flatMap { at =>
+              if (mayDefineAlias(at)) {
+                val d = BioRules.aliasDefsTurn(at).map(x => (x._2, x._3))
+                if (d.nonEmpty) defs = (defs ++ d).distinct.sorted
+              }
+              BioRules.extractTurn(at, defs)
+            }
             val newMinTurn =
               if (incoming.isEmpty) Int.MaxValue
               else incoming.map(_.turn_idx).min
-            val all = prior ++ incoming
+            val all = prior ++ newMentions
             val out = ConvProcessor.process(convId, all, bKb.value)
               .flatMap(_.triple)
               .filter(_.turn_idx >= newMinTurn)
-            val maxTurn = all.map(_.turn_idx).max
+            val maxTurn =
+              if (all.isEmpty) state.getOption.map(_.maxTurn).getOrElse(0)
+              else all.map(_.turn_idx).max
             state.update(ConvState(
-              all.filter(_.turn_idx > maxTurn - lookback), maxTurn))
+              all.filter(_.turn_idx > maxTurn - lookback), defs, maxTurn))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }
