@@ -838,20 +838,30 @@ object BioRules {
     deps.neighborhood(s until e, 2)
       .exists(i => hypothesisP.matcher(words(i)).matches())
 
-  /** Semantic-negative flip count around the controller span, excluding the
-    * trigger token itself (reference:
-    * DarpaActions.countSemanticNegatives:443-466).
+  /** Semantic-negative flip count, scoped to the dependency structure exactly
+    * as the reference does (DarpaActions.countSemanticNegatives:452-484 +
+    * addAdjectivalModifiers/nounModifiers/ofModifiers:492-520): tokens on the
+    * shortest path trigger<->controller-head, plus premodifier children of
+    * path tokens (reference MODIFIER_LABELS = amod; our POS-lite parser
+    * renders adjectival premodifiers like "Dominant negative ASPP2" as nn
+    * children, so both labels are modifier children here), plus nn/prep_of
+    * GOVERNORS of the controller's own tokens ("Stat3 siRNA", "knockdown of
+    * Stat3"). A linear window is wrong here — "phosphorylation of X by MEK1
+    * is inhibited by ..." must not flip the inner regulation on the matrix
+    * verb (TestRegulationEvents sent47).
     */
-  private def semNegFlips(words: Array[String], ctl: MentionRow,
-                          trigPos: Int): Int = {
-    var c = 0
-    var i = math.max(0, ctl.start_tok - 2)
-    val lim = math.min(words.length, ctl.end_tok + 2)
-    while (i < lim) {
-      if (i != trigPos && semNegP.matcher(words(i)).matches()) c += 1
-      i += 1
-    }
-    c
+  private def semNegFlips(words: Array[String], deps: DepGraph,
+                          ctl: MentionRow, trigPos: Int): Int = {
+    val argHead = deps.headOfSpan(ctl.start_tok, ctl.end_tok)
+    val path = deps.shortestPath(trigPos, argHead).getOrElse(Nil)
+    val withMods = path.flatMap(t =>
+      t :: deps.outgoing(t).collect { case (j, "amod" | "nn") => j })
+    val argMods = (ctl.start_tok until ctl.end_tok).flatMap(t =>
+      t +: deps.incoming(t).collect {
+        case (j, l) if l == "nn" || l == "prep_of" => j
+      })
+    (withMods ++ argMods).distinct
+      .count(t => t != trigPos && semNegP.matcher(words(t)).matches())
   }
 
   /** Intra-sentential precedence connectives scanned in a short window
@@ -1182,7 +1192,7 @@ object BioRules {
                   // (controller=cause) is emitted over it
                   val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name)
-                  val flips = semNegFlips(words, cause, b.trigger._1)
+                  val flips = semNegFlips(words, deps, cause, b.trigger._1)
                   val regLabel =
                     if (flips % 2 == 1) "Negative_regulation"
                     else "Positive_regulation"
@@ -1227,7 +1237,7 @@ object BioRules {
                   // cause and a regulation wraps it ("expression of NRF2 by
                   // Kras" -> Transcription + Positive_regulation,
                   // TestTranscriptionEvents sent1)
-                  val flips = semNegFlips(words, cause, b.trigger._1)
+                  val flips = semNegFlips(words, deps, cause, b.trigger._1)
                   val regLabel =
                     if (flips % 2 == 1) "Negative_regulation"
                     else "Positive_regulation"
@@ -1274,7 +1284,7 @@ object BioRules {
               if ctl.mention_id != cld.mention_id &&
                 !cld.args.exists(_.mention_id == ctl.mention_id) =>
             val basePos = !negRegP.matcher(trigWord).matches()
-            val flips = semNegFlips(words, ctl, b.trigger._1)
+            val flips = semNegFlips(words, deps, ctl, b.trigger._1)
             val pos = if (flips % 2 == 1) !basePos else basePos
             val label = if (pos) "Positive_regulation" else "Negative_regulation"
             Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
@@ -1296,7 +1306,7 @@ object BioRules {
               if ctl.mention_id != cld.mention_id && ctl.text != cld.text
             } yield {
               val basePos = !negActP.matcher(trigWord).matches()
-              val flips = semNegFlips(words, ctl, b.trigger._1)
+              val flips = semNegFlips(words, deps, ctl, b.trigger._1)
               val pos = if (flips % 2 == 1) !basePos else basePos
               val label =
                 if (pos) "Positive_activation" else "Negative_activation"
