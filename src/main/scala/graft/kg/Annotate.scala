@@ -87,12 +87,38 @@ object Annotate {
       * "can't" -> "ca" + "n't" — so negation and aux patterns see "n't" as a
       * full token.
       */
+    // hyphen-fused trigger suffixes split off as their own token, as the
+    // reference's bio tokenizer post-processing does ("p53-phosphorylation
+    // of ERK" -> cause p53 + nominal trigger, TestRegulationEvents sent32;
+    // "AKT-induced apoptosis" sent56; "E2-induced SRC-3 phosphorylation"
+    // sent41). The suffix vocabulary is the modification stems (kept in
+    // sync with BioRules.modStems) plus the participial reg triggers;
+    // anything else ("SRC-3", "K650E-AKT1", "dominant-negative", "Mad-Max")
+    // stays one token.
+    private val hyphenSuffixRe =
+      """(?i)(?:de-?)?(?:phosphorylat|ubiquitinat|hydroxylat|sumoylat|glycosylat|acetylat|farnesylat|ribosylat|methylat)(?:e|es|ed|ing|ions?)|hydrolys[ei]s|induced|mediated|stimulated|driven|triggered""".r
+    // substitution-mutation code fused to an entity ("K650E-FGFR3 mutants"):
+    // the code splits off so the trie sees the bare entity and the leftward
+    // mutant-list scan in BioRules.attachMods picks up the code
+    private val hyphenMutantPrefixRe =
+      """[ACDEFGHIKLMNPQRSTVWY]\d{1,4}[ACDEFGHIKLMNPQRSTVWY]""".r
+
     def tokenize(text: String): Array[(String, Int)] =
       tokenRe.findAllMatchIn(text).flatMap { m =>
         val w = m.matched
         if (w.length > 3 && (w.endsWith("n't") || w.endsWith("n’t")))
           Seq((w.dropRight(3), m.start), ("n't", m.start + w.length - 3))
-        else Seq((w, m.start))
+        else {
+          val h = w.indexOf('-')
+          if (h > 0 && h < w.length - 1) {
+            val pre = w.substring(0, h)
+            val post = w.substring(h + 1)
+            if (hyphenSuffixRe.pattern.matcher(post).matches() ||
+                hyphenMutantPrefixRe.pattern.matcher(pre).matches())
+              Seq((pre, m.start), (post, m.start + h + 1))
+            else Seq((w, m.start))
+          } else Seq((w, m.start))
+        }
       }.toArray
 
     private val sentSplit = """(?<=[.!?])\s+(?=[A-Z0-9])""".r

@@ -68,10 +68,18 @@ object BioRules {
     } else base
   }
 
+  // the reference's full posTriggers/negTriggers prefix inventories
+  // (events_master.yml:6-7), spelled with explicit inflections where a bare
+  // \w+ would swallow unrelated words ("direct" must not match "directly",
+  // which the adv skip owns)
   val posRegTriggers =
-    "(promot\\w+|enhanc\\w+|increas\\w+|induc\\w+|mediat\\w+|stimulat\\w+|trigger\\w*|driv(e|es|en|ing)|led|lead(s|ing)?|facilitat\\w+|accelerat\\w+|augment\\w+|up-?regulat\\w+)"
+    "(promot\\w+|enhanc\\w+|increas\\w+|induc\\w+|mediat\\w+|stimulat\\w+|trigger\\w*|driv(e|es|en|ing)|led|lead(s|ing)?|facilitat\\w+|accelerat\\w+|augment\\w+|up-?regulat\\w+|" +
+      "aid(s|ed|ing)?|allow\\w+|cataly[zs]\\w+|caus\\w+|contribut\\w+|direct(s|ed|ing)|elev\\w+|elicit\\w+|enabl\\w+|initiat\\w+|modulat\\w+|overexpress\\w+|potentiat\\w+|" +
+      "produc\\w+|prolong\\w+|rais\\w+|reactivat\\w+|re-?express\\w+|rescu\\w+|restor\\w+|signal(s|ed|ing)?|support(s|ed|ing)?|synerg\\w+|synthesiz\\w+|underl(ie|ies|ying|ay))"
   val negRegTriggers =
-    "(inhibit\\w+|block\\w+|suppress\\w+|repress\\w+|decreas\\w+|reduc\\w+|prevent\\w+|impair\\w+|attenuat\\w+|abolish\\w+|abrogat\\w+|antagoniz\\w+|down-?regulat\\w+)"
+    "(inhibit\\w+|block\\w+|suppress\\w+|repress\\w+|decreas\\w+|reduc\\w+|prevent\\w+|impair\\w+|attenuat\\w+|abolish\\w+|abrogat\\w+|antagoniz\\w+|down-?regulat\\w+|" +
+      "arrest\\w+|deactivat\\w+|degrad\\w+|deplet\\w+|deregulat\\w+|diminish\\w+|disrupt\\w+|dysregulat\\w+|eliminat\\w+|imped\\w+|inactivat\\w+|knock(ed|s)?-?(down|out)?|" +
+      "limit(s|ed|ing)?|loss|lower(s|ed|ing)?|negat\\w+|nullif\\w+|perturb\\w+|reliev\\w+|resist(s|ed|ing)?|restrict\\w+|revers\\w+|sequester\\w+|shutdown|silenc\\w+|slow(s|ed|ing)?|starv\\w+)"
   val regTriggers = s"($posRegTriggers|$negRegTriggers)"
 
   // the reference's pos/neg-act templates share the SAME trigger vocabulary
@@ -88,6 +96,7 @@ object BioRules {
 
   private val negRegP = Pattern.compile(negRegTriggers, Pattern.CASE_INSENSITIVE)
   private val negActP = Pattern.compile(negActTriggers, Pattern.CASE_INSENSITIVE)
+  private val actTrigP = Pattern.compile(actTriggers, Pattern.CASE_INSENSITIVE)
 
   /** Negation markers (reference: NegationHandler.scala:44-106 lexicon;
     * "little"/"insufficient" cover the handler's bigram cases
@@ -143,7 +152,9 @@ object BioRules {
   private val mutantPart =
     s"([ACDEFGHIKLMNPQRSTVWY]\\d+[ACDEFGHIKLMNPQRSTVWY]|$aaLong\\d+$aaLong|" +
       s"[ACDEFGHIKLMNPQRSTVWY]?\\d+del[ACDEFGHIKLMNPQRSTVWY]?|" +
-      s"Delta[ACDEFGHIKLMNPQRSTVWY]\\d+)"
+      s"Delta[ACDEFGHIKLMNPQRSTVWY]\\d+|" +
+      // slash-coordinated position run: "F446/472/589" (one token, one mod)
+      s"[ACDEFGHIKLMNPQRSTVWY]\\d+(/\\d+)+)"
   private val mutantTokP =
     Pattern.compile(s"$mutantPart(/$mutantPart)*", Pattern.CASE_INSENSITIVE)
   private val mutantWordP =
@@ -227,8 +238,16 @@ object BioRules {
   private val postMods = OptG(AltG(
     Seq(W(s"(de-?)?($stemsAlt)ed"),
       OptG(W("at|on"), ML("ptmsite", "Site", commaOk = true))),
-    Seq(W("[A-Za-z]*\\d+[A-Za-z][A-Za-z0-9/]*"),
+    Seq(W("[A-Za-z]*\\d+[A-Za-z][A-Za-z0-9/]*|[A-Za-z]\\d+(/\\d+)+"),
       OptG(W("mutants?|mutations?")))))
+
+  // nominal reg triggers for the in-response-to / following rule families
+  // (the reference's posTriggers/negTriggers NN members used by the
+  // reg-only templates)
+  private val negNomTrig =
+    "inhibition|knockdown|silencing|depletion|suppression|blockade|loss|starvation"
+  private val nomRegTrig =
+    s"activation|stimulation|induction|treatment|overexpression|$negNomTrig"
 
   val rules: List[Rule] = List(
     // -- p2: generic (anaphoric) entities --------------------------------
@@ -271,6 +290,12 @@ object BioRules {
     Rule("site_aa3", 5, EntityK("Site"),
       List(W("(?-i:Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)"),
         OptG(W("residues?")), W("\\d{1,4}"))),
+    // bare amino-acid site premodifier ("ERBB3 tyrosine phosphorylation",
+    // "is tyrosine phosphorylated" — the reference captures site = nn/amod
+    // premod, simple-event_template syntax_4/syntax_7); numbered forms are
+    // owned by site_residue_long / site_aa3 above
+    Rule("site_aa_bare", 5, EntityK("Site"),
+      List(W("serine|threonine|tyrosine"), NotNext("residues?|\\d{1,4}"))),
 
     // -- p7: templatic simple events (modifications) ---------------------
     // active: [cause] TRIGGERs [quant] theme-list [residues (S1, S2)] [on/at site-list]
@@ -288,8 +313,19 @@ object BioRules {
         Seq(ML("theme", ENT), postMods, filler, W("are|were|be|been|being")),
         Seq(M("theme", ENT), postMods, filler,
           W("is|was|are|were|be|been|being|gets?|got|becomes?|became"))),
-        notOpt, adv, T(modParticiple), sitePrep,
+        notOpt, adv, OptG(M("site", "Site")), T(modParticiple), sitePrep,
         OptG(W("by"), M("cause", ENT)))),
+    // passive infinitive: "the ability of the exogenous EGFR receptor to be
+    // tyrosine phosphorylated ...", "the mutant Gab1 proteins to become
+    // tyrosine phosphorylated ..." (simple-event_template.yml:431-447
+    // ${eventName}_token_inresponseto; TestRegulationEvents sent48-53) —
+    // the in-response-to cause is picked up by reg_irt over this event
+    Rule("mod_passive_inf", 7, SimpleModK,
+      List(ML("theme", ENT), postMods, filler, W("to"), W("be|become"),
+        notOpt, adv, OptG(M("site", "Site")), T(modParticiple), sitePrep)),
+    Rule("auto_passive_inf", 7, AutoModK,
+      List(ML("theme", ENT), postMods, filler, W("to"), W("be|become"),
+        notOpt, adv, OptG(M("site", "Site")), T(s"auto-?($stemsAlt)ed"))),
     // nominal: TRIGGERion of theme-list [on/at site] [by cause]
     Rule("mod_nominal", 7, SimpleModK,
       List(T(modNom), W("of"), siteOfPre, quant, ML("theme", ENT), parenSites,
@@ -306,7 +342,8 @@ object BioRules {
     // of/by phrase the nn is the CAUSE, not the theme ("MEK1 phosphorylation
     // of ERK2" — handled by mod_subjnominal below).
     Rule("mod_prenominal", 7, SimpleModK,
-      List(M("theme", ENT), T(modNom), NotNext("of|by"))),
+      List(M("theme", ENT), OptG(M("site", "Site")), T(modNom),
+        NotNext("of|by"), sitePrep)),
     // nn-theme with by-cause (syntax_2_noun: theme prep_of? nn, cause
     // prep_by): "ERK2 phosphorylation by MEK1 increased."
     Rule("mod_prenominal_by", 7, SimpleModK,
@@ -329,6 +366,16 @@ object BioRules {
     Rule("mod_relcl", 7, SimpleModK,
       List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
         adv, T(modParticiple), sitePrep, OptG(W("by"), M("cause", ENT)))),
+    // "Cells expressing ErbB3 show tyrosine phosphorylation ..." — the
+    // expressed entity is the theme of the shown modification nominal
+    // (reference reaches it through the dep path in the reg-only rules'
+    // controlled; TestRegulationEvents sent42-44); the in-response-to
+    // controller is picked up by reg_irt over this event
+    Rule("mod_cells_show", 7, SimpleModK,
+      List(W("cells?"), W("expressing|overexpressing|rescued|transfected"),
+        OptG(W("with")), OptG(W("wild"), W("type")), ML("theme", ENT), X(3),
+        W("show|shows|showed|showing|exhibit|exhibits|exhibited"),
+        OptG(M("site", "Site")), T(modNom), NotNext("of"))),
 
     // transcription — the reference trigger inventory is
     // transcription|expression (nominal) and (over)?express* (verbal)
@@ -497,6 +544,31 @@ object BioRules {
         OptG(W("potent|known|novel|direct|strong|major|selective|key")),
         T("activators?|inducers?|enhancers?|inhibitors?|suppressors?|repressors?"),
         W("of"), OptG(W("the")), M("controlled", "Event"))),
+    // "... tyrosine phosphorylation in response to EGF treatment /
+    // treatment with RAS / stimulation with either EGF or NRG" — the
+    // reference's reg-only in-response-to rules (pos-reg-only_template.yml:
+    // 5-15 dep rule, neg-reg-only_template.yml:5-14 token rule;
+    // TestRegulationEvents sent42-44, 48-53). Positive off the "response"
+    // trigger unless a negative nominal governs the controller (reg_irt_neg
+    // polarity comes from the trigger via negRegP as usual)
+    Rule("reg_irt", 12, RegulationK,
+      List(M("controlled", "Event"), W("in"), T("response"), W("to"),
+        OptG(W("treatment|stimulation"), W("with"), OptG(W("either"))),
+        ML("controller", "PossibleController", conj = "or|and"),
+        NotNext(negNomTrig))),
+    Rule("reg_irt_neg", 12, RegulationK,
+      List(M("controlled", "Event"), W("in"), W("response"), W("to"),
+        ML("controller", "PossibleController"), T(negNomTrig))),
+    // "The phosphorylation of AKT1 following MEK activation / following
+    // inhibition of MEK / following activation by MEK" (the reg-only
+    // 'following' rule family; TestRegulationEvents sent54/54b/54c) —
+    // polarity from the nominal trigger
+    Rule("reg_following_nn", 12, RegulationK,
+      List(M("controlled", "Event"), W("following"),
+        ML("controller", "PossibleController"), T(nomRegTrig))),
+    Rule("reg_following_of", 12, RegulationK,
+      List(M("controlled", "Event"), W("following"), T(nomRegTrig),
+        W("of|by"), OptG(W("the")), ML("controller", "PossibleController"))),
 
     // -- p14: activations (controller/controlled entities) ---------------
     // coordinated controllers/controlleds each yield an activation
@@ -505,20 +577,20 @@ object BioRules {
     // (prefix matching ignores it — sent1/sent17 shapes)
     Rule("act_active", 14, ActivationK,
       List(ML("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(actTriggers), OptG(W("the")), ML("controlled", ENT))),
+        T(actTriggers), OptG(W("the")), ML("controlled", "BioEntity"))),
     // appositive copular nominal: "Rapamycin, an inhibitor of the mTOR
     // kinase," (TestActivationEvents sent14/15)
     Rule("act_appos_nominal", 14, ActivationK,
       List(M("controller", "PossibleController"), W(","), W("a|an|the"),
         OptG(W("potent|known|novel|direct|strong|major|selective|key")),
         T("activators?|inducers?|enhancers?|inhibitors?|suppressors?|repressors?"),
-        W("of"), OptG(W("the")), M("controlled", ENT), filler, W(","))),
+        W("of"), OptG(W("the")), M("controlled", "BioEntity"), filler, W(","))),
     // relative clause: "STAT3, which is activated by JAK1"
     Rule("act_relcl", 14, ActivationK,
-      List(M("controlled", ENT), W(","), W("which"), W("is|was|are|were"),
+      List(M("controlled", "BioEntity"), W(","), W("which"), W("is|was|are|were"),
         notOpt, T(actTriggers), W("by"), M("controller", "PossibleController"))),
     Rule("act_passive", 14, ActivationK,
-      List(M("controlled", ENT), filler, W("is|are|was|were"), notOpt, adv,
+      List(M("controlled", "BioEntity"), filler, W("is|are|was|were"), notOpt, adv,
         T(actTriggers), W("by"), M("controller", "PossibleController"))),
     // copular nominal: "X is an inhibitor of mTOR" (entity controlled)
     Rule("act_copular_nominal", 14, ActivationK,
@@ -526,7 +598,21 @@ object BioRules {
         W("a|an|the"),
         OptG(W("potent|known|novel|direct|strong|major|selective|key")),
         T("activators?|inhibitors?|suppressors?|repressors?"),
-        W("of"), OptG(W("the")), M("controlled", ENT), filler))
+        W("of"), OptG(W("the")), M("controlled", "BioEntity"), filler)),
+
+    // -- p16: regulations over activations -------------------------------
+    // "RAS1 activates AKT-induced apoptosis" / "expression of RARbeta2 has
+    // been shown to restore retinoic acid induced apoptosis"
+    // (TestRegulationEvents sent56/57): the controlled is an ActivationEvent
+    // built at p14, so this runs one priority later; the same-trigger
+    // activation reading is dropped by the act-vs-reg preference in
+    // mostComplete. Controllers may be events ("expression of RARbeta2" —
+    // Event <: PossibleController, as in the reference taxonomy).
+    Rule("reg_over_act", 16, RegulationK,
+      List(M("controller", "PossibleController"), appos, X(2), auxNeg,
+        OptG(W("shown|demonstrated|reported|found|known|able")),
+        OptG(W("to")), T(actTriggers), OptG(W("the")),
+        M("controlled", "ActivationEvent")))
   )
 
   val priorities: List[Int] = rules.map(_.priority).distinct.sorted
@@ -838,6 +924,14 @@ object BioRules {
     deps.neighborhood(s until e, 2)
       .exists(i => hypothesisP.matcher(words(i)).matches())
 
+  /** bioprocessValid (reference: DarpaActions.scala:535-542): a BioProcess
+    * can only control another BioProcess — "Apoptosis promotes the
+    * phosphorylation of p53" yields NO regulation (TestRegulationEvents
+    * sent55), while bioprocess-on-bioprocess control is kept.
+    */
+  private def bioprocessOk(ctl: MentionRow, cld: MentionRow): Boolean =
+    ctl.labels.head != "BioProcess" || cld.labels.head == "BioProcess"
+
   /** Semantic-negative flip count, scoped to the dependency structure exactly
     * as the reference does (DarpaActions.countSemanticNegatives:452-484 +
     * addAdjectivalModifiers/nounModifiers/ofModifiers:492-520): tokens on the
@@ -1010,6 +1104,16 @@ object BioRules {
     }
     def surfaceSubjOk(m: MentionRow): Boolean =
       !agentOfOther(m) && subjConsistent(m)
+
+    // nearest-trigger guard for controllers: a pre-trigger controller whose
+    // X-skipped span contains ANOTHER reg/act trigger belongs to that nearer
+    // trigger, not this one ("KRAS activates AKT-induced apoptosis" — KRAS
+    // controls "activates", never "induced"; the reference's dep paths
+    // enforce this naturally)
+    def nearerTriggerBetween(ctl: MentionRow): Boolean =
+      !fromDep && b.trigger._1 >= 0 && ctl.end_tok < b.trigger._1 &&
+        (ctl.end_tok until b.trigger._1).exists(i =>
+          actTrigP.matcher(words(i)).matches())
 
     rule.kind match {
       case EntityK(label) =>
@@ -1192,6 +1296,7 @@ object BioRules {
                   // (controller=cause) is emitted over it
                   val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name)
+                  if (!bioprocessOk(cause, ev)) Seq(ev) else {
                   val flips = semNegFlips(words, deps, cause, b.trigger._1)
                   val regLabel =
                     if (flips % 2 == 1) "Negative_regulation"
@@ -1201,6 +1306,7 @@ object BioRules {
                     Seq("controller" -> cause, "controlled" -> ev),
                     rule.name + "_split")
                   Seq(ev, reg)
+                  }
               }
             }
           } yield m
@@ -1232,6 +1338,7 @@ object BioRules {
                   d.map("destination" -> _), rule.name)
               causes.headOption match {
                 case None => Seq(ev)
+                case Some(cause) if !bioprocessOk(cause, ev) => Seq(ev)
                 case Some(cause) =>
                   // splitSimpleEvents, as in SimpleModK: the event loses its
                   // cause and a regulation wraps it ("expression of NRF2 by
@@ -1278,17 +1385,26 @@ object BioRules {
           }
 
       case RegulationK =>
+        // coordinated controllers each yield a regulation ("in response to
+        // stimulation with either EGF or neuregulin" -> 2 regs, conj
+        // expansion in the reference's syntax paths)
         (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
          b.caps.get("controlled")) match {
-          case (Some(ctl :: _), Some(cld :: _))
+          case (Some(ctls @ (_ :: _)), Some(cld :: _)) =>
+            for {
+              ctl <- ctls
               if ctl.mention_id != cld.mention_id &&
-                !cld.args.exists(_.mention_id == ctl.mention_id) =>
-            val basePos = !negRegP.matcher(trigWord).matches()
-            val flips = semNegFlips(words, deps, ctl, b.trigger._1)
-            val pos = if (flips % 2 == 1) !basePos else basePos
-            val label = if (pos) "Positive_regulation" else "Negative_regulation"
-            Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
-              Seq("controller" -> ctl, "controlled" -> cld), rule.name))
+                !cld.args.exists(_.mention_id == ctl.mention_id) &&
+                bioprocessOk(ctl, cld) && !nearerTriggerBetween(ctl)
+            } yield {
+              val basePos = !negRegP.matcher(trigWord).matches()
+              val flips = semNegFlips(words, deps, ctl, b.trigger._1)
+              val pos = if (flips % 2 == 1) !basePos else basePos
+              val label =
+                if (pos) "Positive_regulation" else "Negative_regulation"
+              mkEvent(conv, turn, sent.sent_idx, words, deps, label, b.trigger,
+                Seq("controller" -> ctl, "controlled" -> cld), rule.name)
+            }
           case _ => Nil
         }
 
@@ -1303,7 +1419,8 @@ object BioRules {
             for {
               ctl <- ctls
               cld <- clds
-              if ctl.mention_id != cld.mention_id && ctl.text != cld.text
+              if ctl.mention_id != cld.mention_id && ctl.text != cld.text &&
+                bioprocessOk(ctl, cld) && !nearerTriggerBetween(ctl)
             } yield {
               val basePos = !negActP.matcher(trigWord).matches()
               val flips = semNegFlips(words, deps, ctl, b.trigger._1)
@@ -1493,6 +1610,30 @@ object BioRules {
         }
       }
     }
+    // mkActivation's regulation-intersection drop (DarpaActions.scala:
+    // 190-212): an Activation is not reported when a Regulation's span
+    // intersects one of the activation's controlled mentions — the
+    // regulation is the more complete reading ("KRAS activates AKT-induced
+    // apoptosis": the reg over the inner activation kills the spurious
+    // act(KRAS -> AKT))
+    val byIdLocal2 = (tbms ++ res).map(m => m.mention_id -> m).toMap
+    res = res.filterNot { a =>
+      a.labels.contains("ActivationEvent") && {
+        a.args.find(_.role == "controlled").exists { c =>
+          byIdLocal2.get(c.mention_id).exists { cm =>
+            res.exists { r =>
+              r.mention_id != a.mention_id &&
+              r.labels.contains("Regulation") && r.sent_idx == a.sent_idx &&
+              r.start_tok < cm.end_tok && cm.start_tok < r.end_tok &&
+              // a reg built OVER this activation did not exist when
+              // mkActivation ran — it cannot retroactively kill its own
+              // controlled
+              !r.args.exists(_.mention_id == a.mention_id)
+            }
+          }
+        }
+      }
+    }
     // fixpoint-prune events whose args dangle on a dropped mention — keeps
     // regulations consistent with the events that survived (reference:
     // MentionFilter "keep args of kept regs" semantics, :243-260)
@@ -1584,8 +1725,30 @@ object BioRules {
             mutantWordP.matcher(words(m.start_tok - 2)).matches() &&
             mutantTokP.matcher(words(m.start_tok - 3)).matches())
           mods += Mod("Mutant", "", words(m.start_tok - 3), 0L)
+        // Mutant premodifier lists: "only K650M and K650E-AKT1 mutants cause"
+        // (TestRegulationEvents sent30/31 — one Mutant mod per code, the
+        // multi-mutant split below yields one mention per mutant form). Only
+        // scanned when the mention is already mutant-marked (fused code) or
+        // is headed by "mutants": bare "K650M AKT1" adjacency stays out.
+        if (mods.exists(_.kind == "Mutant") ||
+            (m.end_tok < n && mutantWordP.matcher(words(m.end_tok)).matches())) {
+          // the token adjacent to the mention must be a code; further left,
+          // codes and separator runs (", and") alternate freely
+          var lj = m.start_tok - 1
+          var sawCode = false
+          var cont = lj >= 0 && mutantTokP.matcher(words(lj)).matches()
+          while (cont && lj >= 0) {
+            val w = words(lj)
+            if (mutantTokP.matcher(w).matches()) {
+              mods += Mod("Mutant", "", w, 0L)
+              sawCode = true
+              lj -= 1
+            } else if (sawCode && mutantSepP.matcher(w).matches()) lj -= 1
+            else cont = false
+          }
+        }
         // bare "mutant ERK2" marker (mutants.yml generic relation rules)
-        else if (m.start_tok > 0 &&
+        if (m.start_tok > 0 &&
                  mutantWordP.matcher(words(m.start_tok - 1)).matches() &&
                  mods.forall(_.kind != "Mutant"))
           mods += Mod("Mutant", "", "", 0L)

@@ -28,10 +28,15 @@ object Lexicon {
     "Family" -> "BioChemicalEntity",
     "Complex" -> "BioChemicalEntity",
     "Simple_chemical" -> "BioChemicalEntity",
-    "BioChemicalEntity" -> "PossibleController",
+    // BioEntity sits between the entity kinds and PossibleController, as in
+    // the reference taxonomy (biogrammar/taxonomy.yml:65-77): "any BioEntity
+    // may appear as the controlled in an Activation" — including BioProcess
+    // ("RAS1 activates apoptosis")
+    "BioChemicalEntity" -> "BioEntity",
+    "BioEntity" -> "PossibleController",
     "PossibleController" -> "Entity",
     "Site" -> "Entity",
-    "BioProcess" -> "PossibleController",
+    "BioProcess" -> "BioEntity",
     "Species" -> "Context",
     "CellLine" -> "Context",
     "CellType" -> "Context",

@@ -180,9 +180,25 @@ object Matcher {
           case m: M =>
             state.at(pos, m.label) match {
               case Nil => ()
-              case cand :: _ => // longest only — deterministic
-                tryMatchCb(rest, words, state, cand.end_tok,
-                  b.add(m.role, cand))(emit)
+              case cands @ (cand :: _) =>
+                // longest span only (deterministic), but EVERY same-span
+                // variant binds — Odin's @arg captures yield one match per
+                // mention, so multi-Mutant split entities and multi-site
+                // unpacked events each produce their own enclosing event
+                // (TestRegulationEvents sent30/31). When the longest
+                // candidate is an EVENT, the longest entity at the same
+                // start also binds: an event must not shadow the entity
+                // reading ("KRAS activates ..." — the act built at p14
+                // starts at KRAS, but p16's reg controller is KRAS itself)
+                val sameSpan = cands.filter(c =>
+                  c.end_tok == cand.end_tok &&
+                    c.labels.head == cand.labels.head)
+                val entityAlt =
+                  if (cand.is_event) cands.find(!_.is_event).toList else Nil
+                (sameSpan ++ entityAlt).foreach { c =>
+                  tryMatchCb(rest, words, state, c.end_tok,
+                    b.add(m.role, c))(emit)
+                }
             }
           case ml: ML =>
             mlMatchCb(ml, words, state, pos, b) { (p2, b2) =>

@@ -639,6 +639,72 @@ object Transcripts {
     // mutated antecedent (sent33c)
     conv("g96")("user" -> "AKT1 K341L is common, and the protein binds GTP.")()
 
+    // ---- round-3 batch 2: TestRegulationEvents sent30-57 shapes ----------
+    val WORT = gidOf("wortmannin", "Simple_chemical")
+    val APO = gidOf("apoptosis", "BioProcess")
+    val P53 = gidOf("p53")
+    // mutant premodifier lists as regulation controllers (sent30) — the
+    // fused "K650E-AKT1" token splits, the codes become Mutant mods, and
+    // the mutant variants' regs collapse to one edge (same grounding)
+    conv("g97")("user" ->
+      "Note that only K650M and K650E-AKT1 mutants cause STAT3 phosphorylation.")(
+      tri("g97", 0, "", "Phosphorylation", STAT3),
+      tri("g97", 0, AKT1, "Positive_regulation", s"Phosphorylation($STAT3)"))
+    // + site list -> one phospho and one reg per site (sent31)
+    conv("g98")("user" ->
+      "Note that only K650M, K660M, and K650E-AKT1 mutants cause STAT3 phosphorylation on Y123 and T546.")(
+      tri("g98", 0, "", "Phosphorylation", STAT3, "Y123"),
+      tri("g98", 0, "", "Phosphorylation", STAT3, "T546"),
+      tri("g98", 0, AKT1, "Positive_regulation", s"Phosphorylation($STAT3@Y123)", "Y123"),
+      tri("g98", 0, AKT1, "Positive_regulation", s"Phosphorylation($STAT3@T546)", "T546"))
+    // hyphen-fused nominal trigger (sent32)
+    conv("g99")("user" -> "p53-phosphorylation of ERK2 was detected.")(
+      tri("g99", 0, "", "Phosphorylation", ERK2),
+      tri("g99", 0, P53, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // in-response-to with "treatment with" (sent42)
+    conv("g100")("user" ->
+      "Cells expressing EGFR show tyrosine phosphorylation in response to treatment with KRAS.")(
+      tri("g100", 0, "", "Phosphorylation", EGFR, "tyrosine"),
+      tri("g100", 0, KRAS, "Positive_regulation", s"Phosphorylation($EGFR@tyrosine)", "tyrosine"))
+    // negative nominal after the controller (sent44)
+    conv("g101")("user" ->
+      "Cells expressing EGFR show tyrosine phosphorylation in response to KRAS inhibition.")(
+      tri("g101", 0, "", "Phosphorylation", EGFR, "tyrosine"),
+      tri("g101", 0, KRAS, "Negative_regulation", s"Phosphorylation($EGFR@tyrosine)", "tyrosine"))
+    // either/or coordinated controllers (sent49)
+    conv("g102")("user" ->
+      "the ability of the exogenous EGFR receptor to be tyrosine phosphorylated in response to stimulation with either rapamycin or wortmannin")(
+      tri("g102", 0, "", "Phosphorylation", EGFR, "tyrosine"),
+      tri("g102", 0, RAPA, "Positive_regulation", s"Phosphorylation($EGFR@tyrosine)", "tyrosine"),
+      tri("g102", 0, WORT, "Positive_regulation", s"Phosphorylation($EGFR@tyrosine)", "tyrosine"))
+    // auto-phosphorylation in response to (sent48)
+    conv("g103")("user" ->
+      "We first assayed the ability of the endogenous EGFR to be tyrosine autophosphorylated in response to rapamycin.")(
+      tri("g103", 0, "", "AutoPhosphorylation", EGFR, "tyrosine"),
+      tri("g103", 0, EGFR, "Positive_regulation", s"AutoPhosphorylation($EGFR@tyrosine)", "tyrosine"),
+      tri("g103", 0, RAPA, "Positive_regulation", s"AutoPhosphorylation($EGFR@tyrosine)", "tyrosine"))
+    // "following X activation" / "following inhibition of X" (sent54/54c)
+    conv("g104")("user" -> "The phosphorylation of AKT1 following MEK activation.")(
+      tri("g104", 0, "", "Phosphorylation", AKT1),
+      tri("g104", 0, MEK, "Positive_regulation", s"Phosphorylation($AKT1)"))
+    conv("g105")("user" -> "The phosphorylation of AKT1 following inhibition of MEK.")(
+      tri("g105", 0, "", "Phosphorylation", AKT1),
+      tri("g105", 0, MEK, "Negative_regulation", s"Phosphorylation($AKT1)"))
+    // bioprocessValid: a BioProcess cannot control a regulation (sent55)
+    conv("g106")("user" -> "Apoptosis promotes the phosphorylation of p53.")(
+      tri("g106", 0, "", "Phosphorylation", P53))
+    // regulation over an activation; the same-trigger activation reading and
+    // the cross-trigger controller are both suppressed (sent56)
+    conv("g107")("user" -> "KRAS activates AKT1-induced apoptosis.")(
+      tri("g107", 0, AKT1, "Positive_activation", APO),
+      tri("g107", 0, KRAS, "Positive_regulation", s"Positive_activation($APO)"))
+    // event controller of a reg-over-activation (sent57)
+    conv("g108")("user" ->
+      "Indeed, expression of p53 has been shown to restore rapamycin induced apoptosis.")(
+      tri("g108", 0, "", "Transcription", P53),
+      tri("g108", 0, RAPA, "Positive_activation", APO),
+      tri("g108", 0, P53, "Positive_regulation", s"Positive_activation($APO)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
