@@ -312,6 +312,12 @@ object BioRules {
       List(AltG(
         Seq(ML("theme", ENT), postMods, filler, W("are|were|be|been|being")),
         Seq(M("theme", ENT), postMods, filler,
+          // reduced postmodifier between subject and aux: "the endogenous
+          // Gab1 present in WT MEFs is tyrosine phosphorylated ..."
+          // (TestRegulationEvents sent52) — anchored on the adjective so
+          // clause boundaries are never skipped
+          OptG(W("present|found|located|observed|expressed"), W("in|at|on"),
+            X(3)),
           W("is|was|are|were|be|been|being|gets?|got|becomes?|became"))),
         notOpt, adv, OptG(M("site", "Site")), T(modParticiple), sitePrep,
         OptG(W("by"), M("cause", ENT)))),
@@ -390,7 +396,18 @@ object BioRules {
     // of-phrase the nn is not the theme
     Rule("transcription_prenominal", 7, FixedEventK("Transcription"),
       List(ML("theme", ENT), OptG(W("gene|genes|protein|proteins|mRNA")),
-        T("transcription|(over-?)?expression"), NotNext("of|by"))),
+        T("transcription|(over-?)?expression"), NotNext("of"))),
+    // prenominal with a by-cause: "NRF2 expression by Kras" — the cause
+    // splits into a wrapping regulation as in the nominal rule. A following
+    // "by" that does NOT introduce an entity (e.g. "Up-regulation of p53
+    // expression by active KRAS expression" — the by-phrase belongs to the
+    // governing nominal, as the reference's !outgoing=prep_by guard decides
+    // from the parse) simply leaves this rule unmatched and the bare
+    // prenominal stands.
+    Rule("transcription_prenominal_by", 7, FixedEventK("Transcription"),
+      List(ML("theme", ENT), OptG(W("gene|genes|protein|proteins|mRNA")),
+        T("transcription|(over-?)?expression"), W("by"),
+        M("cause", "PossibleController"))),
     Rule("transcription_passive", 7, FixedEventK("Transcription"),
       List(ML("theme", ENT),
         W("is|are|was|were|be|been|being|gets?|got"), notOpt, adv,
@@ -569,6 +586,15 @@ object BioRules {
     Rule("reg_following_of", 12, RegulationK,
       List(M("controlled", "Event"), W("following"), T(nomRegTrig),
         W("of|by"), OptG(W("the")), ML("controller", "PossibleController"))),
+    // nominal reg trigger governing an of-event with a by-controller:
+    // "Up-regulation of p53 expression by active Ras expression"
+    // (TestRegulationEvents sent59: 2 transcriptions + 1 pos reg, no
+    // activation — the reg's span kills the dep-rule activation reading via
+    // the mkActivation intersection drop)
+    Rule("reg_nominal_of", 12, RegulationK,
+      List(T(regTriggers), W("of"), OptG(W("the")), M("controlled", "Event"),
+        W("by"), OptG(W("active|activated")),
+        M("controller", "PossibleController"))),
 
     // -- p14: activations (controller/controlled entities) ---------------
     // coordinated controllers/controlleds each yield an activation

@@ -274,6 +274,19 @@ object DepParser {
           // Ras") joins the following NP
           else if (l.endsWith("ed") &&
                    (prev.startsWith("V") || prev == "IN")) tags(i) = "JJ"
+          // -ed after a complementizer, heading an NP whose clause has its
+          // own finite verb further right, is a premodifier: "suggest that
+          // decreased PTEN expression increases ..." (TestRegulationEvents
+          // sent36/38 — the amod must be visible to the semantic-negative
+          // scan). With no later verb the -ed form IS the clause verb
+          // ("suggest that X decreased Y phosphorylation").
+          else if (l.endsWith("ed") && (prev == "WDT" || prev == "THAT")) {
+            var j = i + 1
+            while (j < n && npInner(tags(j))) j += 1
+            if (j > i + 1 && j < n &&
+                (tags(j) == "VB" || tags(j) == "AUX" || tags(j) == "MD"))
+              tags(i) = "JJ"
+          }
           else if (l.endsWith("ed") || l.endsWith("en") ||
                    irregularPart.contains(l)) {
             // participle context: "is/was/been V-ed" or "has V-ed"

@@ -642,7 +642,7 @@ object Transcripts {
     // ---- round-3 batch 2: TestRegulationEvents sent30-57 shapes ----------
     val WORT = gidOf("wortmannin", "Simple_chemical")
     val APO = gidOf("apoptosis", "BioProcess")
-    val P53 = gidOf("p53")
+    val P53 = gidOf("p53"); val GAB1 = gidOf("Gab1")
     // mutant premodifier lists as regulation controllers (sent30) — the
     // fused "K650E-AKT1" token splits, the codes become Mutant mods, and
     // the mutant variants' regs collapse to one edge (same grounding)
@@ -704,6 +704,26 @@ object Transcripts {
       tri("g108", 0, "", "Transcription", P53),
       tri("g108", 0, RAPA, "Positive_activation", APO),
       tri("g108", 0, P53, "Positive_regulation", s"Positive_activation($APO)"))
+    // "decreased X expression" premodifier flips the polarity through the
+    // dependency path (sent36/38 — amod on a path token); "suggest" marks
+    // the complement clause hypothetical
+    conv("g109")("user" ->
+      "These data suggest that decreased PTEN expression increases phosphorylation of ERK2.")(
+      tri("g109", 0, "", "Transcription", PTEN, hyp = true),
+      tri("g109", 0, "", "Phosphorylation", ERK2, hyp = true),
+      tri("g109", 0, PTEN, "Negative_regulation", s"Phosphorylation($ERK2)", hyp = true))
+    // nominal reg trigger over an of-event with a by-controller; the
+    // activation reading is suppressed (sent59)
+    conv("g110")("user" ->
+      "Up-regulation of p53 expression by active KRAS expression")(
+      tri("g110", 0, "", "Transcription", P53),
+      tri("g110", 0, "", "Transcription", KRAS),
+      tri("g110", 0, KRAS, "Positive_regulation", s"Transcription($P53)"))
+    // reduced postmodifier between passive subject and aux (sent52)
+    conv("g111")("user" ->
+      "As shown in Figure, the endogenous Gab1 present in WT MEFs is tyrosine phosphorylated in response to rapamycin treatment.")(
+      tri("g111", 0, "", "Phosphorylation", GAB1, "tyrosine"),
+      tri("g111", 0, RAPA, "Positive_regulation", s"Phosphorylation($GAB1@tyrosine)", "tyrosine"))
 
     (turns.toSeq, triples.toSeq)
   }
