@@ -98,6 +98,14 @@ object BioRules {
   private val negActP = Pattern.compile(negActTriggers, Pattern.CASE_INSENSITIVE)
   private val actTrigP = Pattern.compile(actTriggers, Pattern.CASE_INSENSITIVE)
 
+  // agent nominals ("activator", "inhibitor") are NOT verbal triggers — the
+  // reference's verbal rules require tag=VB; without the guard "mTOR
+  // activator Rapamycin" reads backwards (TestActivationEvents sent13)
+  private val agentNoun =
+    "activators?|inhibitors?|suppressors?|repressors?|inducers?|enhancers?|mediators?|regulators?"
+  val actTriggersVerbal = s"(?!(?i)(?:$agentNoun)$$)$actTriggers"
+  val regTriggersVerbal = s"(?!(?i)(?:$agentNoun)$$)$regTriggers"
+
   /** Negation markers (reference: NegationHandler.scala:44-106 lexicon;
     * "little"/"insufficient" cover the handler's bigram cases
     * ("play no/little role", "be insufficient") as single-token
@@ -247,7 +255,7 @@ object BioRules {
   private val negNomTrig =
     "inhibition|knockdown|silencing|depletion|suppression|blockade|loss|starvation"
   private val nomRegTrig =
-    s"activation|stimulation|induction|treatment|overexpression|$negNomTrig"
+    s"activation|stimulation|induction|treatment|overexpression|up-?regulation|down-?regulation|$negNomTrig"
 
   val rules: List[Rule] = List(
     // -- p2: generic (anaphoric) entities --------------------------------
@@ -389,7 +397,9 @@ object BioRules {
     // regulation ("expression of NRF2 by Kras", "EGFR is overexpressed by
     // Mek" — TestTranscriptionEvents sent1/sent6)
     Rule("transcription_nominal", 7, FixedEventK("Transcription"),
-      List(T("transcription|(over-?)?expression"), W("of"), ML("theme", ENT),
+      List(T("transcription|(over-?)?expression"), W("of"),
+        OptG(W("active|activated|wild-type|endogenous|exogenous|mutant|the")),
+        ML("theme", ENT),
         OptG(W("by"), M("cause", "PossibleController")))),
     // prenominal: "MMP-9 expression", "ErbB3 gene transcription" (sent2/8);
     // the of/by guard mirrors syntax_4_noun's !outgoing — with a following
@@ -520,7 +530,7 @@ object BioRules {
     // active: controller TRIGGERs controlled-event
     Rule("reg_active", 12, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(regTriggers), OptG(W("the")), M("controlled", "Event"))),
+        T(regTriggersVerbal), OptG(W("the")), M("controlled", "Event"))),
     // relative clause: "the phosphorylation of ERK2, which is blocked by PTEN"
     Rule("reg_relcl", 12, RegulationK,
       List(M("controlled", "Event"), W(","), W("which"), W("is|was|are|were"),
@@ -544,7 +554,7 @@ object BioRules {
     // reached through prep_by in the reference's syntax paths)
     Rule("reg_bygerund", 12, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(regTriggers), X(3), W("by"), M("controlled", "Event"))),
+        T(regTriggersVerbal), X(3), W("by"), M("controlled", "Event"))),
     // subject-nominal: controller nn directly before a nominal reg trigger
     // governing an of-event ("rapamycin inhibition of the phosphorylation of
     // ERK" — TestRegulationEvents sent28); polarity from the trigger via
@@ -603,7 +613,35 @@ object BioRules {
     // (prefix matching ignores it — sent1/sent17 shapes)
     Rule("act_active", 14, ActivationK,
       List(ML("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(actTriggers), OptG(W("the")), ML("controlled", "BioEntity"))),
+        T(actTriggersVerbal), OptG(W("the")),
+        // controlled may sit behind an activity/activation nominal:
+        // "stimulates the kinase activity of DNA-PK", "inhibits activation
+        // of PI3KC2Beta", "increases the inhibition of ASPP2" (the negative
+        // nominal on the controlled path flips polarity via the all-args
+        // semantic-negative count — TestActivationEvents sent1c/10/18)
+        OptG(AltG(
+          Seq(OptG(W("the")), W("activation|inhibition|suppression"), W("of")),
+          Seq(W("the"), OptG(W("kinase|enzymatic|catalytic")), W("activity"),
+            W("of")))),
+        ML("controlled", "BioEntity"))),
+    // agent nominal between controlled and controller: "mTOR activator
+    // Rapamycin" (TestActivationEvents sent13) — polarity from the nominal
+    Rule("act_agent_nominal", 14, ActivationK,
+      List(M("controlled", "BioEntity"), T(agentNoun),
+        M("controller", "PossibleController"))),
+    // "X [expression] results in [subsequent] activation of Y" /
+    // "... results in subsequent Y activation" (TestActivationEvents
+    // sent33/41/42: the controller is the transcription EVENT when one
+    // starts the span; no wrapping regulation) — polarity from the nominal
+    Rule("act_results_of", 14, ActivationK,
+      List(M("controller", "PossibleController"), W("result(s|ed|ing)?"),
+        W("in"), OptG(W("subsequent|a|the")), T(nomRegTrig), W("of"),
+        OptG(W("the")), ML("controlled", "BioEntity"),
+        OptG(W("gene|genes|protein|proteins")))),
+    Rule("act_results_prenom", 14, ActivationK,
+      List(M("controller", "PossibleController"), W("result(s|ed|ing)?"),
+        W("in"), OptG(W("subsequent|a|the")), ML("controlled", "BioEntity"),
+        T(nomRegTrig))),
     // appositive copular nominal: "Rapamycin, an inhibitor of the mTOR
     // kinase," (TestActivationEvents sent14/15)
     Rule("act_appos_nominal", 14, ActivationK,
@@ -637,7 +675,7 @@ object BioRules {
     Rule("reg_over_act", 16, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
         OptG(W("shown|demonstrated|reported|found|known|able")),
-        OptG(W("to")), T(actTriggers), OptG(W("the")),
+        OptG(W("to")), T(actTriggersVerbal), OptG(W("the")),
         M("controlled", "ActivationEvent")))
   )
 
@@ -970,19 +1008,32 @@ object BioRules {
     * is inhibited by ..." must not flip the inner regulation on the matrix
     * verb (TestRegulationEvents sent47).
     */
-  private def semNegFlips(words: Array[String], deps: DepGraph,
-                          ctl: MentionRow, trigPos: Int): Int = {
-    val argHead = deps.headOfSpan(ctl.start_tok, ctl.end_tok)
+  private def semNegTokens(words: Array[String], deps: DepGraph,
+                           arg: MentionRow, trigPos: Int): Seq[Int] = {
+    val argHead = deps.headOfSpan(arg.start_tok, arg.end_tok)
     val path = deps.shortestPath(trigPos, argHead).getOrElse(Nil)
     val withMods = path.flatMap(t =>
       t :: deps.outgoing(t).collect { case (j, "amod" | "nn") => j })
-    val argMods = (ctl.start_tok until ctl.end_tok).flatMap(t =>
+    val argMods = (arg.start_tok until arg.end_tok).flatMap(t =>
       t +: deps.incoming(t).collect {
         case (j, l) if l == "nn" || l == "prep_of" => j
       })
     (withMods ++ argMods).distinct
-      .count(t => t != trigPos && semNegP.matcher(words(t)).matches())
+      .filter(t => t != trigPos && semNegP.matcher(words(t)).matches())
   }
+
+  private def semNegFlips(words: Array[String], deps: DepGraph,
+                          ctl: MentionRow, trigPos: Int): Int =
+    semNegTokens(words, deps, ctl, trigPos).size
+
+  /** All-arguments flip count (reference switchLabel counts DISTINCT
+    * negative token indexes across every argument's path,
+    * DarpaActions.scala:425-447): "The suppression of ASPP1 increases the
+    * inhibition of ASPP2" composes both nominals into a positive.
+    */
+  private def semNegFlipsAll(words: Array[String], deps: DepGraph,
+                             args: Seq[MentionRow], trigPos: Int): Int =
+    args.flatMap(a => semNegTokens(words, deps, a, trigPos)).distinct.size
 
   /** Intra-sentential precedence connectives scanned in a short window
     * before the trigger (surface form of intrasentential.yml's
@@ -1424,7 +1475,8 @@ object BioRules {
                 bioprocessOk(ctl, cld) && !nearerTriggerBetween(ctl)
             } yield {
               val basePos = !negRegP.matcher(trigWord).matches()
-              val flips = semNegFlips(words, deps, ctl, b.trigger._1)
+              val flips = semNegFlipsAll(words, deps, Seq(ctl, cld),
+                b.trigger._1)
               val pos = if (flips % 2 == 1) !basePos else basePos
               val label =
                 if (pos) "Positive_regulation" else "Negative_regulation"
@@ -1449,7 +1501,8 @@ object BioRules {
                 bioprocessOk(ctl, cld) && !nearerTriggerBetween(ctl)
             } yield {
               val basePos = !negActP.matcher(trigWord).matches()
-              val flips = semNegFlips(words, deps, ctl, b.trigger._1)
+              val flips = semNegFlipsAll(words, deps, Seq(ctl, cld),
+                b.trigger._1)
               val pos = if (flips % 2 == 1) !basePos else basePos
               val label =
                 if (pos) "Positive_activation" else "Negative_activation"

@@ -725,6 +725,41 @@ object Transcripts {
       tri("g111", 0, "", "Phosphorylation", GAB1, "tyrosine"),
       tri("g111", 0, RAPA, "Positive_regulation", s"Phosphorylation($GAB1@tyrosine)", "tyrosine"))
 
+    // ---- round-3 batch 3: TestActivationEvents shapes ---------------------
+    // activation-of wrapper on the controlled (sent1c)
+    conv("g112")("user" -> "Nucleotide free KRAS inhibits activation of EGFR.")(
+      tri("g112", 0, KRAS, "Negative_activation", EGFR))
+    // Neg(suppression) o Pos(increases) o Neg(inhibition) = positive
+    // across BOTH argument paths (sent10)
+    conv("g113")("user" ->
+      "The suppression of ASPP2 increases the inhibition of AKT1.")(
+      tri("g113", 0, ASPP2, "Positive_activation", AKT1))
+    // agent nominal between controlled and controller (sent13)
+    conv("g114")("user" -> "mTOR activator rapamycin binds FKBP12.")(
+      tri("g114", 0, RAPA, "Positive_activation", mTOR))
+    // kinase-activity-of wrapper (sent18)
+    conv("g115")("user" ->
+      "Reciprocally, AKT1 stimulates the kinase activity of GSK3 on serine 15 of p53 in vitro.")(
+      tri("g115", 0, AKT1, "Positive_activation", GSK3))
+    // event controller of a negative activation (sent22)
+    conv("g116")("user" -> "The phosphorylation of MEK deactivates K-Ras.")(
+      tri("g116", 0, "", "Phosphorylation", MEK),
+      tri("g116", 0, MEK, "Negative_activation", KRAS))
+    // results-in activation nominal, transcription controller (sent41)
+    conv("g117")("user" ->
+      "AKT1 expression results in subsequent activation of MEK.")(
+      tri("g117", 0, "", "Transcription", AKT1),
+      tri("g117", 0, AKT1, "Positive_activation", MEK))
+    // up-regulation of a gene after an of-adjective transcription (sent33)
+    conv("g118")("user" ->
+      "We found that prolonged expression of active KRAS resulted in up-regulation of the p53 gene.")(
+      tri("g118", 0, "", "Transcription", KRAS),
+      tri("g118", 0, KRAS, "Positive_activation", P53))
+    // mutant premodifier controllers of an activation (sent25)
+    conv("g119")("user" ->
+      "Figure 2 shows that only the K650M and K650E ASPP2 mutants activated STAT3 in 293T and RCS cells.")(
+      tri("g119", 0, ASPP2, "Positive_activation", STAT3))
+
     (turns.toSeq, triples.toSeq)
   }
 
