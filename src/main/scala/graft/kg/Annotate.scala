@@ -166,9 +166,47 @@ object Annotate {
   private val fusedPtmRe =
     java.util.regex.Pattern.compile("(?i)(p|pp|phospho|phos|u)-(.+)")
 
+  // complex-context words licensing a fused entity-pair split
+  private val pairCtx = Set("complex", "complexes", "heterodimer",
+    "heterodimers", "dimer", "dimers", "interaction", "interactions")
+  private val pairSepRe = java.util.regex.Pattern.compile(
+    "([A-Za-z][A-Za-z0-9]*)([-/–])([A-Za-z][A-Za-z0-9]*)")
+
+  /** Split a fused entity-pair token ("Ku70/Ku80 complex", "heterodimer
+    * AKT1-GSK3", "the RAS-ASPP2 interaction") into A, sep, B when BOTH
+    * halves are single-token lexicon entities and an adjacent token is a
+    * complex/dimer/interaction word — the reference's complex_entity
+    * relation rules read exactly these shapes. Elsewhere fused pairs stay
+    * one token, as the reference keeps e.g. "RAS-GTP" a single entity.
+    */
+  private def splitPairToks(trie: Trie,
+                            toks: Array[(String, Int)]): Array[(String, Int)] = {
+    def isEntity(w: String): Boolean = trie.scan(Array(w)) match {
+      case (0, 1, _) :: _ => true
+      case _ => false
+    }
+    val out = Array.newBuilder[(String, Int)]
+    var i = 0
+    while (i < toks.length) {
+      val (w, st) = toks(i)
+      val m = pairSepRe.matcher(w)
+      val ctx =
+        (i > 0 && pairCtx.contains(toks(i - 1)._1.toLowerCase)) ||
+        (i + 1 < toks.length && pairCtx.contains(toks(i + 1)._1.toLowerCase))
+      if (ctx && m.matches() && isEntity(m.group(1)) && isEntity(m.group(3))) {
+        val a = m.group(1)
+        out += ((a, st))
+        out += ((m.group(2), st + a.length))
+        out += ((m.group(3), st + a.length + 1))
+      } else out += ((w, st))
+      i += 1
+    }
+    out.result()
+  }
+
   def annotateText(trie: Trie, text: String): Array[Sent] = {
     Tokenizer.sentences(text).zipWithIndex.map { case (stext, si) =>
-      val toks = Tokenizer.tokenize(stext)
+      val toks = splitPairToks(trie, Tokenizer.tokenize(stext))
       val words = toks.map(_._1)
       val starts = toks.map(_._2)
       val lemmas = words.map(lemma)

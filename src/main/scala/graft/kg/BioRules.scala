@@ -479,8 +479,36 @@ object BioRules {
         OptG(W("to|with|directly")), OptG(W("to|with")),
         OptG(W(s"(non-?)?(de-?)?($stemsAlt)ed")), ML("theme2", ENT))),
     Rule("bind_nominal", 8, BindingK,
-      List(T("binding|interaction|association|complex"), W("of|between"),
+      List(T("binding|interaction|association|complex|(hetero)?dimerization"),
+        W("of|between"),
         M("theme", ENT), W("to|with|and"), ML("theme2", ENT))),
+    // object nominal with by-agent: "K-Ras binding by p53"
+    // (TestBindingEvents testBindingObjNom1)
+    Rule("bind_objnominal", 8, BindingK,
+      List(M("theme", ENT), T("binding"), W("by"), M("theme2", ENT))),
+    // appositive relative: "K-Ras, a protein that [subsequently] binds p53"
+    // / "... that is subsequently bound by p53" (testBindingSubjRel1/ObjRel1)
+    Rule("bind_apposrel", 8, BindingK,
+      List(M("theme", ENT), W(","), W("a|an"),
+        OptG(W("protein|kinase|gene|enzyme|receptor|molecule")),
+        W("that|which"), adv,
+        T("binds?|interacts?|associates?"), OptG(W("to|with")),
+        ML("theme2", ENT))),
+    Rule("bind_apposrel_pass", 8, BindingK,
+      List(M("theme", ENT), W(","), W("a|an"),
+        OptG(W("protein|kinase|gene|enzyme|receptor|molecule")),
+        W("that|which"), W("is|was|are|were"), adv,
+        T("bound"), W("by"), ML("theme2", ENT))),
+    // fused entity pairs in complex context: "the heterodimer AKT1-GSK3",
+    // "That Ku70/Ku80 complex", "the RAS-ASPP interaction" (sent10/21-24 —
+    // the reference's complex_entity relation rules); the pair token is
+    // split by the Annotate complex-context probe
+    Rule("bind_pair_pre", 8, BindingK,
+      List(W("heterodimer|dimer|complex"), OptG(W("of")), M("theme", ENT),
+        W("[-/\u2013]"), M("theme2", ENT))),
+    Rule("bind_pair_post", 8, BindingK,
+      List(M("theme", ENT), W("[-/\u2013]"), M("theme2", ENT),
+        T("complex|heterodimer|dimer|interaction"))),
     // bare prenominal binding nominal with no linked object ("as is their
     // binding" — TestCoreference sent3/sent18): a single plural generic theme
     // later expands into the binding's joint participants in the coref fold
@@ -492,8 +520,10 @@ object BioRules {
     // coordinated subjects must pair with the object instead (bind_active)
     Rule("bind_coord", 8, BindingK,
       List(M("theme", ENT), W("and"), M("theme2", ENT), adv,
-        T("bind|binds|interact|interacts|associate|associates|form"),
-        OptG(W("a|an")), OptG(W("complex|complexes|dimer|heterodimer")),
+        T("bind|binds|interact|interacts|associate|associates|form|" +
+          "coexist|coexists|co-exist|co-exists"),
+        OptG(W("a|an")), OptG(W("in")), OptG(W("a|an")),
+        OptG(W("common")), OptG(W("complex|complexes|dimer|heterodimer")),
         NotNext("to|with"), NotNextM(ENT))),
 
     // -- p10: alias -------------------------------------------------------
@@ -1169,7 +1199,10 @@ object BioRules {
             // event-to-entity controller conversion, DarpaActions
             // convertEventRolesToEntityRoles, and flips polarity via the
             // semantic negatives on that path)
-            val nxt = cur.flatMap(i => deps.outgoing(i).collect {
+            val nxt = cur.flatMap(i => (deps.outgoing(i) ++
+              // appositives license identity in BOTH directions: the
+              // appos child ("a protein") stands for its head ("K-Ras")
+              deps.incoming(i).filter(_._2 == "appos")).collect {
               case (j, l) if l.startsWith("conj") || l == "appos" ||
                 l == "nn" || l == "prep_of" => j
             }).distinct.filterNot(all.contains)

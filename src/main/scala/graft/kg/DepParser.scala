@@ -150,6 +150,7 @@ object DepParser {
     "suggest", "show", "demonstrate", "indicate", "reveal", "hint", "imply",
     "predict", "hypothesize", "propose", "speculate", "argue", "believe",
     "think", "report", "observe", "find", "found", "conclude", "confirm",
+    "detect", "measure", "assay", "identify",
     "establish", "examine", "investigate", "test", "note", "see", "know",
     "expect", "appear", "seem", "occur", "increase", "decrease", "reduce",
     "block", "inhibit", "induce", "promote", "prevent", "suppress", "enhance",
@@ -520,6 +521,13 @@ object DepParser {
           if (h2 >= 0 && j2 < n && tags(j2) == "PUNCT" && words(j2) == ",") {
             edges += DepEdge(lastNPHead, h2, "appos")
             i = j2 + 1
+          } else if (h2 >= 0 && j2 <= n && (j2 == n || tags(j2) == "WDT" ||
+                     tags(j2) == "PUNCT")) {
+            // appositive carrying a relative or closing the sentence:
+            // "K-Ras, a protein that binds p53." — emit the appos edge and
+            // reparse the NP normally so the relative attaches to its head
+            edges += DepEdge(lastNPHead, h2, "appos")
+            i += 1
           } else i += 1
         } else i += 1
       } else if (t == "CC" || (t == "PUNCT" && words(i) == ";")) {

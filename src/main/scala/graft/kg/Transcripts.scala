@@ -760,6 +760,35 @@ object Transcripts {
       "Figure 2 shows that only the K650M and K650E ASPP2 mutants activated STAT3 in 293T and RCS cells.")(
       tri("g119", 0, ASPP2, "Positive_activation", STAT3))
 
+    // ---- round-3 batch 4: TestBindingEvents shapes ------------------------
+    // object nominal with by-agent (testBindingObjNom1)
+    conv("g120")("user" -> "We detected elevated K-Ras binding by p53.")(
+      tri("g120", 0, "", "Binding", Seq(KRAS, P53).sorted.mkString("&")))
+    // appositive relative, active + passive (testBindingSubjRel1/ObjRel1)
+    conv("g121")("user" ->
+      "We detected elevated phosphorylation of K-Ras, a protein that subsequently binds p53.")(
+      tri("g121", 0, "", "Phosphorylation", KRAS),
+      tri("g121", 0, "", "Binding", Seq(KRAS, P53).sorted.mkString("&")))
+    conv("g122")("user" ->
+      "We detected elevated phosphorylation of K-Ras, a protein that is subsequently bound by p53.")(
+      tri("g122", 0, "", "Phosphorylation", KRAS),
+      tri("g122", 0, "", "Binding", Seq(KRAS, P53).sorted.mkString("&")))
+    // fused pair tokens in complex context (sent21-24, sent10)
+    conv("g123")("user" -> "The heterodimer AKT1-GSK3 is awesome.")(
+      tri("g123", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")))
+    conv("g124")("user" -> "That Grb2/SOS complex is awesome.")(
+      tri("g124", 0, "", "Binding", Seq(GRB2, SOS).sorted.mkString("&")))
+    conv("g125")("user" ->
+      "Moreover, the KRAS-ASPP2 interaction enhances the transcription function of p53 in cancer cells.")(
+      tri("g125", 0, "", "Binding", Seq(KRAS, ASPP2).sorted.mkString("&")))
+    // dimerization nominal (sent19)
+    conv("g126")("user" -> "The dimerization of ERK2 with BRAF helps something.")(
+      tri("g126", 0, "", "Binding", Seq(gidOf("BRAF"), ERK2).sorted.mkString("&")))
+    // coexist-in-complex coordination (sent28); "whether" marks hypothesis
+    conv("g127")("user" ->
+      "To confirm whether AKT1 and GSK3 coexist in a common complex, we carried out co-immunoprecipitation experiments in HeLa nuclear extracts.")(
+      tri("g127", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&"), hyp = true))
+
     (turns.toSeq, triples.toSeq)
   }
 
