@@ -651,8 +651,8 @@ object BioRules {
         // semantic-negative count — TestActivationEvents sent1c/10/18)
         OptG(AltG(
           Seq(OptG(W("the")), W("activation|inhibition|suppression"), W("of")),
-          Seq(W("the"), OptG(W("kinase|enzymatic|catalytic")), W("activity"),
-            W("of")))),
+          Seq(W("the"), OptG(W("kinase|enzymatic|catalytic")),
+            W("activity|function"), W("of")))),
         ML("controlled", "BioEntity"))),
     // agent nominal between controlled and controller: "mTOR activator
     // Rapamycin" (TestActivationEvents sent13) — polarity from the nominal
@@ -1223,7 +1223,9 @@ object BioRules {
     def nearerTriggerBetween(ctl: MentionRow): Boolean =
       !fromDep && b.trigger._1 >= 0 && ctl.end_tok < b.trigger._1 &&
         (ctl.end_tok until b.trigger._1).exists(i =>
-          actTrigP.matcher(words(i)).matches())
+          // only VERBAL competitors claim the controller — a nominal like
+          // "AKT1 knockdown impaired ..." modifies the controller instead
+          deps.isVerb(i) && actTrigP.matcher(words(i)).matches())
 
     rule.kind match {
       case EntityK(label) =>

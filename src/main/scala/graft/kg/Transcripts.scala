@@ -789,6 +789,12 @@ object Transcripts {
       "To confirm whether AKT1 and GSK3 coexist in a common complex, we carried out co-immunoprecipitation experiments in HeLa nuclear extracts.")(
       tri("g127", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&"), hyp = true))
 
+    // ---- round-3 batch 5: NegationTests sent14-17 (neg-of-neg) -----------
+    conv("g128")("user" -> "AKT1 knockdown impaired the function of ASPP2.")(
+      tri("g128", 0, AKT1, "Positive_activation", ASPP2))
+    conv("g129")("user" -> "Silencing AKT1 impaired the function of ASPP2.")(
+      tri("g129", 0, AKT1, "Positive_activation", ASPP2))
+
     (turns.toSeq, triples.toSeq)
   }
 
