@@ -760,10 +760,14 @@ object SparkEntry {
     // the golden corpus is hand-traced, so drift flips these red)
     "kg_emit_arizona" -> GeneratedOracles.arizona,
     "kg_emit_indexcard" -> GeneratedOracles.indexcard,
+    // hand-traced sample rows (NOT regenerated): participant surfaces are
+    // the canonical node display = the corpus-majority surface form
+    // ("rapamycin" once the lowercase uses outnumber sentence-initial
+    // "Rapamycin"), since these exports aggregate per interaction
     "kg_emit_cmu_sample" ->
       """SELECT * FROM (VALUES
         |  ('mTOR', 'Protein', 'uniprot', 'P42345', '', '', '', '', '',
-        |   'Rapamycin', 'Chemical', 'CID5284616', 'I', 'NONE', '', '', '',
+        |   'rapamycin', 'Chemical', 'CID5284616', 'I', 'NONE', '', '', '',
         |   'g12', 'Rapamycin inhibits mTOR'),
         |  ('STAT3', 'Protein', 'uniprot', 'P40763', 'nucleus', 'go:0005634',
         |   'STAT3', 'Protein', 'P40763', '', '', '', 'D', 'NONE', '', '', '',
@@ -790,7 +794,7 @@ object SparkEntry {
         |   'uniprot:Q02750', 'ERK2', 'protein', 'uniprot:P28482', 1,
         |   'MEK1 fails to phosphorylate ERK2'),
         |  ('decreases_activity', '', '', '', FALSE, FALSE,
-        |   '', '', '', '', 'inhibits', 'g12', 'Rapamycin', 'simple_chemical',
+        |   '', '', '', '', 'inhibits', 'g12', 'rapamycin', 'simple_chemical',
         |   'pubchem:CID5284616', 'mTOR', 'protein', 'uniprot:P42345', 1,
         |   'Rapamycin inhibits mTOR'),
         |  ('translocates', '', '', 'go:GO:0005634', FALSE, FALSE,

@@ -650,9 +650,10 @@ object BioRules {
         // nominal on the controlled path flips polarity via the all-args
         // semantic-negative count — TestActivationEvents sent1c/10/18)
         OptG(AltG(
-          Seq(OptG(W("the")), W("activation|inhibition|suppression"), W("of")),
+          Seq(OptG(W("the")), W("activation|inhibition|suppression"), W("of"),
+            OptG(W("the"))),
           Seq(W("the"), OptG(W("kinase|enzymatic|catalytic")),
-            W("activity|function"), W("of")))),
+            W("activity|function"), W("of"), OptG(W("the"))))),
         ML("controlled", "BioEntity"))),
     // agent nominal between controlled and controller: "mTOR activator
     // Rapamycin" (TestActivationEvents sent13) — polarity from the nominal

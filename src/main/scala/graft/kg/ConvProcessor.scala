@@ -251,14 +251,21 @@ object ConvProcessor {
               (turnDiff == 0 && m.sent_idx - cs <= pronounGap) || turnDiff == 1
             else turnDiff <= npGap
           if (withinGap) {
-            var k = j
-            while (k <= i && picked.size < want) {
+            // LinearSelector order: "the candidate closest to the START of
+            // the anaphor's sentence" — candidates in the SAME sentence come
+            // in document order ("ASPP2 is more common than BEF, and it is
+            // ubiquitinated" -> it = ASPP2, sent1), while candidates in an
+            // EARLIER sentence come nearest-last-first ("GSK3 binds MEK. It
+            // then binds ERK2." -> It = MEK, sent56b)
+            val sameChunk = ct == m.turn_idx && cs == m.sent_idx
+            var k = if (sameChunk) j else i
+            while (k >= j && k <= i && picked.size < want) {
               val c = priorEntities(k)
               if (eligible(c) && !picked.exists(p =>
                     p.text.equalsIgnoreCase(c.text) || {
                       val g = gidFor(c); g.nonEmpty && gidFor(p) == g
                     })) picked += c
-              k += 1
+              k = if (sameChunk) k + 1 else k - 1
             }
           }
           i = j - 1

@@ -318,9 +318,13 @@ object Transcripts {
     conv("g40")(
       "user" -> "AKT1 binds GSK3.",
       "assistant" -> "It is phosphorylated by MEK1.")(
+      // "It" takes the antecedent nearest the anaphor's sentence start —
+      // GSK3, not the earlier subject (LinearSelector semantics,
+      // TestCoreference sent56b: "ASPP1 binds Mek. It then binds KIAA0771."
+      // resolves It -> Mek)
       tri("g40", 0, "", "Binding", Seq(AKT1, GSK3).sorted.mkString("&")),
-      tri("g40", 1, "", "Phosphorylation", AKT1),
-      tri("g40", 1, MEK1, "Positive_regulation", s"Phosphorylation($AKT1)"))
+      tri("g40", 1, "", "Phosphorylation", GSK3),
+      tri("g40", 1, MEK1, "Positive_regulation", s"Phosphorylation($GSK3)"))
 
     // resolveDisplay disambiguation (ReachSystem.scala:249-293): MAPK is a
     // GGP-labeled mention whose only grounding is a family KB -> its node
@@ -794,6 +798,25 @@ object Transcripts {
       tri("g128", 0, AKT1, "Positive_activation", ASPP2))
     conv("g129")("user" -> "Silencing AKT1 impaired the function of ASPP2.")(
       tri("g129", 0, AKT1, "Positive_activation", ASPP2))
+
+    // ---- round-3 batch 6: TestCoreference leftovers -----------------------
+    // two-level complex event: reg over an induced activation whose
+    // controlled sits behind "activation of the" (sent55)
+    conv("g130")("user" ->
+      "Gab1 mutant protein enhances rapamycin induced activation of the PI3K.")(
+      tri("g130", 0, RAPA, "Positive_activation", gidOf("PI3K")),
+      tri("g130", 0, GAB1, "Positive_regulation",
+        s"Positive_activation(${gidOf("PI3K")})"))
+    // cross-sentence pronoun takes the antecedent nearest the sentence
+    // start (sent56b)
+    conv("g131")(
+      "user" -> "GSK3 binds MEK.",
+      "user" -> "It then binds ERK2.")(
+      tri("g131", 0, "", "Binding", Seq(GSK3, MEK).sorted.mkString("&")),
+      tri("g131", 1, "", "Binding", Seq(MEK, ERK2).sorted.mkString("&")))
+    // an intervening sentence breaks pronominal reach (sent16): no events
+    conv("g132")("user" ->
+      "AKT1 is common. This is an intervening sentence. It binds MEK.")()
 
     (turns.toSeq, triples.toSeq)
   }
