@@ -234,7 +234,7 @@ object BioRules {
   // dependency-pattern rules (F8; nsubj hops over appositions). Requires a
   // determiner after the comma so coordination ("MEK1, JAK3, and ...") is not
   // swallowed.
-  private val appos = OptG(W(","), W("a|an|the|which"), X(5), W(","))
+  private val appos = OptG(W(","), W("a|an|the|which"), X(12), W(","))
   // "Site [residue] of" prefix before a nominal theme: tokens skipped here are
   // recovered by the EventSite modification machinery (storeEventSite +
   // siteSniffer semantics, DarpaActions.scala:90-110,266-297)
@@ -319,7 +319,7 @@ object BioRules {
     Rule("mod_passive", 7, SimpleModK,
       List(AltG(
         Seq(ML("theme", ENT), postMods, filler, W("are|were|be|been|being")),
-        Seq(M("theme", ENT), postMods, filler,
+        Seq(M("theme", ENT), postMods, filler, appos,
           // reduced postmodifier between subject and aux: "the endogenous
           // Gab1 present in WT MEFs is tyrosine phosphorylated ..."
           // (TestRegulationEvents sent52) — anchored on the adjective so
@@ -466,6 +466,39 @@ object BioRules {
           ML("source", "Cellular_component", commaOk = false)),
         OptG(W("to|into"), OptG(W("the")),
           ML("destination", "Cellular_component", commaOk = false)))),
+
+    // appositive relative translocations: "ASPP2, a protein which is
+    // translocated from the membrane to the nucleus [by ASPP1], is
+    // subsequently phosphorylated" / active "..., a protein which
+    // translocates Pde2 from ... to ..." (TestTranslocationEvents
+    // testTranslocation4/5/7) — the by/subject cause splits into a
+    // wrapping regulation as usual
+    Rule("transloc_relcl_pass", 7, FixedEventK("Translocation"),
+      List(ML("theme", ENT), W(","), W("a|an"),
+        OptG(W("protein|kinase|enzyme|receptor|molecule")),
+        W("which|that"), W("is|was|are|were"),
+        T("(trans(loc|port)|releas|export|recruit)\\w*ed"),
+        W("from"), OptG(W("the")),
+        M("source", "Cellular_component"),
+        OptG(W("to|into"), OptG(W("the")),
+          M("destination", "Cellular_component")),
+        OptG(W("by"), M("cause", "PossibleController")))),
+    Rule("transloc_relcl_act", 7, FixedEventK("Translocation"),
+      List(M("cause", "PossibleController"), W(","), W("a|an"),
+        OptG(W("protein|kinase|enzyme|receptor|molecule")),
+        W("which|that"),
+        T("(trans(loc|port)|releas|export|recruit)\\w*(s|es)?"),
+        NotNext("from|to|into"),
+        ML("theme", ENT), W("from"), OptG(W("the")),
+        M("source", "Cellular_component"),
+        OptG(W("to|into"), OptG(W("the")),
+          M("destination", "Cellular_component")))),
+    // subject-source release: "... leads the plasma membrane to release p53
+    // to the cytosol" (testTranslocation1)
+    Rule("transloc_src_release", 7, FixedEventK("Translocation"),
+      List(M("source", "Cellular_component"), W("to"),
+        T("release|releases"), ML("theme", ENT), W("to|into"),
+        OptG(W("the")), M("destination", "Cellular_component"))),
 
     // -- p8: binding ------------------------------------------------------
     // coordinated subjects each pair with the object, never with each other

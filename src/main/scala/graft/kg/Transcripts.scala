@@ -818,6 +818,38 @@ object Transcripts {
     conv("g132")("user" ->
       "AKT1 is common. This is an intervening sentence. It binds MEK.")()
 
+    // ---- round-3 batch 7: TestTranslocationEvents shapes ------------------
+    val PMEM = gidOf("plasma membrane", "Cellular_component")
+    val CYTS = gidOf("cytosol", "Cellular_component")
+    // subject-source release (testTranslocation1); site prefers destination
+    conv("g133")("user" ->
+      "Phosphorylation leads the plasma membrane to release p53 to the cytosol.")(
+      tri("g133", 0, "", "Translocation", P53, CYTS))
+    // appositive relative, passive with outer phosphorylation
+    // (testTranslocation4)
+    conv("g134")("user" ->
+      "ASPP2, a protein which is translocated from the membrane to the nucleus, is subsequently phosphorylated.")(
+      tri("g134", 0, "", "Translocation", ASPP2, NUC),
+      tri("g134", 0, "", "Phosphorylation", ASPP2))
+    // active relative with subject cause -> wrapping regulation
+    // (testTranslocation5)
+    conv("g135")("user" ->
+      "ASPP2, a protein which translocates MEK1 from the membrane to the nucleus, is subsequently phosphorylated.")(
+      tri("g135", 0, "", "Translocation", MEK1, NUC),
+      tri("g135", 0, ASPP2, "Positive_regulation", s"Translocation($MEK1@$NUC)", NUC),
+      tri("g135", 0, "", "Phosphorylation", ASPP2))
+    // passive relative with by-cause (testTranslocation7)
+    conv("g136")("user" ->
+      "ASPP2, a protein which is translocated from the membrane to the nucleus by GSK3, is subsequently phosphorylated.")(
+      tri("g136", 0, "", "Translocation", ASPP2, NUC),
+      tri("g136", 0, GSK3, "Positive_regulation", s"Translocation($ASPP2@$NUC)", NUC),
+      tri("g136", 0, "", "Phosphorylation", ASPP2))
+    // upregulated loss composes to a negative regulation over the
+    // DecreaseAmount (TestAmountEvents sent2)
+    conv("g137")("user" -> "ERK2 upregulates the loss of STAT3.")(
+      tri("g137", 0, "", "DecreaseAmount", STAT3),
+      tri("g137", 0, ERK2, "Negative_regulation", s"DecreaseAmount($STAT3)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
