@@ -180,6 +180,9 @@ object Matcher {
           case m: M =>
             state.at(pos, m.label) match {
               case Nil => ()
+              case cand :: Nil => // overwhelmingly common: zero extra alloc
+                tryMatchCb(rest, words, state, cand.end_tok,
+                  b.add(m.role, cand))(emit)
               case cands @ (cand :: _) =>
                 // longest span only (deterministic), but EVERY same-span
                 // variant binds — Odin's @arg captures yield one match per
@@ -190,14 +193,20 @@ object Matcher {
                 // start also binds: an event must not shadow the entity
                 // reading ("KRAS activates ..." — the act built at p14
                 // starts at KRAS, but p16's reg controller is KRAS itself)
-                val sameSpan = cands.filter(c =>
-                  c.end_tok == cand.end_tok &&
-                    c.labels.head == cand.labels.head)
-                val entityAlt =
-                  if (cand.is_event) cands.find(!_.is_event).toList else Nil
-                (sameSpan ++ entityAlt).foreach { c =>
-                  tryMatchCb(rest, words, state, c.end_tok,
-                    b.add(m.role, c))(emit)
+                var seenEntityAlt = false
+                var it: List[MentionRow] = cands
+                while (it.nonEmpty) {
+                  val c = it.head
+                  if (c.end_tok == cand.end_tok &&
+                      c.labels.head == cand.labels.head) {
+                    tryMatchCb(rest, words, state, c.end_tok,
+                      b.add(m.role, c))(emit)
+                  } else if (cand.is_event && !c.is_event && !seenEntityAlt) {
+                    seenEntityAlt = true
+                    tryMatchCb(rest, words, state, c.end_tok,
+                      b.add(m.role, c))(emit)
+                  }
+                  it = it.tail
                 }
             }
           case ml: ML =>
