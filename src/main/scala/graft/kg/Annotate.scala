@@ -103,6 +103,12 @@ object Annotate {
     private val hyphenMutantPrefixRe =
       """[ACDEFGHIKLMNPQRSTVWY]\d{1,4}[ACDEFGHIKLMNPQRSTVWY]""".r
 
+    // residue / mutation code ("T202", "K156M"): slash-joined runs of these
+    // split into separate tokens ("ERK(T202/Y204)" -> two sites; "K156M/
+    // H204M" -> two mutations), while non-code runs ("F446/472/589" position
+    // lists, "PI3K/Akt", "ERK1/2") stay fused
+    private val slashCodeRe = """[A-Za-z]{1,3}\d{1,4}[A-Za-z]?""".r
+
     def tokenize(text: String): Array[(String, Int)] =
       tokenRe.findAllMatchIn(text).flatMap { m =>
         val w = m.matched
@@ -117,6 +123,19 @@ object Annotate {
                 hyphenMutantPrefixRe.pattern.matcher(pre).matches())
               Seq((pre, m.start), (post, m.start + h + 1))
             else Seq((w, m.start))
+          } else if (w.indexOf('/') > 0) {
+            val parts = w.split('/')
+            if (parts.length >= 2 &&
+                parts.forall(p => slashCodeRe.pattern.matcher(p).matches())) {
+              var off = m.start
+              parts.iterator.zipWithIndex.flatMap { case (p, k) =>
+                val r =
+                  if (k == 0) Seq((p, off))
+                  else Seq(("/", off - 1), (p, off))
+                off += p.length + 1
+                r
+              }.toSeq
+            } else Seq((w, m.start))
           } else Seq((w, m.start))
         }
       }.toArray

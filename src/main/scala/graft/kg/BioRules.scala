@@ -142,7 +142,8 @@ object BioRules {
   // + DarpaActions.storePTM/storeEventSite/storeMutants:59-121
 
   /** PTM participle adjacent to an entity: "phosphorylated ERK2". */
-  private val ptmParticipleP = Pattern.compile(s"(de-?)?($stemsAlt)ed",
+  private val ptmParticipleP = Pattern.compile(
+    s"((mono|poly|di|multi)-?)?(de-?)?($stemsAlt)ed",
     Pattern.CASE_INSENSITIVE)
 
   /** Fused PTM prefix inside a single token: "p-ERK2", "phospho-AKT1". */
@@ -167,7 +168,8 @@ object BioRules {
     Pattern.compile(s"$mutantPart(/$mutantPart)*", Pattern.CASE_INSENSITIVE)
   private val mutantWordP =
     Pattern.compile("mutants?|mutations?", Pattern.CASE_INSENSITIVE)
-  private val mutantSepP = Pattern.compile(",|and|or", Pattern.CASE_INSENSITIVE)
+  private val mutantSepP =
+    Pattern.compile(",|and|or|/", Pattern.CASE_INSENSITIVE)
 
   // ---- rule spec --------------------------------------------------------
 
@@ -228,7 +230,7 @@ object BioRules {
     Seq(W("on|at"), ML("site", "Site", commaOk = true)),
     Seq(W("on|at"), W("residues?|sites?"), ML("site", "Site", commaOk = true))))
   private val parenSites = OptG(OptG(W("residues?")), W("\\("),
-    ML("site", "Site", commaOk = true), W("\\)"))
+    ML("site", "Site", commaOk = true, conj = "and|or|&|/"), W("\\)"))
   // appositive between subject and verb: "MEK1, a dual-specificity kinase,
   // phosphorylates ..." — clause-skip surrogate for the reference's
   // dependency-pattern rules (F8; nsubj hops over appositions). Requires a
@@ -356,7 +358,12 @@ object BioRules {
     // of/by phrase the nn is the CAUSE, not the theme ("MEK1 phosphorylation
     // of ERK2" — handled by mod_subjnominal below).
     Rule("mod_prenominal", 7, SimpleModK,
-      List(M("theme", ENT), OptG(M("site", "Site")), T(modNom),
+      List(M("theme", ENT), parenSites,
+        // parenthesized mutation codes were consumed as Mutant mods by
+        // attachMods ("ERK2(K156M/H204M) phosphorylation" -> one event per
+        // mutant variant, TestModifications sent15/16); the span skips them
+        OptG(W("\\("), X(5), W("\\)")),
+        OptG(M("site", "Site")), T(modNom),
         NotNext("of|by"), sitePrep)),
     // nn-theme with by-cause (syntax_2_noun: theme prep_of? nn, cause
     // prep_by): "ERK2 phosphorylation by MEK1 increased."
@@ -377,6 +384,11 @@ object BioRules {
       List(T(s"auto-?($stemsAlt)ions?"), W("of"), ML("theme", ENT))),
     // relative clause: "ERK2, which is phosphorylated by MEK1" — clause-aware
     // surrogate for the reference's *_syntax_* dependency rules (F8)
+    // participle premodifier with by-cause: "The phosphorylated p53 by
+    // ASPP2 is doing something" — an event with a cause, NOT a PTM
+    // (TestModifications sent9)
+    Rule("mod_premod_by", 7, SimpleModK,
+      List(T(modParticiple), ML("theme", ENT), W("by"), M("cause", ENT))),
     Rule("mod_relcl", 7, SimpleModK,
       List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
         adv, T(modParticiple), sitePrep, OptG(W("by"), M("cause", ENT)))),
@@ -913,14 +925,22 @@ object BioRules {
     * base event, not an enclosing regulation). Deterministic tiebreaks.
     */
   private def mentionAt(state: State, tok: Int, label: String,
-                        event: Boolean): Option[MentionRow] = {
-    val it = state.all.iterator.filter(m => m.is_event == event &&
+                        event: Boolean): Seq[MentionRow] = {
+    val all = state.all.filter(m => m.is_event == event &&
       m.start_tok <= tok && tok < m.end_tok && m.labels.contains(label))
-    if (!it.hasNext) None
-    else if (event)
-      Some(it.minBy(m => (m.end_tok - m.start_tok, m.start_tok, m.mention_id)))
-    else
-      Some(it.maxBy(m => (m.end_tok - m.start_tok, -m.start_tok, m.mention_id)))
+    if (all.isEmpty) Nil
+    else {
+      // winning span (tightest for events, widest for entities) — ALL
+      // mentions sharing it bind, one dep-rule match per variant
+      // (multi-site unpacked events, multi-Mutant split entities)
+      val w =
+        if (event)
+          all.minBy(m => (m.end_tok - m.start_tok, m.start_tok, m.mention_id))
+        else
+          all.maxBy(m => (m.end_tok - m.start_tok, -m.start_tok, m.mention_id))
+      all.filter(m => m.start_tok == w.start_tok && m.end_tok == w.end_tok &&
+        m.labels.head == w.labels.head).toSeq
+    }
   }
 
   /** A PTM participle adjacent to an entity was consumed by attachMods as a
@@ -1370,7 +1390,11 @@ object BioRules {
             (b.trigger._1 until b.trigger._2).iterator.filter { i =>
               val w = words(i)
               w != "," && w != "/" && !w.equalsIgnoreCase("or") &&
-                state.at(i, "Entity").isEmpty && !w.equalsIgnoreCase(a.text)
+                state.at(i, "Entity").isEmpty && !w.equalsIgnoreCase(a.text) &&
+                // mutation / residue codes in parens are modifications, not
+                // alias targets ("ERK2(K156M/H204M)", TestModifications
+                // sent15/16)
+                !mutantTokP.matcher(w).matches()
             }.flatMap { i =>
               val bm = MentionRow(
                 mentionId(conv, turn, sent.sent_idx, i, i + 1, label, "", Nil,
@@ -1536,9 +1560,10 @@ object BioRules {
         // expansion in the reference's syntax paths)
         (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
          b.caps.get("controlled")) match {
-          case (Some(ctls @ (_ :: _)), Some(cld :: _)) =>
+          case (Some(ctls @ (_ :: _)), Some(clds @ (_ :: _))) =>
             for {
               ctl <- ctls
+              cld <- clds
               if ctl.mention_id != cld.mention_id &&
                 !cld.args.exists(_.mention_id == ctl.mention_id) &&
                 bioprocessOk(ctl, cld) && !nearerTriggerBetween(ctl)
@@ -1828,7 +1853,11 @@ object BioRules {
         // site — "[The] ubiquitinated Ras [protein] at Ser16 binds AKT"
         // (TestModifications JJWithSite / IntercedingWithSite shapes)
         if (m.start_tok > 0 &&
-            ptmParticipleP.matcher(words(m.start_tok - 1)).matches()) {
+            ptmParticipleP.matcher(words(m.start_tok - 1)).matches() &&
+            // a following by-agent makes this an EVENT with a cause, not a
+            // PTM ("The phosphorylated p53 by ASPP2", TestModifications
+            // sent9 — handled by mod_premod_by)
+            !(m.end_tok < n && words(m.end_tok) == "by")) {
           var r = m.end_tok
           if (r < n && (words(r) == "protein" || words(r) == "proteins")) r += 1
           val site =
@@ -1856,8 +1885,15 @@ object BioRules {
           mods += Mod("PTM", modLabel(words(m.end_tok)), s.text, s.mention_id)
         }
 
-        // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]"
+        // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]",
+        // optionally parenthesized: "ERK(K156M/H204M)" (TestModifications
+        // sent15/16 — one mention per mutation)
         var j = m.end_tok
+        var parenMut = false
+        if (j + 1 < n && words(j) == "(" &&
+            mutantTokP.matcher(words(j + 1)).matches()) {
+          parenMut = true; j += 1
+        }
         var expectTok = true
         while (j < n && (
           (expectTok && mutantTokP.matcher(words(j)).matches()) ||
@@ -1868,6 +1904,9 @@ object BioRules {
           } else expectTok = true
           j += 1
         }
+        // an opened mutant paren must close, else the codes are not ours
+        if (parenMut && !(j < n && words(j) == ")"))
+          mods.filterInPlace(_.kind != "Mutant")
         // Mutants leftward: "the T669A mutant of ERK2"
         if (m.start_tok >= 3 && words(m.start_tok - 1) == "of" &&
             mutantWordP.matcher(words(m.start_tok - 2)).matches() &&

@@ -850,6 +850,26 @@ object Transcripts {
       tri("g137", 0, "", "DecreaseAmount", STAT3),
       tri("g137", 0, ERK2, "Negative_regulation", s"DecreaseAmount($STAT3)"))
 
+    // ---- round-3 batch 8: TestModifications shapes ------------------------
+    // participle premodifier with by-cause is an event, not a PTM (sent9)
+    conv("g138")("user" ->
+      "The phosphorylated p53 by ASPP2 is doing something.")(
+      tri("g138", 0, "", "Phosphorylation", P53),
+      tri("g138", 0, ASPP2, "Positive_regulation", s"Phosphorylation($P53)"))
+    // parenthesized slash site run: one phospho + reg per site (sent14)
+    conv("g139")("user" ->
+      "all six AKT1 mutants induced activatory ERK2(T202/Y204) phosphorylation (Fig. 2).")(
+      tri("g139", 0, "", "Phosphorylation", ERK2, "T202"),
+      tri("g139", 0, "", "Phosphorylation", ERK2, "Y204"),
+      tri("g139", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2@T202)", "T202"),
+      tri("g139", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2@Y204)", "Y204"))
+    // parenthesized mutation codes become Mutant mods, regulations NOT
+    // activations (sent15)
+    conv("g140")("user" ->
+      "all six AKT1 mutants induced activatory ERK2(K156M/H204M) phosphorylation (Fig. 2).")(
+      tri("g140", 0, "", "Phosphorylation", ERK2),
+      tri("g140", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
