@@ -430,6 +430,11 @@ object BioRules {
       List(ML("theme", ENT), OptG(W("gene|genes|protein|proteins|mRNA")),
         T("transcription|(over-?)?expression"), W("by"),
         M("cause", "PossibleController"))),
+    // postposed reduced participle: "the levels of MCL-1 and BIM expressed
+    // in several cell lines" -> one Transcription per theme
+    // (TestTranscriptionEvents sent7)
+    Rule("transcription_postmod", 7, FixedEventK("Transcription"),
+      List(ML("theme", ENT), T("(over-?)?expressed"), W("in"))),
     Rule("transcription_passive", 7, FixedEventK("Transcription"),
       List(ML("theme", ENT),
         W("is|are|was|were|be|been|being|gets?|got"), notOpt, adv,

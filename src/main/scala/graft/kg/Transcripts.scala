@@ -869,6 +869,14 @@ object Transcripts {
       "all six AKT1 mutants induced activatory ERK2(K156M/H204M) phosphorylation (Fig. 2).")(
       tri("g140", 0, "", "Phosphorylation", ERK2),
       tri("g140", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // postposed reduced participle transcriptions + amount nominals coexist
+    // (TestTranscriptionEvents sent7)
+    conv("g141")("user" ->
+      "We went on to examine the levels of STAT3 and BAD expressed in several uveal melanoma cell lines.")(
+      tri("g141", 0, "", "Amount", STAT3),
+      tri("g141", 0, "", "Amount", BAD),
+      tri("g141", 0, "", "Transcription", STAT3),
+      tri("g141", 0, "", "Transcription", BAD))
 
     (turns.toSeq, triples.toSeq)
   }
