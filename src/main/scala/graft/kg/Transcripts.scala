@@ -918,11 +918,12 @@ object Transcripts {
     while (t < nTurns) {
       val role = if (t % 2 == 0) "user" else "assistant"
       // kinds 14-18 need cross-turn coref and are excluded from mega slices
-      // (chunk boundaries must not truncate anaphora lookback); 19-25 are
+      // (chunk boundaries must not truncate anaphora lookback); 19-30 are
       // sentence-local families (dependency rules, hydrolysis, subject
-      // nominal, multi-site, translocation) but stay out of mega too so the
-      // mega slice distribution is unchanged
-      val maxT = if (withCoref) 26 else 14
+      // nominal, multi-site, translocation, in-response-to / following
+      // regulations, bioprocess guard, pair tokens, neg-of-neg activation)
+      // but stay out of mega too so the mega slice distribution is unchanged
+      val maxT = if (withCoref) 31 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -1124,6 +1125,40 @@ object Transcripts {
             gidOf("nucleus", "Cellular_component"))
           triples += tri(conv, t, "", "Translocation", gidOf(b),
             gidOf("cytosol", "Cellular_component"))
+        case 26 =>
+          // in-response-to regulation (reg_irt; round-3 batch 2)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"$b is tyrosine phosphorylated in response to $a treatment.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b), "tyrosine")
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)}@tyrosine)", "tyrosine")
+        case 27 =>
+          // following-inhibition regulation (reg_following_of)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"The phosphorylation of $b following inhibition of $a.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Negative_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 28 =>
+          // bioprocessValid: a BioProcess controller yields no regulation
+          val Seq(b) = genes(1)
+          turns += mkTurn(conv, t, role,
+            s"Apoptosis promotes the phosphorylation of $b.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+        case 29 =>
+          // complex-context fused pair token (bind_pair_pre)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"The heterodimer $a-$b is stable.")
+          triples += tri(conv, t, "", "Binding",
+            Seq(gidOf(a), gidOf(b)).sorted.mkString("&"))
+        case 30 =>
+          // neg-of-neg activation through a function-of wrapper
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"Silencing $a impaired the function of $b.")
+          triples += tri(conv, t, gidOf(a), "Positive_activation", gidOf(b))
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
       }
