@@ -170,6 +170,8 @@ object BioRules {
     Pattern.compile("mutants?|mutations?", Pattern.CASE_INSENSITIVE)
   private val mutantSepP =
     Pattern.compile(",|and|or|/", Pattern.CASE_INSENSITIVE)
+  private val figTableP = Pattern.compile(
+    "fig(ure)?s?\\.?|tables?|panels?|lanes?", Pattern.CASE_INSENSITIVE)
 
   // ---- rule spec --------------------------------------------------------
 
@@ -1020,16 +1022,40 @@ object BioRules {
     val n = sent.ner.length
     while (i < n) {
       if (sent.ner(i).startsWith("B-")) {
-        val label = sent.ner(i).substring(2)
+        var label = sent.ner(i).substring(2)
         var j = i + 1
         while (j < n && sent.ner(j) == "I-" + label) j += 1
-        val text = sent.words.slice(i, j).mkString(" ")
-        val labels = Lexicon.labelClosure(label)
-        out += MentionRow(
-          mentionId(conv, turn, sent.sent_idx, i, j, label, "", Nil, false, false),
-          conv, turn, sent.sent_idx, i, j, labels, text, "ner", false, "",
-          Arg.none, false, false)
-        i = j
+        val next = if (j < n) sent.words(j).toLowerCase else ""
+        // substrate constraint (TestEntities sent6, the reference's NER
+        // stop-list lookahead): "The K-Ras substrate" is not an entity
+        if (next == "substrate" || next == "substrates") { i = j }
+        // drug reading absorbs the target (TestEntities sent9a-c; the
+        // reference disabled its inhibitor agent-nominal rule for this):
+        // "Ras inhibitor was added" -> one Simple_chemical
+        else if (next == "inhibitor" || next == "inhibitors") {
+          val text = sent.words.slice(i, j + 1).mkString(" ")
+          out += MentionRow(
+            mentionId(conv, turn, sent.sent_idx, i, j + 1, "Simple_chemical",
+              "", Nil, false, false),
+            conv, turn, sent.sent_idx, i, j + 1,
+            Lexicon.labelClosure("Simple_chemical"), text, "ner", false, "",
+            Arg.none, false, false)
+          i = j + 1
+        } else {
+          // family lookahead (TestEntities mekText/mekText2): "the MEK
+          // [protein] family" relabels the GGP as Family
+          if (label == "Gene_or_gene_product" &&
+              (next == "family" || (next == "protein" && j + 1 < n &&
+                sent.words(j + 1).equalsIgnoreCase("family"))))
+            label = "Family"
+          val text = sent.words.slice(i, j).mkString(" ")
+          val labels = Lexicon.labelClosure(label)
+          out += MentionRow(
+            mentionId(conv, turn, sent.sent_idx, i, j, label, "", Nil, false, false),
+            conv, turn, sent.sent_idx, i, j, labels, text, "ner", false, "",
+            Arg.none, false, false)
+          i = j
+        }
       } else i += 1
     }
     out.toSeq
@@ -1291,9 +1317,12 @@ object BioRules {
         // NER-overlap anti-join (P3 — mkNERMentions semantics,
         // DarpaActions.scala:45-52): a rule entity overlapping an existing
         // mention is a fragment of it ("D1" inside "cyclin D1"), not a new
-        // entity
+        // entity. Figure/table references are never sites ("See Figure S31
+        // and Table R15" — TestEntities sent5).
         if (state.all.exists(m =>
-            !(m.end_tok <= startPos || m.start_tok >= endPos))) Nil
+            !(m.end_tok <= startPos || m.start_tok >= endPos)) ||
+            (label == "Site" && startPos > 0 &&
+              figTableP.matcher(words(startPos - 1)).matches())) Nil
         else {
           val text = words.slice(startPos, endPos).mkString(" ")
           Seq(MentionRow(

@@ -150,7 +150,7 @@ object DepParser {
     "suggest", "show", "demonstrate", "indicate", "reveal", "hint", "imply",
     "predict", "hypothesize", "propose", "speculate", "argue", "believe",
     "think", "report", "observe", "find", "found", "conclude", "confirm",
-    "detect", "measure", "assay", "identify",
+    "detect", "measure", "assay", "identify", "influence", "monitor",
     "establish", "examine", "investigate", "test", "note", "see", "know",
     "expect", "appear", "seem", "occur", "increase", "decrease", "reduce",
     "block", "inhibit", "induce", "promote", "prevent", "suppress", "enhance",

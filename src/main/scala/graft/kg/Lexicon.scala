@@ -269,6 +269,9 @@ object Lexicon {
       fam("Ras", "PF00071"), fam("RAF", "PF02196"),
       fam("RAF", "PF02196", "Gene_or_gene_product", 1),
       fam("Rho", "PF00071"), fam("STAT", "PF01017"),
+      // "the MEK family" relabels the GGP mention as Family (decodeIob
+      // lookahead, TestEntities mekText) — ground it to the kinase family
+      fam("MEK", "PF00069"),
       fam("SMAD", "PF03165"), fam("Wnt", "PF00110"),
       fam("ERK1/2", "PF00069"), fam("14-3-3", "PF00244"),
       chem("ubiquitin", "CID3081416"), chem("ATP", "CID5957"),

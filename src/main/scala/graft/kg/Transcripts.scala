@@ -877,6 +877,32 @@ object Transcripts {
       tri("g141", 0, "", "Amount", BAD),
       tri("g141", 0, "", "Transcription", STAT3),
       tri("g141", 0, "", "Transcription", BAD))
+    // "influenced" is not a reference trigger: no regulation, and the
+    // siRNA-induced loss reading must not misparse into a cause
+    // (TestCoreference sent20 environment)
+    conv("g142")("user" ->
+      "We also monitored how siRNA-induced loss of MEK1 influenced phosphorylation of ERK2.")(
+      tri("g142", 0, "", "DecreaseAmount", MEK1),
+      tri("g142", 0, "", "Phosphorylation", ERK2))
+    // possessive anaphor inside a nominal binding with coordinated partners
+    // (TestCoreference sent5 shape)
+    conv("g143")("user" ->
+      "To address the effect of AKT1 ubiquitination on its binding to PI3K and RAF family members, either total G12V-K-Ras or the ubiquitinated subfraction of G12V-K-Ras was immunoprecipitated.")(
+      tri("g143", 0, "", "Ubiquitination", AKT1),
+      tri("g143", 0, "", "Binding", Seq(AKT1, gidOf("PI3K")).sorted.mkString("&")),
+      tri("g143", 0, "", "Binding", Seq(AKT1, gidOf("RAF", "Family")).sorted.mkString("&")))
+
+    // ---- round-3 batch 9: TestEntities guards -----------------------------
+    // figure/table references are not sites; substrate lookahead kills the
+    // entity; inhibitor lookahead absorbs it into a chemical (sent5/6/9)
+    conv("g144")("user" -> "See Figure S31 and Table R15.")()
+    conv("g145")("user" ->
+      "The K-Ras substrate and mTOR substrates should not be found.")()
+    conv("g146")("user" -> "AKT1 inhibitor was added to the solution.")()
+    // "the MEK family" relabels the GGP as Family and grounds to the family
+    // KB (mekText lookahead)
+    conv("g147")("user" -> "the MEK family activates ERK2.")(
+      tri("g147", 0, gidOf("MEK", "Family"), "Positive_activation", ERK2))
 
     (turns.toSeq, triples.toSeq)
   }
