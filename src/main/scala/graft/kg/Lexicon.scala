@@ -153,7 +153,12 @@ object Lexicon {
       "IGF-1R", "IRS-1", "Shc", "RhoA", "Rac1", "CDC42", "PLC-gamma",
       "paxillin", "talin", "vinculin", "BAD", "BAX", "BCL2", "caspase-3",
       "NF-kappaB", "IkB", "IKK", "TRAF2", "TRAF6", "RIP1", "FADD",
-      "beta-catenin", "GSK3beta", "APC", "axin", "LRP6", "DVL1"
+      "beta-catenin", "GSK3beta", "APC", "axin", "LRP6", "DVL1",
+      // multi-word GGPs for the inhibitor-lookahead contrast (TestEntities
+      // sent9c/9d): a protein FOLLOWED by "inhibitor" is absorbed into a
+      // chemical; a protein whose own name ENDS in "inhibitor" stays a GGP
+      "adenylate cyclase", "vascular endothelial cell growth inhibitor",
+      "SRC-3", "ER"
       // GGP-labeled surface whose ONLY grounding is a family KB — the
       // resolveDisplay "Family" disambiguation fixture (ReachSystem.scala:
       // 249-293 + ReachKBUtils.isFamilyGrounded)
@@ -168,6 +173,7 @@ object Lexicon {
       "ERK1/2" -> "Family",
       "14-3-3" -> "Family",
       "ubiquitin" -> "Simple_chemical",
+      "E2" -> "Simple_chemical",
       "ATP" -> "Simple_chemical",
       "GTP" -> "Simple_chemical",
       "rapamycin" -> "Simple_chemical",
@@ -260,6 +266,9 @@ object Lexicon {
       up("FADD", "Q13158"), up("beta-catenin", "P35222"), up("GSK3beta", "P49841"),
       up("APC", "P25054"), up("axin", "O15169"), up("LRP6", "O75581"),
       up("DVL1", "O14640"), up("Mad-Max", "Q05195"),
+      up("adenylate cyclase", "Q08828"),
+      up("vascular endothelial cell growth inhibitor", "O95150"),
+      up("SRC-3", "Q9Y6Q9"), up("ER", "P03372"),
       // Ras is BOTH a protein-KB miss and a family-KB hit; as a
       // Gene_or_gene_product label its search sequence falls through to pfam
       // at rank 1 (family-vs-protein overlap fixture, FIXTURES.md §2)
@@ -275,6 +284,7 @@ object Lexicon {
       fam("SMAD", "PF03165"), fam("Wnt", "PF00110"),
       fam("ERK1/2", "PF00069"), fam("14-3-3", "PF00244"),
       chem("ubiquitin", "CID3081416"), chem("ATP", "CID5957"),
+      chem("E2", "CID5757"),
       chem("GTP", "CID6830"), chem("rapamycin", "CID5284616"),
       chem("wortmannin", "CID312145"), chem("staurosporine", "CID44259"),
       chem("LY294002", "CID3973"), chem("calcium", "CID271"),

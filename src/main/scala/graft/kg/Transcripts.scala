@@ -903,6 +903,30 @@ object Transcripts {
     // KB (mekText lookahead)
     conv("g147")("user" -> "the MEK family activates ERK2.")(
       tri("g147", 0, gidOf("MEK", "Family"), "Positive_activation", ERK2))
+    // multi-word protein + "inhibitor" absorbs into one chemical
+    // (TestEntities sent9c)
+    conv("g148")("user" ->
+      "Adenylate cyclase inhibitor was added to the solution.")()
+    // a protein whose own name ENDS in "inhibitor" is NOT absorbed — it
+    // stays a GGP (TestEntities sent9d)
+    conv("g149")("user" ->
+      "Vascular endothelial cell growth inhibitor was added to solution.")()
+    // ... and when that GGP is an activation's cause, its head lemma
+    // "inhibitor" sits on the trigger-arg dependency path, so
+    // countSemanticNegatives flips the polarity (DarpaActions.scala:454-484:
+    // the arg HEAD is on the shortest path and only trigger tokens are
+    // excluded)
+    conv("g150")("user" ->
+      "Vascular endothelial cell growth inhibitor activates ERK2.")(
+      tri("g150", 0, gidOf("vascular endothelial cell growth inhibitor"),
+        "Negative_activation", ERK2))
+    // fused-prefix chemical cause over a nominal event; no Site misreads
+    // ("SRC-3" must not shed a site; TestEntities sent8)
+    conv("g151")("user" ->
+      "Our model, in which E2-induced SRC-3 phosphorylation occurs in a complex with ER")(
+      tri("g151", 0, "", "Phosphorylation", gidOf("SRC-3")),
+      tri("g151", 0, gidOf("E2", "Simple_chemical"), "Positive_regulation",
+        s"Phosphorylation(${gidOf("SRC-3")})"))
 
     (turns.toSeq, triples.toSeq)
   }
