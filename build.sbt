@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // uniformly 5-25x (observed in repeated-pipeline benchmarks).
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // the forked JVM inherits a POSIX locale whose native stdout encoding is
+  // ASCII — non-ASCII corpus text (Greek Δ in mutation codes) would mangle
+  // in println'd oracles and debug dumps
+  "-Dfile.encoding=UTF-8",
+  "-Dstdout.encoding=UTF-8",
+  "-Dstderr.encoding=UTF-8",
 )

@@ -14,7 +14,7 @@ object TrySentences {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val sents = scala.io.Source.fromFile(args(0)).getLines().toSeq
+    val sents = scala.io.Source.fromFile(args(0), "UTF-8").getLines().toSeq
       .filter(_.nonEmpty)
     val turns = spark.createDataset(sents.zipWithIndex.map { case (s, i) =>
       Transcripts.mkTurn(f"t$i%02d", 0, "user", s)

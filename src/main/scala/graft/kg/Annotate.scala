@@ -79,8 +79,10 @@ object Annotate {
   object Tokenizer {
     // word chars incl. biomedical symbol chars (hyphen/slash/dot inside tokens),
     // n't contractions, or single punctuation
+    // underscore / ">" / Greek Δ stay inside tokens for HGVS mutation codes
+    // ("M27_K29del", "76A>T", "ΔF508" — TestModifications mutantTest16-21)
     private val tokenRe =
-      """[A-Za-z]+n['’]t|[A-Za-z0-9](?:[A-Za-z0-9/\-\.]*[A-Za-z0-9])?|[^\sA-Za-z0-9]""".r
+      """[A-Za-z]+n['’]t|[A-Za-z0-9Δ](?:[A-Za-z0-9/\-\._>]*[A-Za-z0-9])?|[^\sA-Za-z0-9]""".r
 
     /** (token, charStart) pairs. Negative clitics split PTB-style, exactly as
       * the reference's CoreNLP tokenizer does: "doesn't" -> "does" + "n't",

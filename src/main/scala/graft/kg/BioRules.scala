@@ -58,14 +58,21 @@ object BioRules {
     */
   def modLabel(trigger: String): String = {
     val t = trigger.toLowerCase
-    val de = t.startsWith("de")
-    val body = if (de) t.stripPrefix("de").stripPrefix("-") else t
-    val stem = modStems.keys.find(body.startsWith).getOrElse("phosphorylat")
-    val base = modStems(stem)
-    if (de) {
-      // Deubiquitination, Dephosphorylation, ... (capitalized De + lowered base)
-      "De" + base.head.toLower + base.tail
-    } else base
+    // de- forms are PREFIX-anchored; positive stems match by CONTAINS, so
+    // prefixed participles keep the right label ("monoubiquitinated" ->
+    // Ubiquitination, TestModifications sent13). Unknown -> "" (the
+    // reference's UNKNOWN: caller attaches no PTM).
+    val deStem = modStems.keys.find(s =>
+      t.startsWith("de" + s) || t.startsWith("de-" + s))
+    deStem match {
+      case Some(s) =>
+        val base = modStems(s)
+        // Deubiquitination, Dephosphorylation, ... (De + lowered base)
+        "De" + base.head.toLower + base.tail
+      case None =>
+        modStems.collectFirst { case (s, base) if t.contains(s) => base }
+          .getOrElse("")
+    }
   }
 
   // the reference's full posTriggers/negTriggers prefix inventories
@@ -161,13 +168,24 @@ object BioRules {
   private val mutantPart =
     s"([ACDEFGHIKLMNPQRSTVWY]\\d+[ACDEFGHIKLMNPQRSTVWY]|$aaLong\\d+$aaLong|" +
       s"[ACDEFGHIKLMNPQRSTVWY]?\\d+del[ACDEFGHIKLMNPQRSTVWY]?|" +
-      s"Delta[ACDEFGHIKLMNPQRSTVWY]\\d+|" +
+      s"(Delta|Δ)[ACDEFGHIKLMNPQRSTVWY]\\d+|" +
+      // HGVS-ish shapes (mutants.yml:82-141 + TestModifications
+      // mutantTest16-21): "76A>T" substitution, "K29del"/"29delK"/
+      // "M27_K29del"/"27_29del" deletions, "K29_M30insQSK" insertion,
+      // "G31_Q33dup" duplication, "Arg83fs" frameshift
+      s"\\d+[ACDEFGHIKLMNPQRSTVWY]>[ACDEFGHIKLMNPQRSTVWY]|" +
+      s"[ACDEFGHIKLMNPQRSTVWY]?\\d+(_[ACDEFGHIKLMNPQRSTVWY]?\\d+)?" +
+      s"(del[ACDEFGHIKLMNPQRSTVWY]*|ins[ACDEFGHIKLMNPQRSTVWY]+|dup)|" +
+      s"(?:$aaLong|[ACDEFGHIKLMNPQRSTVWY])\\d+fs|" +
       // slash-coordinated position run: "F446/472/589" (one token, one mod)
       s"[ACDEFGHIKLMNPQRSTVWY]\\d+(/\\d+)+)"
   private val mutantTokP =
     Pattern.compile(s"$mutantPart(/$mutantPart)*", Pattern.CASE_INSENSITIVE)
   private val mutantWordP =
     Pattern.compile("mutants?|mutations?", Pattern.CASE_INSENSITIVE)
+  /** Mutant evidence normalization: the Greek deletion prefix is spelled out
+    * ("ΔF508" -> "DeltaF508"), as the reference's mutant evidence is. */
+  private def normMutCode(w: String): String = w.replace("Δ", "Delta")
   private val mutantSepP =
     Pattern.compile(",|and|or|/", Pattern.CASE_INSENSITIVE)
   private val figTableP = Pattern.compile(
@@ -1898,8 +1916,11 @@ object BioRules {
             if (r < n && (words(r) == "at" || words(r) == "on"))
               siteByStart.get(r + 1)
             else None
-          mods += Mod("PTM", modLabel(words(m.start_tok - 1)),
-            site.map(_.text).getOrElse(""), site.map(_.mention_id).getOrElse(0L))
+          val lbl = modLabel(words(m.start_tok - 1))
+          if (lbl.nonEmpty)
+            mods += Mod("PTM", lbl,
+              site.map(_.text).getOrElse(""),
+              site.map(_.mention_id).getOrElse(0L))
         }
         // fused prefix in the token itself: "p-ERK2", "phospho-AKT1", "u-Ras"
         else if (m.end_tok - m.start_tok == 1 &&
@@ -1916,7 +1937,9 @@ object BioRules {
             (words(m.end_tok + 1) == "at" || words(m.end_tok + 1) == "on") &&
             siteByStart.contains(m.end_tok + 2)) {
           val s = siteByStart(m.end_tok + 2)
-          mods += Mod("PTM", modLabel(words(m.end_tok)), s.text, s.mention_id)
+          val lbl = modLabel(words(m.end_tok))
+          if (lbl.nonEmpty)
+            mods += Mod("PTM", lbl, s.text, s.mention_id)
         }
 
         // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]",
@@ -1928,24 +1951,49 @@ object BioRules {
             mutantTokP.matcher(words(j + 1)).matches()) {
           parenMut = true; j += 1
         }
-        var expectTok = true
-        while (j < n && (
-          (expectTok && mutantTokP.matcher(words(j)).matches()) ||
-          (!expectTok && mutantSepP.matcher(words(j)).matches()))) {
-          if (expectTok) {
-            mods += Mod("Mutant", "", words(j), 0L)
-            expectTok = false
-          } else expectTok = true
-          j += 1
+        var sawRight = false
+        var contRight = j < n && mutantTokP.matcher(words(j)).matches()
+        while (contRight && j < n) {
+          val w = words(j)
+          if (mutantTokP.matcher(w).matches()) {
+            mods += Mod("Mutant", "", normMutCode(w), 0L)
+            sawRight = true; j += 1
+          // separator runs (", and") skip freely between codes
+          } else if (sawRight && mutantSepP.matcher(w).matches()) j += 1
+          else contRight = false
         }
         // an opened mutant paren must close, else the codes are not ours
         if (parenMut && !(j < n && words(j) == ")"))
           mods.filterInPlace(_.kind != "Mutant")
-        // Mutants leftward: "the T669A mutant of ERK2"
-        if (m.start_tok >= 3 && words(m.start_tok - 1) == "of" &&
-            mutantWordP.matcher(words(m.start_tok - 2)).matches() &&
-            mutantTokP.matcher(words(m.start_tok - 3)).matches())
-          mods += Mod("Mutant", "", words(m.start_tok - 3), 0L)
+        // Mutants leftward: "the T669A mutant of ERK2", with code lists —
+        // "K111M, K112M, and K113M mutants of ASPP1" attaches one Mutant mod
+        // per code (TestModifications mutantTest12/14; the multi-mutant split
+        // below then yields one mention per form). An optional mutant-type
+        // word may precede the head noun ("a substitution mutant of Raf").
+        locally {
+          var lk = m.start_tok - 1
+          if (lk >= 0 && words(lk) == "the") lk -= 1
+          if (lk >= 0 && words(lk) == "of" && lk >= 1 &&
+              mutantWordP.matcher(words(lk - 1)).matches()) {
+            var lj = lk - 2
+            var sawCode = false
+            var cont = true
+            while (cont && lj >= 0) {
+              val w = words(lj)
+              if (mutantTokP.matcher(w).matches()) {
+                mods += Mod("Mutant", "", normMutCode(w), 0L)
+                sawCode = true; lj -= 1
+              // separator runs (", and") skip freely between codes
+              } else if (sawCode && mutantSepP.matcher(w).matches()) lj -= 1
+              else cont = false
+            }
+            // bare "Mutation of the PTEN gene" (mutants.yml generic-of rule,
+            // mutantTest15): no code anywhere — the mutant word itself is
+            // the evidence
+            if (!sawCode && mods.forall(_.kind != "Mutant"))
+              mods += Mod("Mutant", "", words(lk - 1), 0L)
+          }
+        }
         // Mutant premodifier lists: "only K650M and K650E-AKT1 mutants cause"
         // (TestRegulationEvents sent30/31 — one Mutant mod per code, the
         // multi-mutant split below yields one mention per mutant form). Only
@@ -1961,9 +2009,10 @@ object BioRules {
           while (cont && lj >= 0) {
             val w = words(lj)
             if (mutantTokP.matcher(w).matches()) {
-              mods += Mod("Mutant", "", w, 0L)
+              mods += Mod("Mutant", "", normMutCode(w), 0L)
               sawCode = true
               lj -= 1
+            // separator runs (", and") skip freely between codes
             } else if (sawCode && mutantSepP.matcher(w).matches()) lj -= 1
             else cont = false
           }

@@ -166,6 +166,17 @@ object DepParser {
     "continue", "fail", "begin", "start", "cease", "stop", "tend", "serve",
     "help", "proceed", "remain", "persist")
 
+  /** Control verbs that take a bare gerund complement in addition to the
+    * to-infinitive ("RAS fails phosphorylating MEK", NegationTests sen7 —
+    * same xcomp arc the Stanford parse gives the to-form). */
+  private val gerundControlStems =
+    Set("fail", "continue", "begin", "start", "cease", "stop", "keep", "avoid")
+  private def isGerundControl(w: String): Boolean = {
+    val l = w.toLowerCase
+    gerundControlStems.exists(s =>
+      l == s || l == s + "s" || l == s + "ed" || l == s + "d")
+  }
+
   /** Irregular past participles the -ed/-en suffix check misses; only
     * consulted in participle CONTEXT (after an auxiliary, or reduced before
     * by/at/on), so "We found that ..." keeps its finite reading. */
@@ -594,7 +605,15 @@ object DepParser {
         val (v, j2, passive) = verbGroup(i)
         if (v < 0) i += 1
         else {
-          if (v == reducedVBN) {
+          if (curVerb >= 0 && v != reducedVBN && tags(v) == "VBG" &&
+              pendingSubj < 0 && isGerundControl(words(curVerb))) {
+            // bare gerund complement of a control verb — same xcomp as the
+            // to-infinitive branch above
+            edges += DepEdge(curVerb, v, "xcomp")
+            curVerb = v; curVerbPassive = false; dobjTaken = false
+            chainBase = -1
+            i = j2
+          } else if (v == reducedVBN) {
             // reduced participle ("ERK2 phosphorylated by MEK1 binds ..."):
             // the vmod edge is already in place; the NP stays pendingSubj
             // for the upcoming main verb, and a by-phrase is agentive

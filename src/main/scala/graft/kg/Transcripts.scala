@@ -928,6 +928,67 @@ object Transcripts {
       tri("g151", 0, gidOf("E2", "Simple_chemical"), "Positive_regulation",
         s"Phosphorylation(${gidOf("SRC-3")})"))
 
+    // ---- round-3 batch 10: HypothesisTests sen1/sen2/sen4 -----------------
+    // epistemic verb takes the nominal event as dobj -> hypothesis
+    conv("g152")("user" -> "Ras suggests the phosphorylation of MEK")(
+      tri("g152", 0, "", "Phosphorylation", MEK, "", hyp = true))
+    // "hints that" over a finite complement clause
+    conv("g153")("user" ->
+      "After extensive experimentation, the process hints that Ras phosphorylates MEK")(
+      tri("g153", 0, "", "Phosphorylation", MEK, "", hyp = true),
+      tri("g153", 0, gidOf("Ras", "Family"), "Positive_regulation",
+        s"Phosphorylation($MEK)", "", hyp = true))
+    // "indicates" + nominal event; the of-PP subject does not become a cause
+    conv("g154")("user" ->
+      "The presence of p53 indicates the phosphorylation of MEK")(
+      tri("g154", 0, "", "Phosphorylation", MEK, "", hyp = true))
+
+    // ---- round-3 batch 11: NegationTests sen5/7/9/12 -----------------------
+    // bare gerund complement of "fails" — regulation negated, inner event not
+    // (sen7; gerund xcomp arc added to the parser for this shape)
+    conv("g155")("user" -> "MEK1 fails phosphorylating ERK2.")(
+      tri("g155", 0, "", "Phosphorylation", ERK2),
+      tri("g155", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)",
+        "", neg = true))
+    // passive + contracted negation, no agent (sen5)
+    conv("g156")("user" -> "ERK2 wasn't phosphorylated.")(
+      tri("g156", 0, "", "Phosphorylation", ERK2, "", neg = true))
+    // "plays little role in" bigram (sen9; NegationHandler.scala:115-137)
+    conv("g157")("user" ->
+      "MEK1 plays little role in the phosphorylation of ERK2.")(
+      tri("g157", 0, "", "Phosphorylation", ERK2),
+      tri("g157", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)",
+        "", neg = true))
+    // double negation cancels: "fails not to" (sen12)
+    conv("g158")("user" -> "MEK1 fails not to phosphorylate ERK2.")(
+      tri("g158", 0, "", "Phosphorylation", ERK2),
+      tri("g158", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // non-negative control verb with a gerund complement stays positive
+    conv("g159")("user" -> "MEK1 continues phosphorylating ERK2.")(
+      tri("g159", 0, "", "Phosphorylation", ERK2),
+      tri("g159", 0, MEK1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // "monoubiquitinated K-Ras" keeps the Ubiquitination PTM (contains-match
+    // modLabel, TestModifications sent13); the comparative clause yields only
+    // the GTP-hydrolysis nominal event
+    conv("g160")("user" ->
+      "monoubiquitinated KRAS is less sensitive than the unmodified protein to GTP hydrolysis.")(
+      tri("g160", 0, "", "Hydrolysis", gidOf("GTP", "Simple_chemical")))
+
+    // ---- round-3 batch 12: TestModifications mutant breadth ----------------
+    // leftward code list across ", and": one variant per code, collapsing to
+    // one grounded edge (mutantTest12/14)
+    conv("g161")("user" ->
+      "K111M, K112M, and K113M mutants of ASPP2 were phosphorylated.")(
+      tri("g161", 0, "", "Phosphorylation", gidOf("ASPP2")))
+    // HGVS deletion code in parens + Δ normalization; the mutant carries
+    // through a which-relative (mutantTest17/18 token shapes)
+    conv("g162")("user" ->
+      "We used a deletion mutant of BRAF (ΔF508) which was phosphorylated.")(
+      tri("g162", 0, "", "Phosphorylation", gidOf("BRAF")))
+    // generic "Mutation of the X gene" attaches a codeless Mutant; the
+    // epistemic "detected" yields no events (mutantTest15)
+    conv("g163")("user" -> "Mutation of the PTEN gene was detected.")()
+
     (turns.toSeq, triples.toSeq)
   }
 

@@ -41,6 +41,12 @@ class MatcherSpec extends AnyFunSuite {
     assert(BioRules.modLabel("Deubiquitination") == "Deubiquitination")
     assert(BioRules.modLabel("ubiquitinated") == "Ubiquitination")
     assert(BioRules.modLabel("sumoylation") == "Sumoylation")
+    // positive stems match by contains (getModificationLabel:386-408):
+    // prefixed participles keep the right label (TestModifications sent13)
+    assert(BioRules.modLabel("monoubiquitinated") == "Ubiquitination")
+    assert(BioRules.modLabel("polyubiquitinated") == "Ubiquitination")
+    // unknown trigger -> "" (the reference's UNKNOWN: no PTM attached)
+    assert(BioRules.modLabel("acylated") == "")
   }
 
   test("templatic simple event with cause splits into event + regulation") {

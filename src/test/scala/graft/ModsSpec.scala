@@ -55,6 +55,54 @@ class ModsSpec extends AnyFunSuite {
     assert(erks.map(_.mention_id).distinct.size == 2)
   }
 
+  test("mutant-of code list: one split mention per code across ', and'") {
+    // TestModifications mutantTest12/14
+    val ms = extract("K111M, K112M, and K113M mutants of ASPP2 were phosphorylated.")
+    val aspp = entities(ms).filter(_.text == "ASPP2")
+    assert(aspp.size == 3, s"expected 3 split mentions, got ${aspp.size}")
+    val muts = aspp.flatMap(_.mods.toSeq).filter(_.kind == "Mutant")
+      .map(_.site_text).sorted
+    assert(muts == Seq("K111M", "K112M", "K113M"))
+  }
+
+  test("generic 'Mutation of the X gene' attaches a codeless Mutant mod") {
+    // TestModifications mutantTest15 (evidence = the mutant word itself)
+    val ms = extract("Mutation of the PTEN gene was detected.")
+    val pten = entities(ms).find(_.text == "PTEN").get
+    assert(pten.mods.exists(m => m.kind == "Mutant" &&
+      m.site_text == "Mutation"))
+  }
+
+  test("HGVS-style paren mutants: substitution/deletion/insertion/dup/fs") {
+    // TestModifications mutantTest16-21; Δ normalizes to "Delta"
+    val cases = Seq(
+      "We used a substitution mutant of BRAF (76A>T)" -> "76A>T",
+      "We used a deletion mutant of BRAF (ΔF508)" -> "DeltaF508",
+      "We used a deletion mutant of BRAF (K29del)" -> "K29del",
+      "We used a deletion mutant of BRAF (29delK)" -> "29delK",
+      "We used a deletion mutant of BRAF (M27_K29del)" -> "M27_K29del",
+      "We used a deletion mutant of BRAF (27_29del)" -> "27_29del",
+      "We used an insertion mutant of BRAF (K29_M30insQSK)" -> "K29_M30insQSK",
+      "We used a duplication mutant of BRAF (G31_Q33dup)" -> "G31_Q33dup",
+      "We used a frameshift mutant of BRAF (Arg83fs)" -> "Arg83fs")
+    cases.foreach { case (text, code) =>
+      val ms = extract(text)
+      val braf = entities(ms).filter(_.text == "BRAF")
+      assert(braf.size == 1, s"[$text] expected 1 BRAF, got ${braf.size}")
+      val muts = braf.head.mods.toSeq.filter(_.kind == "Mutant")
+      assert(muts.map(_.site_text) == Seq(code),
+        s"[$text] got ${muts.map(_.site_text)}")
+    }
+  }
+
+  test("paren mutant stays a mutant, not a site") {
+    // TestModifications siteTest4: "Akt (S473M)" — mutant, no Site
+    val ms = extract("Phosphorylation of AKT1 (S473M) was attenuated.")
+    assert(!ms.exists(m => !m.is_event && m.labels.head == "Site"))
+    val akt = entities(ms).find(_.text == "AKT1").get
+    assert(akt.mods.exists(m => m.kind == "Mutant" && m.site_text == "S473M"))
+  }
+
   test("mutant-of form: the T669A mutant of ERK2") {
     val ms = extract("The T669A mutant of ERK2 binds AKT1.")
     val erk = entities(ms).find(_.text == "ERK2").get
