@@ -62,7 +62,18 @@ object SparkEntry {
     ("m09", "cyclin D1", "Gene_or_gene_product"),
     ("m10", "mouse", "Species"),
     ("m11", "the nucleus", "Cellular_component"),
-    ("m12", "rapamycin", "Simple_chemical"))
+    ("m12", "rapamycin", "Simple_chemical"),
+    // key-transform cascade vectors (TestKBKeyTransforms semantics)
+    ("m13", "Myr-Flag-AKT1", "Gene_or_gene_product"),
+    ("m14", "pERK2", "Gene_or_gene_product"),
+    ("m15", "AKT1-SH2", "Gene_or_gene_product"),
+    ("m16", "mutant AKT1", "Gene_or_gene_product"),
+    ("m17", "phosphorylated ERK2 T669A mutant", "Gene_or_gene_product"),
+    ("m18", "MEK1_human", "Gene_or_gene_product"),
+    ("m19", "brain tissue", "Organ"),
+    ("m20", "gfp-KRAS", "Gene_or_gene_product"),
+    ("m21", "p53 mutant protein", "Gene_or_gene_product"),
+    ("m22", "STAT protein family", "Family"))
 
   private def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
 
@@ -680,31 +691,63 @@ object SparkEntry {
     "kg_link_firsthit" ->
       s"""WITH mentions(mention_key, mtext, label) AS (VALUES
          |    $mentionValuesSql),
-         |base AS (SELECT mention_key, label, lower(trim(mtext)) AS b FROM mentions),
-         |keys0 AS (SELECT mention_key, label, b, [
-         |  regexp_replace(b, '[ ''/\\-\\.]', '', 'g'),
-         |  regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), '[ ''/\\-\\.]', '', 'g'),
-         |  regexp_replace(regexp_replace(b, '^(phosphorylated |phospho-|p-|ubiquitinated |u-|acetylated |methylated |activated )', ''), '[ ''/\\-\\.]', '', 'g'),
-         |  regexp_replace(regexp_replace(b, '(-gfp|-egfp|_human|-wt|-flag|-myc|-ha)$$', ''), '[ ''/\\-\\.]', '', 'g'),
-         |  regexp_replace(regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), ' [a-z]\\d{1,4}[a-z]?( mutant)?$$', ''), '[ ''/\\-\\.]', '', 'g'),
-         |  regexp_replace(regexp_replace(regexp_replace(b, '( (protein|proteins|gene|genes|family|families|kinase|kinases|mutant|complex|enzyme|receptor))+$$', ''), '^(phosphorylated |phospho-|p-|ubiquitinated |u-|acetylated |methylated |activated )', ''), '[ ''/\\-\\.]', '', 'g')
-         |  ] AS ks FROM base),
+         |base AS (SELECT mention_key, label, trim(mtext) AS t FROM mentions),
+         |-- stripGeneNameAffixesKT intermediates (ReachKBKeyTransforms:40-56)
+         |g1 AS (SELECT *, trim(regexp_replace(t, '(?i)(-?e?gfp)+$$', '')) AS sanssuf FROM base),
+         |g2 AS (SELECT *, string_split(sanssuf, '-') AS sufparts,
+         |  array_to_string(list_filter(string_split(sanssuf, '-'),
+         |    x -> NOT list_contains(['activated','egfp','gfp','flag','gst','ha','lenti','luc','myr','p','phospho','phosphor','phosphorylated','rh','shrna'], lower(x))), '-') AS sansaff
+         |  FROM g1),
+         |-- per-label raw candidate cascade (canonical first, then aux
+         |-- transforms in the reference's per-KB order)
+         |raws AS (SELECT mention_key, label, t,
+         |  CASE WHEN label = 'Family' THEN [t,
+         |    CASE WHEN regexp_matches(t, '(?i)^.*_family$$') THEN t
+         |         WHEN regexp_matches(t, '(?i)^.*(?: protein family|family)$$')
+         |           THEN trim(regexp_extract(t, '(?i)^(.*?)(?: protein family|family)$$', 1)) END]
+         |  WHEN label IN ('Gene_or_gene_product', 'Complex') THEN [t,
+         |    CASE WHEN regexp_matches(t, '(?i)^.*(?: mutant protein|protein)$$')
+         |           THEN trim(regexp_extract(t, '(?i)^(.*?)(?: mutant protein|protein)$$', 1)) END,
+         |    CASE WHEN regexp_matches(t, '(?i)^phosphorylated\\s+.*\\s+\\w+\\s+mutant$$')
+         |           THEN trim(regexp_extract(t, '(?i)^phosphorylated\\s+(.*)\\s+\\w+\\s+mutant$$', 1))
+         |         WHEN regexp_matches(t, '(?i)^.*\\s+\\w+\\s+mutant$$')
+         |           THEN trim(regexp_extract(t, '(?i)^(.*)\\s+\\w+\\s+mutant$$', 1))
+         |         WHEN regexp_matches(t, '(?i)^mutant(?: |-)+.*$$')
+         |           THEN trim(regexp_extract(t, '(?i)^mutant(?: |-)+(.*)$$', 1)) END,
+         |    CASE WHEN regexp_matches(t, '(?i)^\\w+-\\w+$$')
+         |          AND list_contains(['14_3_3','aaa','aai','aicarft_impchas','hat','zu5','germane','sh2','sh3','rbd','ph','bd','ct','nt'],
+         |                lower(regexp_extract(t, '(?i)^(\\w+)-(\\w+)$$', 2)))
+         |           THEN regexp_extract(t, '(?i)^(\\w+)-(\\w+)$$', 1) END,
+         |    CASE WHEN sansaff = t THEN NULL
+         |         WHEN sansaff = '' THEN list_extract(sufparts, len(sufparts))
+         |         WHEN sansaff <> sanssuf THEN sansaff
+         |         WHEN sanssuf = t THEN NULL
+         |         ELSE sanssuf END,
+         |    CASE WHEN regexp_matches(t, '^(p|u)[A-Z0-9_-][A-Za-z0-9_-]*$$')
+         |           THEN regexp_extract(t, '^(p|u)([A-Za-z0-9_-]+)$$', 2) END]
+         |  WHEN label = 'Organ' THEN [t,
+         |    CASE WHEN regexp_matches(t, '(?i)^.*(?: cells?| tissues?| fluids?)+$$')
+         |           THEN trim(regexp_extract(t, '(?i)^(.*?)(?: cells?| tissues?| fluids?)+$$', 1)) END]
+         |  ELSE [t] END AS rawlist
+         |  FROM g2),
          |exploded AS (
-         |  SELECT mention_key, label, b, unnest(ks) AS key,
-         |         generate_subscripts(ks, 1) AS idx
-         |  FROM keys0),
+         |  SELECT mention_key, label, t,
+         |    regexp_replace(lower(trim(regexp_replace(trim(raw), '(?i)^(.*)_human$$', '\\1'))), '[ ''/-]', '', 'g') AS key,
+         |    generate_subscripts(rawlist, 1) AS idx
+         |  FROM (SELECT mention_key, label, t, unnest(rawlist) AS raw, rawlist FROM raws)
+         |  WHERE raw IS NOT NULL),
          |dedup AS (
-         |  SELECT mention_key, label, b, key, idx,
+         |  SELECT mention_key, label, t, key, idx,
          |    row_number() OVER (PARTITION BY mention_key, key ORDER BY idx) AS occ
          |  FROM exploded WHERE key <> ''),
          |keyed AS (
-         |  SELECT mention_key, label, b, key,
+         |  SELECT mention_key, label, t, key,
          |    row_number() OVER (PARTITION BY mention_key ORDER BY idx) AS key_rank
          |  FROM dedup WHERE occ = 1),
          |kb(kb_key, kb_label, namespace, id, species, kb_rank) AS (VALUES
          |    $kbValuesSql),
          |joined AS (
-         |  SELECT k.mention_key, k.b, kb.namespace, kb.id, kb.species, kb.kb_rank, k.key_rank
+         |  SELECT k.mention_key, k.t, kb.namespace, kb.id, kb.species, kb.kb_rank, k.key_rank
          |  FROM keyed k LEFT JOIN kb ON k.key = kb.kb_key AND k.label = kb.kb_label),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY mention_key ORDER BY
@@ -715,7 +758,7 @@ object SparkEntry {
          |  FROM joined)
          |SELECT mention_key,
          |  coalesce(namespace, 'uaz') AS ns,
-         |  coalesce(id, concat('UAZ:', regexp_replace(b, '[ ''/\\-\\.]', '', 'g'))) AS ns_id
+         |  coalesce(id, concat('UAZ:', regexp_replace(lower(t), '[ ''/-]', '', 'g'))) AS ns_id
          |FROM ranked WHERE rn = 1""".stripMargin,
     "kg_context_window" ->
       s"""SELECT conv_id, turn_idx,

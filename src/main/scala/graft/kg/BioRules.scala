@@ -1599,12 +1599,26 @@ object BioRules {
           for {
             x <- as; y <- bs
             if x.mention_id != y.mention_id && x.text != y.text
-          } yield {
-            val (t1, t2) =
-              if (x.text <= y.text) (x, y) else (y, x)
-            mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding", b.trigger,
-              Seq("theme" -> t1, "theme" -> t2), rule.name)
-          }
+            m <- {
+              val (t1, t2) =
+                if (x.text <= y.text) (x, y) else (y, x)
+              // Binding is a SimpleEvent in the reference taxonomy, so
+              // siteSniffer applies: EventSite mods on the participants are
+              // promoted to the event, one Binding per distinct site
+              // ("the RBD of PI3KC2β binds Ras", TestModifications sent2)
+              val sniffed = Seq(t1, t2).flatMap(_.mods.toSeq)
+                .filter(_.kind == "EventSite")
+                .flatMap(s => state.byId(s.site_id)).distinct
+              val siteOpts: Seq[Option[MentionRow]] =
+                if (sniffed.isEmpty) Seq(None) else sniffed.map(Some(_))
+              siteOpts.map { siteOpt =>
+                mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding",
+                  b.trigger,
+                  Seq("theme" -> t1, "theme" -> t2) ++ siteOpt.map("site" -> _),
+                  rule.name)
+              }
+            }
+          } yield m
 
       case RegulationK =>
         // coordinated controllers each yield a regulation ("in response to

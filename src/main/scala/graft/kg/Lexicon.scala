@@ -174,6 +174,17 @@ object Lexicon {
       "14-3-3" -> "Family",
       "ubiquitin" -> "Simple_chemical",
       "E2" -> "Simple_chemical",
+      // named protein domains/regions are Sites (the reference's bio_sites
+      // dictionary KB; TestModifications sent2 "the RBD of PI3KC2β" -> a
+      // "site of protein" EventSite mod, TestEntities sent3 "JM domains")
+      "RBD" -> "Site",
+      "JM domain" -> "Site",
+      "JM domains" -> "Site",
+      "SH2 domain" -> "Site",
+      "SH3 domain" -> "Site",
+      "kinase domain" -> "Site",
+      "PH domain" -> "Site",
+      "RING domain" -> "Site",
       "ATP" -> "Simple_chemical",
       "GTP" -> "Simple_chemical",
       "rapamycin" -> "Simple_chemical",

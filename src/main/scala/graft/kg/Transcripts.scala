@@ -988,6 +988,13 @@ object Transcripts {
     // generic "Mutation of the X gene" attaches a codeless Mutant; the
     // epistemic "detected" yields no events (mutantTest15)
     conv("g163")("user" -> "Mutation of the PTEN gene was detected.")()
+    // named-domain Site -> EventSite on the entity -> sniffed into the
+    // Binding (Binding IS a SimpleEvent in the taxonomy; TestModifications
+    // sent2 "the RBD of PI3KC2β")
+    conv("g164")("user" ->
+      "We demonstrate that the RBD of PI3K binds KRAS.")(
+      tri("g164", 0, "", "Binding",
+        Seq(gidOf("PI3K"), gidOf("KRAS")).sorted.mkString("&"), "RBD"))
 
     (turns.toSeq, triples.toSeq)
   }

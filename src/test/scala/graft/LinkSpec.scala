@@ -15,12 +15,72 @@ class LinkSpec extends AnyFunSuite {
     assert(Link.candidateKeys("AKT1").head == "akt1")
     assert(Link.candidateKeys("AKT1-GFP").contains("akt1"))
     assert(Link.candidateKeys("p53 protein").contains("p53"))
-    assert(Link.candidateKeys("phosphorylated ERK2").contains("erk2"))
-    assert(Link.candidateKeys("RAF family").contains("raf"))
+    assert(Link.candidateKeys("RAF family", "Family").contains("raf"))
     assert(Link.candidateKeys("ERK2 T669A mutant").contains("erk2"))
     assert(Link.candidateKeys("cyclin D1").head == "cyclind1")
     // raw key always first (rank 0)
     assert(Link.candidateKeys("p53 protein").head == "p53protein")
+  }
+
+  test("canonicalKey removes exactly space/quote/slash/hyphen") {
+    // TestKBKeyTransforms:18-36 — '.' is NOT in KeyCharactersToRemove
+    assert(Link.canonKey("identical") == "identical")
+    assert(Link.canonKey("A-B and/or C") == "abandorc")
+    assert(Link.canonKey("MAN_human") == "man_human")
+    assert(Link.canonKey("WO-MAN") == "woman")
+  }
+
+  test("stripGeneNameAffixes matches the reference algorithm") {
+    // TestKBKeyTransforms stripGeneNameAffixes cases
+    def gna(s: String) = Link.stripGeneNameAffixes(s)
+    assert(gna("NoSuffix").isEmpty)
+    assert(gna("BadSuffix-e").isEmpty)
+    assert(gna("BadSuffix gf").isEmpty)
+    assert(gna("stem-egfp") == Seq("stem"))
+    assert(gna("STEM-eGFP") == Seq("STEM"))
+    assert(gna("stem gfp") == Seq("stem"))
+    assert(gna("egfp-KRAS") == Seq("KRAS"))
+    assert(gna("gfp-IL-2") == Seq("IL-2"))
+    assert(gna("gfp-IL 2") == Seq("IL 2"))
+    assert(gna("gfp-IL-7R-alpha") == Seq("IL-7R-alpha"))
+    assert(gna("myr-flag-akt1") == Seq("akt1"))
+    assert(gna("Activated-Myr-Flag-Akt1") == Seq("Akt1"))
+    assert(gna("p-MYR-HA-Flag-Akt1") == Seq("Akt1"))
+    assert(gna("GFP-eGfp").isEmpty)       // all suffixes
+    assert(gna("Myr-MYR-myr") == Seq("myr")) // all prefixes: last part kept
+  }
+
+  test("family/protein post-attributives and mutant-protein strips") {
+    // TestKBKeyTransforms:163-200,308-331
+    assert(Link.stripFamilyPostAttributives("parsnip family") == Seq("parsnip"))
+    assert(Link.stripFamilyPostAttributives("SAD PROTEIN FAMILY") == Seq("SAD"))
+    // "_family" forms are protected, not stripped
+    assert(Link.stripFamilyPostAttributives("parsnip_family") == Seq("parsnip_family"))
+    assert(Link.stripProteinPostAttributives("hairy protein") == Seq("hairy"))
+    assert(Link.stripProteinPostAttributives("ODD mutant PROTEIN") == Seq("ODD"))
+    assert(Link.stripMutantProtein("ERK2 T669A mutant") == Seq("ERK2"))
+    assert(Link.stripMutantProtein("phosphorylated ERK2 T669A mutant") == Seq("ERK2"))
+    assert(Link.stripMutantProtein("mutant AKT1") == Seq("AKT1"))
+    assert(Link.stripProteinDomain("AKT1-SH2") == Seq("AKT1"))
+    assert(Link.stripProteinDomain("akt1-aai") == Seq("akt1"))
+    assert(Link.stripProteinDomain("LHS-RHS").isEmpty)
+    assert(Link.stripPTMPrefixes("pERK") == Seq("ERK"))
+    assert(Link.stripPTMPrefixes("protein").isEmpty)
+    assert(Link.stripOrganPostAttributives("brain tissue") == Seq("brain"))
+    assert(Link.stripAllKeysSuffixes("STRING_human") == "STRING")
+    assert(Link.stripAllKeysSuffixes("being human") == "being human")
+  }
+
+  test("transformed keys resolve through the KB") {
+    assert(kb.resolve("Myr-Flag-AKT1", "Gene_or_gene_product", "").id == "P31749")
+    assert(kb.resolve("pERK2", "Gene_or_gene_product", "").id == "P28482")
+    assert(kb.resolve("AKT1-SH2", "Gene_or_gene_product", "").id == "P31749")
+    assert(kb.resolve("mutant AKT1", "Gene_or_gene_product", "").id == "P31749")
+    assert(kb.resolve("phosphorylated ERK2 T669A mutant",
+      "Gene_or_gene_product", "").id == "P28482")
+    assert(kb.resolve("MEK1_human", "Gene_or_gene_product", "").id == "Q02750")
+    assert(kb.resolve("brain tissue", "Organ", "").id == "UBERON:0000955")
+    assert(kb.resolve("STAT protein family", "Family", "").id == "PF01017")
   }
 
   test("first-hit-wins: protein KB before family fallback") {

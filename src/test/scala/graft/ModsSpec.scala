@@ -103,6 +103,17 @@ class ModsSpec extends AnyFunSuite {
     assert(akt.mods.exists(m => m.kind == "Mutant" && m.site_text == "S473M"))
   }
 
+  test("named-domain Site becomes an EventSite on the of-entity") {
+    // TestModifications sent2 / TestEntities sent3 (bio_sites dictionary)
+    val ms = extract("We demonstrate that the RBD of PI3K binds KRAS.")
+    val p = entities(ms).find(_.text == "PI3K").get
+    assert(p.mods.exists(m => m.kind == "EventSite" && m.site_text == "RBD"))
+    val ms2 = extract("Mutant ASPP2 binds to the JM domains of EGFR and HER2.")
+    val egfr = entities(ms2).find(_.text == "EGFR").get
+    assert(egfr.mods.exists(m => m.kind == "EventSite" &&
+      m.site_text == "JM domains"))
+  }
+
   test("mutant-of form: the T669A mutant of ERK2") {
     val ms = extract("The T669A mutant of ERK2 binds AKT1.")
     val erk = entities(ms).find(_.text == "ERK2").get
