@@ -42,8 +42,17 @@ object Annotate {
       }
       cur.label = label
       // short all-caps/mixed gene symbols match case-sensitively to avoid
-      // matching common words; lowercase dictionary words match any case
-      if (phrase.exists(_.isUpper) && phrase.length <= 6) cur.surfaces += phrase
+      // matching common words; lowercase dictionary words match any case.
+      // Title-case variants of registered symbols are accepted ("Akt" for
+      // "AKT", "Mek" for "MEK" — the reference dictionaries carry these
+      // variants) unless the lowercase form is a stop-listed common word
+      // ("Bad" stays a word; "BAD" stays the protein — ner_stoplist.txt)
+      if (phrase.exists(_.isUpper) && phrase.length <= 6) {
+        cur.surfaces += phrase
+        val title = phrase.toLowerCase.capitalize
+        if (title != phrase && !Lexicon.nerStopList.contains(phrase.toLowerCase))
+          cur.surfaces += title
+      }
       else cur.anyCase = true
     }
 

@@ -625,6 +625,12 @@ object BioRules {
     Rule("alias_unknown_rev_comma", 10, AliasUnknownK,
       List(TL("[A-Z][A-Za-z0-9-]{1,14}", max = 1), filler, W(","),
         aliasWhichIs, aliasRb, aliasCue, M("a", ENT), W("[.,:]"))),
+    // known on the LEFT, unknown target series in COMMA form: "Akt, previously
+    // known as Akt334, AktTR, or Akt4H, is phosphorylated"
+    // (TestCoreference sent44b/45a)
+    Rule("alias_unknown_comma", 10, AliasUnknownK,
+      List(M("a", ENT), W(","), aliasWhichIs, aliasRb, aliasCue,
+        TL("[A-Z][A-Za-z0-9-]{1,14}"), W("[.,:]"))),
 
     // -- p12: regulations over events ------------------------------------
     // active: controller TRIGGERs controlled-event

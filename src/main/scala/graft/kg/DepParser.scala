@@ -526,6 +526,34 @@ object DepParser {
             curVerb, curVerbPassive, chainBase)
           curVerb = -1; chainBase = -1
           i += 2
+        } else if (i + 1 < n && lastNPHead >= 0 && {
+          // alias apposition ", [RB] known|referred|called as X[, Y, or Z],"
+          // — skip to its closing comma so the outer clause's subject
+          // survives ("Akt1, previously known as Akt334, is phosphorylated")
+          val c = if (tags(i + 1) == "RB" && i + 2 < n) i + 2 else i + 1
+          words(c).toLowerCase.matches(
+            "known|referred|called|termed|named|designated|alias|aka|a\\.k\\.a\\.?")
+        }) {
+          // the target series may contain internal commas ("Akt334, AktTR,
+          // or Akt4H,") — stop only at the comma that resumes the clause
+          // (followed by a verb group or determiner)
+          var j = i + 1
+          var last = -1
+          var stop = false
+          while (j < n && !stop && j - i <= 20) {
+            if (tags(j) == "PUNCT" && words(j) == ",") {
+              val nt = if (j + 1 < n) tags(j + 1) else ""
+              if (nt == "AUX" || nt == "MD" || nt.startsWith("V") ||
+                  nt == "DT" || nt == "RB" || j + 1 == n) stop = true
+              else j += 1
+            } else {
+              if (tags(j) == "NN" || tags(j) == "NNP") last = j
+              j += 1
+            }
+          }
+          // alias targets hang off the anchor as appositions
+          if (last >= 0) edges += DepEdge(lastNPHead, last, "appos")
+          i = if (stop) j + 1 else i + 1
         } else if (i + 1 < n && tags(i + 1) == "DT" && lastNPHead >= 0) {
           // appositive ", a dual-specificity kinase,"
           val (h2, j2) = baseNP(i + 1)

@@ -139,12 +139,19 @@ object Lexicon {
       .toSet
   }
 
+  /** NER stop list (reference: bioresources ner_stoplist.txt, consumed by
+    * TestNERStopList): lowercase forms that are common words — the trie must
+    * not accept auto-generated title-case variants for these ("Bad" the word
+    * vs "BAD" the protein).
+    */
+  val nerStopList: Set[String] = Set("cell", "cells", "bad", "was", "not")
+
   /** NER dictionary: surface phrase -> head label. Multi-token phrases allowed
     * (matched by the longest-match trie scan in Annotate).
     */
   val nerLexicon: Seq[(String, String)] =
     g(
-      "AKT1", "AKT", "AKT2", "JAK3", "JAK1", "HuR", "ASPP2", "53BP2",
+      "AKT1", "AKT", "AKT2", "JAK3", "JAK1", "HuR", "ASPP1", "ASPP2", "53BP2",
       "optineurin", "OPTN", "MEK", "MEK1", "ERK", "ERK2", "p53", "TP53", "BRAF",
       "KRAS", "K-Ras", "HRAS", "H-Ras", "mTOR", "STAT3", "EGFR", "HER2",
       "SRC", "Src", "JNK",
@@ -255,7 +262,8 @@ object Lexicon {
       up("AKT1", "P31749"), up("AKT1", "P31750", "mouse"),
       up("AKT", "P31749"), up("AKT2", "P31751"),
       up("JAK3", "P52333"), up("JAK1", "P23458"),
-      up("HuR", "Q15717"), up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
+      up("HuR", "Q15717"), up("ASPP1", "Q96KQ4"),
+      up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
       up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
       up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
       up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),

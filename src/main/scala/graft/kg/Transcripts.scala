@@ -996,6 +996,116 @@ object Transcripts {
       tri("g164", 0, "", "Binding",
         Seq(gidOf("PI3K"), gidOf("KRAS")).sorted.mkString("&"), "RBD"))
 
+    // ---- round-3 batch 13: TestCoreference breadth (sent1-19, 28-30) ------
+    val ASPP1 = gidOf("ASPP1"); val ASPP2g = gidOf("ASPP2")
+    val KRASg = gidOf("KRAS"); val GTPg = gidOf("GTP", "Simple_chemical")
+    // comparative clause does not steal the antecedent (sent1: "it" -> ASPP2,
+    // not the nearer comparison NP)
+    conv("g165")("user" ->
+      "ASPP2 is even more common than KRAS, and it is often ubiquitinated.")(
+      tri("g165", 0, "", "Ubiquitination", ASPP2g))
+    // unresolved pronoun cause: regulation dropped, event kept (sent6)
+    conv("g166")("user" -> "It phosphorylates KRAS.")(
+      tri("g166", 0, "", "Phosphorylation", KRASg))
+    // controller cannot antecede the controlled's argument: no events (sent7)
+    conv("g167")("user" -> "KRAS phosphorylates it.")()
+    // pronoun chain across clauses; controller stays KRAS (sent8)
+    conv("g168")("user" ->
+      "ASPP2 is common, it is well known, and KRAS sumoylates it.")(
+      tri("g168", 0, "", "Sumoylation", ASPP2g),
+      tri("g168", 0, KRASg, "Positive_regulation", s"Sumoylation($ASPP2g)"))
+    // cross-sentence antecedent; epistemic "It is known that" pronoun ignored
+    // (sent9)
+    conv("g169")("user" ->
+      "Much work has been done on ASPP2. It is known that KRAS binds it.")(
+      tri("g169", 0, "", "Binding",
+        Seq(KRASg, ASPP2g).sorted.mkString("&")))
+    // plural pronoun controller -> one reg per antecedent (sent10/10a)
+    conv("g170")("user" ->
+      "MEK1 and KRAS are in proximity, and they phosphorylate ASPP2.")(
+      tri("g170", 0, "", "Phosphorylation", ASPP2g),
+      tri("g170", 0, MEK1, "Positive_regulation", s"Phosphorylation($ASPP2g)"),
+      tri("g170", 0, KRASg, "Positive_regulation", s"Phosphorylation($ASPP2g)"))
+    conv("g171")("user" ->
+      "MEK1 and KRAS are in proximity, and they upregulate the phosphorylation of ASPP2.")(
+      tri("g171", 0, "", "Phosphorylation", ASPP2g),
+      tri("g171", 0, MEK1, "Positive_regulation", s"Phosphorylation($ASPP2g)"),
+      tri("g171", 0, KRASg, "Positive_regulation", s"Phosphorylation($ASPP2g)"))
+    // plural pronoun theme -> one event+reg per antecedent (sent11)
+    conv("g172")("user" ->
+      "MEK1 and KRAS are in proximity, and ASPP2 phosphorylates them.")(
+      tri("g172", 0, "", "Phosphorylation", MEK1),
+      tri("g172", 0, "", "Phosphorylation", KRASg),
+      tri("g172", 0, ASPP2g, "Positive_regulation", s"Phosphorylation($MEK1)"),
+      tri("g172", 0, ASPP2g, "Positive_regulation", s"Phosphorylation($KRASg)"))
+    // pronoun activation controller / controlled (sent12/13)
+    conv("g173")("user" -> "KRAS is in proximity, and it activates ASPP2.")(
+      tri("g173", 0, KRASg, "Positive_activation", ASPP2g))
+    conv("g174")("user" -> "MEK1 is in proximity, and ASPP2 activates it.")(
+      tri("g174", 0, ASPP2g, "Positive_activation", MEK1))
+    // definite generic NP resolves (sent14); bare generic with no antecedent
+    // leaves the binding incomplete -> dropped (sent14b); Species is not a
+    // BioChemicalEntity antecedent (sent15); antecedent search is limited to
+    // the previous sentence (sent16)
+    conv("g175")("user" -> "ASPP1 is common, and this protein binds GTP.")(
+      tri("g175", 0, "", "Binding", Seq(ASPP1, GTPg).sorted.mkString("&")))
+    conv("g176")("user" -> "This protein binds GTP.")()
+    conv("g177")("user" -> "KRAS is common, and a mouse binds GTP.")()
+    conv("g178")("user" ->
+      "KRAS is common. This is an intervening sentence. It binds MEK1.")()
+    // named-definite NP is NOT generic (sent17)
+    conv("g179")("user" ->
+      "ASPP2 is common, and KRAS binds the MEK1 protein.")(
+      tri("g179", 0, "", "Binding", Seq(KRASg, MEK1).sorted.mkString("&")))
+    // possessive + plural joint binding: anchor x each antecedent, never
+    // antecedent x antecedent (sent4)
+    conv("g180")("user" ->
+      "ASPP2 is common, even more than KRAS and MEK1, and so is its binding to them.")(
+      tri("g180", 0, "", "Binding", Seq(ASPP2g, KRASg).sorted.mkString("&")),
+      tri("g180", 0, "", "Binding", Seq(ASPP2g, MEK1).sorted.mkString("&")))
+    // pronoun plural binding themes (sent19)
+    conv("g181")("user" -> "ASPP1 is common, and it binds MEK1 and KRAS.")(
+      tri("g181", 0, "", "Binding", Seq(ASPP1, MEK1).sorted.mkString("&")),
+      tri("g181", 0, "", "Binding", Seq(ASPP1, KRASg).sorted.mkString("&")))
+    // open-class indefinite generics never resolve (sent28a/28b); organs and
+    // species are not antecedents (sent29/30)
+    conv("g182")("user" -> "ASPP1 is common, and a protein is phosphorylated.")()
+    conv("g183")("user" ->
+      "ASPP1 is common, and a cistron phosphorylates ASPP2.")(
+      tri("g183", 0, "", "Phosphorylation", ASPP2g))
+    conv("g184")("user" -> "Liver is delicious, and it phosphorylates BRAF.")(
+      tri("g184", 0, "", "Phosphorylation", gidOf("BRAF")))
+    conv("g185")("user" ->
+      "Humans are numerous, and they are sometimes activated by BRAF.")()
+
+    // ---- round-3 batch 14: alias breadth (TestCoreference sent40-44) ------
+    // comma alias, unknown on the left ("sometimes called")
+    conv("g186")("user" -> "AKT4H, sometimes called AKT1, phosphorylates ERK2.")(
+      tri("g186", 0, "", "Phosphorylation", ERK2),
+      tri("g186", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // paren "alias" cue
+    conv("g187")("user" -> "AKT4H (alias AKT1) phosphorylates ERK2.")(
+      tri("g187", 0, "", "Phosphorylation", ERK2),
+      tri("g187", 0, AKT1, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // paren multi-target series; a later turn using one target canonicalizes
+    // (sent44a)
+    conv("g188")(
+      "user" -> "Akt (also called Akt334, AktTR, or Akt4H) is phosphorylated.",
+      "assistant" -> "AktTR is also ubiquitinated.")(
+      tri("g188", 0, "", "Phosphorylation", AKT1),
+      tri("g188", 1, "", "Ubiquitination", AKT1))
+    // comma multi-target series defined AFTER the target's use (sent44b —
+    // the conversation-wide alias rescan canonicalizes backward). The
+    // "previously" hint sits inside the event span, so the hypothesis scan
+    // marks the phosphorylation (HypothesisHandler hint list includes
+    // "previous(ly)"; the event interval spans trigger..args)
+    conv("g189")(
+      "user" -> "AktTR is ubiquitinated.",
+      "assistant" ->
+        "Akt, previously known as Akt334, AktTR, or Akt4H, is also phosphorylated.")(
+      tri("g189", 0, "", "Ubiquitination", AKT1),
+      tri("g189", 1, "", "Phosphorylation", AKT1, "", hyp = true))
+
     (turns.toSeq, triples.toSeq)
   }
 

@@ -15,12 +15,13 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming triples match batch pipeline across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // g23 exercises the BACKWARD alias rescan (surface used before its
+    // g23/g189 exercise the BACKWARD alias rescan (surface used before its
     // definition) — a whole-corpus second pass that streaming append mode
-    // cannot replay; the batch==stream equivalence claim excludes it
+    // cannot replay; the batch==stream equivalence claim excludes them
     // (documented in StreamingPipeline's scaladoc)
+    val backwardAlias = Set("g23", "g189")
     val (goldenTurns, _) = Transcripts.golden match {
-      case (ts, es) => (ts.filter(_.conv_id != "g23"), es)
+      case (ts, es) => (ts.filterNot(t => backwardAlias(t.conv_id)), es)
     }
     val batchRes = Pipeline.extract(spark,
       spark.createDataset(goldenTurns))
