@@ -239,7 +239,12 @@ object BioRules {
   // templates sharing "[which is] [RB] CUE" with CUE one of four families)
   private val aliasWhichIs = OptG(W("which"), W("is|are|was|were"))
   private val aliasRb = OptG(
-    W("also|commonly|usually|typically|sometimes|previously|hereafter|formerly|often"))
+    W("also|commonly|usually|typically|sometimes|previously|hereafter|formerly|often|better"))
+  // nonce alias-target token shape (reference: entities_master.yml:16
+  // `[!mention & tag=/^(JJ|NNP?)$/]{1,2}` — any non-mention noun-ish token).
+  // Surface stand-in: alphanumeric, 2-15 chars, at least one letter; digits
+  // may lead ("23peM", TestCoreference sent59/60). Pure numbers never match.
+  private val nonceTok = "(?=[0-9-]*[A-Za-z])[A-Za-z0-9][A-Za-z0-9-]{1,14}"
   private val aliasCue = AltG(
     Seq(W("referred"), W("to"), W("as")),
     Seq(W("known|designated"), OptG(W("as"))),
@@ -615,22 +620,33 @@ object BioRules {
     // synthesized per target, conversation-wide rescan in the pipeline (J3)
     Rule("alias_unknown", 10, AliasUnknownK,
       List(M("a", ENT), W("\\("), OptG(aliasWhichIs, aliasRb, aliasCue),
-        TL("[A-Z][A-Za-z0-9-]{1,14}"), W("\\)"))),
+        TL(nonceTok), W("\\)"))),
     // unknown on the LEFT, known inside/after (the reference's
     // Nonce-source x Equivalable-target instantiation: "BEF4H protein
     // (hereafter referred to as BEF)", "BEF4H, sometimes called BEF,")
     Rule("alias_unknown_rev", 10, AliasUnknownK,
-      List(TL("[A-Z][A-Za-z0-9-]{1,14}", max = 1), filler, W("\\("),
+      List(TL(nonceTok, max = 1), filler, W("\\("),
         OptG(aliasWhichIs, aliasRb, aliasCue), M("a", ENT), W("\\)"))),
     Rule("alias_unknown_rev_comma", 10, AliasUnknownK,
-      List(TL("[A-Z][A-Za-z0-9-]{1,14}", max = 1), filler, W(","),
+      List(TL(nonceTok, max = 1), filler, W(","),
         aliasWhichIs, aliasRb, aliasCue, M("a", ENT), W("[.,:]"))),
     // known on the LEFT, unknown target series in COMMA form: "Akt, previously
     // known as Akt334, AktTR, or Akt4H, is phosphorylated"
     // (TestCoreference sent44b/45a)
     Rule("alias_unknown_comma", 10, AliasUnknownK,
       List(M("a", ENT), W(","), aliasWhichIs, aliasRb, aliasCue,
-        TL("[A-Z][A-Za-z0-9-]{1,14}"), W("[.,:]"))),
+        TL(nonceTok), W("[.,:]"))),
+    // homolog appositions (reference: alias_template.yml:124-148 homolog/
+    // homolog2, instantiated Equivalable x Equivalable — KNOWN mentions on
+    // both sides, comma+AND series unlike the or-only alias lists):
+    // "the Pax6 homologs eyeless and eyegone" (TestCoreference sent62a/b),
+    // "Eyeless and eyegone, homologs of Pax6, ..." (sent63)
+    Rule("alias_homolog", 10, AliasK,
+      List(M("a", ENT), W("homologs?"),
+        ML("b", ENT, commaOk = true, conj = "and|or"))),
+    Rule("alias_homolog_rev", 10, AliasK,
+      List(ML("b", ENT, commaOk = true, conj = "and|or"), W(","),
+        OptG(W("the|a")), W("homologs?"), W("of"), M("a", ENT))),
 
     // -- p12: regulations over events ------------------------------------
     // active: controller TRIGGERs controlled-event
@@ -1289,11 +1305,30 @@ object BioRules {
     // as the reference's subject paths do. With no parsed subject the linear
     // surface reading stands. ("AKT1 bound to GSK3 is phosphorylated by
     // MEK1": nsubjpass = AKT1, so GSK3 cannot be the passive theme.)
+    // Parenthetical-island guard (parse faithfulness): a parenthetical is an
+    // appositive island — its members attach to the head BEFORE the paren
+    // (alias/appos templates capture them) and are never the nsubj of a verb
+    // OUTSIDE the paren. A pre-trigger capture at strictly greater paren
+    // depth than the trigger is that island's material, not this trigger's
+    // subject/theme ("ASPP1 (better known as ASPP2) binds MEK1" must not
+    // also yield ASPP2&MEK1 — TestCoreference sent58 shape).
+    lazy val pdepth: Array[Int] = {
+      val d = new Array[Int](words.length)
+      var i = 0; var cur = 0
+      while (i < words.length) {
+        d(i) = cur
+        if (words(i) == "(") cur += 1
+        else if (words(i) == ")") cur = math.max(0, cur - 1)
+        i += 1
+      }
+      d
+    }
     def subjConsistent(m: MentionRow): Boolean = {
       // dependency rules bind arguments over labeled paths (object
       // relatives legitimately place a non-subject theme pre-trigger);
       // the guard is for LINEAR surface matches only
       if (fromDep || b.trigger._1 < 0 || m.end_tok > b.trigger._1) true
+      else if (pdepth(m.start_tok) > pdepth(b.trigger._1)) false
       else {
         val subj = (b.trigger._1 until b.trigger._2).flatMap(t =>
           deps.outgoing(t).collect { case (j, l)

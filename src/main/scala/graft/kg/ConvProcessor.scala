@@ -529,6 +529,46 @@ object ConvProcessor {
       }
     }
 
+    // ---- alias grounding share (reference Coref.scala:386-411) -----------
+    // keyed by grounding, first alias wins (the reference's
+    // `!(aliases contains grounding)` guard). An effectively-ungrounded
+    // (uaz) side ADOPTS the grounded side's candidates; a both-grounded
+    // pair unions candidate lists in order, each side's own winner first —
+    // winners are never rewritten for both-grounded pairs (the identity
+    // rewrite in stageCanon is restricted to uaz sides accordingly).
+    locally {
+      val aliasCands = mutable.Map.empty[String, Array[Grounding]]
+      kept.filter(_.labels.head == "Alias").foreach { al =>
+        for (aA <- al.args.find(_.role == "a");
+             bA <- al.args.find(_.role == "b")) {
+          val (ai, bi) = (aA.mention_id, bA.mention_id)
+          (groundings.get(ai), groundings.get(bi)) match {
+            case (Some(ga), Some(gb)) =>
+              val (ka, kbk) = (gidOf(ga), gidOf(gb))
+              if (ka != kbk && !aliasCands.contains(ka) &&
+                  !aliasCands.contains(kbk)) {
+                val ca = candidatesOf.getOrElse(ai, Array.empty[Grounding])
+                val cb = candidatesOf.getOrElse(bi, Array.empty[Grounding])
+                val aUaz = ga.namespace == "uaz"
+                val bUaz = gb.namespace == "uaz"
+                if (aUaz && !bUaz) aliasCands(ka) = cb
+                else if (bUaz && !aUaz) aliasCands(kbk) = ca
+                else if (!aUaz && !bUaz && (ca.nonEmpty || cb.nonEmpty)) {
+                  aliasCands(ka) = (ca ++ cb).distinct
+                  aliasCands(kbk) = (cb ++ ca).distinct
+                }
+              }
+            case _ => ()
+          }
+        }
+      }
+      if (aliasCands.nonEmpty) entityById.values.foreach { m =>
+        groundings.get(m.mention_id).map(gidOf).foreach { k =>
+          aliasCands.get(k).foreach(cs => candidatesOf(m.mention_id) = cs)
+        }
+      }
+    }
+
     val out = mutable.ArrayBuffer.empty[StageBRow]
 
     // ---- alias edges (J3/J5 — scoped per conversation) -------------------

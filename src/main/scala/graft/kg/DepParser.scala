@@ -506,7 +506,24 @@ object DepParser {
           val (h2, j2) = baseNP(k)
           if (h2 >= 0) { ih = h2; k = j2 } else k += 1
         }
-        if (ih >= 0 && lastNPHead >= 0)
+        // alias-cue parenthetical ("(better known as ASPP2)"): the real
+        // parse hangs the target under the participle via prep_as —
+        // NOT as an appositive of the outer NP, so subject expansion
+        // must not cross into it (the alias templates capture it instead)
+        var cueIdx = -1
+        var c = i + 1
+        while (c < j && cueIdx < 0) {
+          val lw = words(c).toLowerCase
+          if (c < (if (ih >= 0) ih else j) &&
+              (lw == "known" || lw == "referred" || lw == "designated" ||
+               lw == "called" || lw == "termed" || lw == "named" ||
+               lw == "alias" || lw == "aka" || lw.startsWith("a.k.a")))
+            cueIdx = c
+          c += 1
+        }
+        if (ih >= 0 && cueIdx >= 0)
+          edges += DepEdge(cueIdx, ih, "prep_as")
+        else if (ih >= 0 && lastNPHead >= 0)
           edges += DepEdge(lastNPHead, ih, "appos")
         i = math.min(j + 1, n)
       } else if (t == "PUNCT" && words(i) == ",") {

@@ -170,6 +170,11 @@ object Lexicon {
       // resolveDisplay "Family" disambiguation fixture (ReachSystem.scala:
       // 249-293 + ReachKBUtils.isFamilyGrounded)
       , "MAPK"
+      // homolog-alias surface set (TestCoreference sent62/63: "the Pax6
+      // homologs eyeless and eyegone"): the fly genes are KNOWN mentions in
+      // the reference KB; only Pax6 carries a grounding here, so the alias
+      // share is observable (failsafe ids collapse onto Pax6's id in CC)
+      , "Pax6", "eyeless", "eyegone", "eyefull"
     ) ++ Seq(
       "Ras" -> "Family",
       "RAF" -> "Family",
@@ -199,6 +204,11 @@ object Lexicon {
       "staurosporine" -> "Simple_chemical",
       "LY294002" -> "Simple_chemical",
       "calcium" -> "Simple_chemical",
+      // chemical alias pair (TestCoreference sent49-54): both surfaces are
+      // KB chemicals; the alias templates must share grounding between them
+      // but never across types (sent50 Akt/diacylglycerol, sent51 S135)
+      "diacylglycerol" -> "Simple_chemical",
+      "DAG" -> "Simple_chemical",
       "human" -> "Species",
       "mouse" -> "Species",
       "murine" -> "Species",
@@ -288,6 +298,10 @@ object Lexicon {
       up("adenylate cyclase", "Q08828"),
       up("vascular endothelial cell growth inhibitor", "O95150"),
       up("SRC-3", "Q9Y6Q9"), up("ER", "P03372"),
+      // homolog-alias anchor: the fly homolog surfaces (eyeless/eyegone/
+      // eyefull) carry NO KB row on purpose — their failsafe ids merge onto
+      // this grounding through the homolog alias edges (sent62/63)
+      up("Pax6", "P26367"),
       // Ras is BOTH a protein-KB miss and a family-KB hit; as a
       // Gene_or_gene_product label its search sequence falls through to pfam
       // at rank 1 (family-vs-protein overlap fixture, FIXTURES.md §2)
@@ -307,6 +321,10 @@ object Lexicon {
       chem("GTP", "CID6830"), chem("rapamycin", "CID5284616"),
       chem("wortmannin", "CID312145"), chem("staurosporine", "CID44259"),
       chem("LY294002", "CID3973"), chem("calcium", "CID271"),
+      // distinct ids so the alias-driven grounding share is observable:
+      // the CC representative (rank-key min) is diacylglycerol's id, matching
+      // the reference's "apply diacylglycerol grounding to DAG" direction
+      chem("diacylglycerol", "CID5283480"), chem("DAG", "CID73265"),
       sp("human", "9606"), sp("mouse", "10090"), sp("murine", "10090"),
       sp("rat", "10116"), sp("yeast", "4932"),
       go("nucleus", "GO:0005634", "Cellular_component"),

@@ -165,6 +165,14 @@ object Pipeline {
   def stageCanon(spark: SparkSession, b: Dataset[StageBRow]): DataFrame = {
     val aliases = b.filter(col("kind") === "alias")
       .select(col("alias.a").as("a"), col("alias.b").as("b"))
+      // identity (winner) rewrite only when one side is effectively
+      // ungrounded — the uaz failsafe namespace (reference Coref.scala:
+      // 396-401: an ungrounded alias side ADOPTS the grounded side's
+      // candidates; a both-grounded pair keeps each side's own winner and
+      // only unions candidate lists, which the fold handles per
+      // conversation). Without this guard a known<->known alias in one
+      // conversation would rewrite the shared KB id corpus-wide.
+      .where(col("a").startsWith("uaz:") || col("b").startsWith("uaz:"))
     Canon.connectedComponents(spark, aliases)
   }
 

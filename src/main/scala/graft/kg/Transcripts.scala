@@ -1106,6 +1106,77 @@ object Transcripts {
       tri("g189", 0, "", "Ubiquitination", AKT1),
       tri("g189", 1, "", "Phosphorylation", AKT1, "", hyp = true))
 
+    // -- TestCoreference sent49-63: alias grounding share ------------------
+    // known<->known paren alias with the comparative adverb ("better known
+    // as", sent58): BOTH sides keep their own winner — the reference only
+    // rewrites an effectively-ungrounded side (Coref.scala:396-401); the
+    // share is a candidate-list union, not an identity merge
+    val ASPP1g = gidOf("ASPP1")
+    conv("g190")("user" -> "ASPP1 (better known as ASPP2) binds MEK1.")(
+      tri("g190", 0, "", "Binding",
+        Seq(ASPP1g, MEK1).sorted.mkString("&")))
+
+    // digit-initial nonce target (sent59: "23peM"): synthesized entity,
+    // conversation-wide rescan, grounding collapses onto ASPP1's
+    conv("g191")(
+      "user" -> "ASPP1 (better known as 23peM) is a common protein.",
+      "assistant" -> "23peM phosphorylates ERK2.")(
+      tri("g191", 1, "", "Phosphorylation", ERK2),
+      tri("g191", 1, ASPP1g, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // bare-paren reversed nonce (sent60: "23peM (ASPP1)")
+    conv("g192")(
+      "user" -> "23peM (ASPP1) is a common protein.",
+      "assistant" -> "23peM phosphorylates ERK2.")(
+      tri("g192", 1, "", "Phosphorylation", ERK2),
+      tri("g192", 1, ASPP1g, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
+    // chemical<->chemical alias (sent49a/52/53): both sides grounded, so
+    // DAG keeps its own winner in emitted triples (candidate lists union —
+    // the share the reference test asserts — without an identity rewrite)
+    val DAGC = gidOf("DAG", "Simple_chemical")
+    conv("g193")(
+      "user" -> ("Diacylglycerol (hereafter referred to as DAG) functions " +
+        "as a second messenger signaling lipid."),
+      "assistant" -> "DAG activates MEK1.")(
+      tri("g193", 1, DAGC, "Positive_activation", MEK1))
+    conv("g194")(
+      "user" -> ("Diacylglycerol, sometimes called DAG, functions as a " +
+        "second messenger signaling lipid."),
+      "assistant" -> "DAG activates MEK1.")(
+      tri("g194", 1, DAGC, "Positive_activation", MEK1))
+
+    // cross-type alias pairs never merge: GGP vs chemical (sent50) and
+    // chemical vs Site (sent51) — turn-2 events keep DAG's own grounding
+    // in g196 because no alias edge formed
+    conv("g195")(
+      "user" -> "Akt (hereafter referred to as diacylglycerol) is phosphorylated.")(
+      tri("g195", 0, "", "Phosphorylation", AKT1))
+    conv("g196")(
+      "user" -> ("Diacylglycerol (hereafter referred to as S135) functions " +
+        "as a second messenger signaling lipid."),
+      "assistant" -> "DAG activates MEK1.")(
+      tri("g196", 1, DAGC, "Positive_activation", MEK1))
+
+    // homolog appositions (sent62a/62b/63): fly homolog surfaces carry no KB
+    // grounding; their failsafe ids collapse onto Pax6's through the
+    // homolog alias edges
+    val PAX6 = gidOf("Pax6")
+    conv("g197")(
+      "user" -> "We studied the effects of the Pax6 homologs eyeless and eyegone.",
+      "assistant" -> "Eyeless phosphorylates ERK2.")(
+      tri("g197", 1, "", "Phosphorylation", ERK2),
+      tri("g197", 1, PAX6, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    conv("g198")(
+      "user" -> ("The Pax6 homologs eyeless, eyefull, and eyegone were " +
+        "found in established lines."),
+      "assistant" -> "Eyefull binds MEK1.")(
+      tri("g198", 1, "", "Binding", Seq(PAX6, MEK1).sorted.mkString("&")))
+    conv("g199")(
+      "user" -> "Eyeless and eyegone, homologs of Pax6, are the subject of this work.",
+      "assistant" -> "Eyegone is phosphorylated.")(
+      tri("g199", 1, "", "Phosphorylation", PAX6))
+
     (turns.toSeq, triples.toSeq)
   }
 
