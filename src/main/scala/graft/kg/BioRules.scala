@@ -1997,6 +1997,27 @@ object BioRules {
             mods += Mod("PTM", lbl, s.text, s.mention_id)
         }
 
+        // relative-clause participial PTM: "Ras that is deubiquitinated at
+        // serine 286" (TestDeModifications *VBNThatIs shapes) — entity-phase
+        // PTM like the premod shapes; a by-agent instead makes it an event
+        // relative (mod_relcl), not a modification
+        if (m.end_tok + 2 < n &&
+            (words(m.end_tok) == "that" || words(m.end_tok) == "which") &&
+            (words(m.end_tok + 1) == "is" || words(m.end_tok + 1) == "was" ||
+             words(m.end_tok + 1) == "are" || words(m.end_tok + 1) == "were") &&
+            ptmParticipleP.matcher(words(m.end_tok + 2)).matches() &&
+            !(m.end_tok + 3 < n && words(m.end_tok + 3) == "by")) {
+          val site =
+            if (m.end_tok + 3 < n &&
+                (words(m.end_tok + 3) == "at" || words(m.end_tok + 3) == "on"))
+              siteByStart.get(m.end_tok + 4)
+            else None
+          val lbl = modLabel(words(m.end_tok + 2))
+          if (lbl.nonEmpty)
+            mods += Mod("PTM", lbl, site.map(_.text).getOrElse(""),
+              site.map(_.mention_id).getOrElse(0L))
+        }
+
         // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]",
         // optionally parenthesized: "ERK(K156M/H204M)" (TestModifications
         // sent15/16 — one mention per mutation)

@@ -22,6 +22,42 @@ class ModsSpec extends AnyFunSuite {
   private def events(ms: Seq[MentionRow]): Seq[MentionRow] =
     ms.filter(_.is_event)
 
+  test("TestDeModifications matrix: 9 de-PTM families x 7 premod/relative shapes") {
+    // reference: TestDeModifications.scala:16-96 — every reverse-PTM family
+    // must attach exactly one PTM mod with the De- label to Ras, in the
+    // JJ/VBN premodifier shapes (bare, +site, interceding noun +site) and
+    // the that-is relative with a spelled-out site
+    val families = Seq(
+      "deubiquitinated" -> "Deubiquitination",
+      "dephosphorylated" -> "Dephosphorylation",
+      "defarnesylated" -> "Defarnesylation",
+      "deribosylated" -> "Deribosylation",
+      "dehydroxylated" -> "Dehydroxylation",
+      "deacetylated" -> "Deacetylation",
+      "deglycosylated" -> "Deglycosylation",
+      "demethylated" -> "Demethylation",
+      "desumoylated" -> "Desumoylation")
+    for ((adj, label) <- families) {
+      val shapes = Seq(
+        s"The $adj Ras binds AKT and ASPP2.",
+        s"The $adj Ras at Ser16 binds AKT and ASPP2.",
+        s"The $adj Ras protein at Ser16 binds AKT and ASPP2.",
+        s"${adj.capitalize} Ras binds AKT and ASPP2.",
+        s"${adj.capitalize} Ras at Ser16 binds AKT and ASPP2.",
+        s"${adj.capitalize} Ras proteins at Ser16 binds AKT and ASPP2.",
+        s"Src tyrosyl binds Ras that is $adj at serine 286.")
+      for (s <- shapes) {
+        val ms = extract(s)
+        val ras = entities(ms).find(_.text == "Ras")
+        assert(ras.isDefined, s"no Ras mention in: $s")
+        val ptms = ras.get.mods.toSeq.filter(_.kind == "PTM")
+        assert(ptms.size == 1, s"expected 1 PTM, got ${ptms.size} in: $s")
+        assert(ptms.head.label == label,
+          s"expected $label, got ${ptms.head.label} in: $s")
+      }
+    }
+  }
+
   test("PTM participle prefix attaches a PTM modification") {
     val ms = extract("Phosphorylated ERK2 binds STAT3.")
     val erk = entities(ms).find(_.text == "ERK2").get
