@@ -28,7 +28,11 @@ object BioRules {
 
   val modStems: Map[String, String] = Map(
     "phosphorylat" -> "Phosphorylation",
+    // both spellings, as the reference trigger lemma "ubiquit(in|yl)ate"
+    // (events_master.yml:85,189; "SIRT1 deubiquitylates MEK5D",
+    // TestTemplaticSimpleDeEvents sent35)
     "ubiquitinat" -> "Ubiquitination",
+    "ubiquitylat" -> "Ubiquitination",
     "hydroxylat" -> "Hydroxylation",
     "sumoylat" -> "Sumoylation",
     "glycosylat" -> "Glycosylation",
@@ -677,6 +681,20 @@ object BioRules {
     Rule("reg_bygerund", 12, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
         T(regTriggersVerbal), X(3), W("by"), M("controlled", "Event"))),
+    // reduced participle on a nominal event (no copula): "STAT1(Y701)
+    // dephosphorylation induced by wild-type FGFR3" (TestTemplaticSimple-
+    // DeEvents sent30, TestTemplaticSimpleEvents analogue) — participle-only
+    // trigger forms so active clauses stay with reg_active; polarity via
+    // negRegP as usual. mostComplete's regulation-over-activation preference
+    // then retires the act_dep_passive reading of the same span.
+    Rule("reg_reduced_pass", 12, RegulationK,
+      List(M("controlled", "Event"), notOpt, adv,
+        T("(induc|stimulat|trigger|mediat|caus|promot|enhanc|augment|" +
+          "facilitat|accelerat|elicit|initiat|modulat|potentiat|elevat|" +
+          "inhibit|block|suppress|repress|decreas|reduc|prevent|impair|" +
+          "attenuat|abolish|abrogat|antagoniz|disrupt|diminish|imped)ed|" +
+          "driven|up-?regulated|down-?regulated"),
+        W("by"), OptG(W("the")), M("controller", "PossibleController"))),
     // subject-nominal: controller nn directly before a nominal reg trigger
     // governing an of-event ("rapamycin inhibition of the phosphorylation of
     // ERK" — TestRegulationEvents sent28); polarity from the trigger via

@@ -1177,6 +1177,34 @@ object Transcripts {
       "assistant" -> "Eyegone is phosphorylated.")(
       tri("g199", 1, "", "Phosphorylation", PAX6))
 
+    // -- TestTemplaticSimpleDeEvents: reduced-passive regs + spellings -----
+    // reduced participle on a nominal event, no copula (sent30 shape):
+    // controller through "induced/blocked by", polarity from the trigger
+    conv("g200")("user" -> "We found slight ERK2 dephosphorylation induced by BRAF.")(
+      tri("g200", 0, "", "Dephosphorylation", ERK2),
+      tri("g200", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Dephosphorylation($ERK2)"))
+    conv("g201")("user" -> "ERK2 phosphorylation blocked by PTEN was seen.")(
+      tri("g201", 0, "", "Phosphorylation", ERK2),
+      tri("g201", 0, PTEN, "Negative_regulation", s"Phosphorylation($ERK2)"))
+    // -ylate spelling variant (sent35: trigger lemma "de-?ubiquit(in|yl)ate")
+    conv("g202")("user" -> "STAT3 deubiquitylates MEK1.")(
+      tri("g202", 0, "", "Deubiquitination", MEK1),
+      tri("g202", 0, STAT3, "Positive_regulation", s"Deubiquitination($MEK1)"))
+    // spelled-out site list on a de-event (sent15: one event per site)
+    conv("g203")("user" -> "ASPP2 dephosphorylates p53 at serine 125 and serine 126.")(
+      tri("g203", 0, "", "Dephosphorylation", P53, "serine 125"),
+      tri("g203", 0, "", "Dephosphorylation", P53, "serine 126"),
+      tri("g203", 0, ASPP2, "Positive_regulation",
+        s"Dephosphorylation($P53@serine 125)", "serine 125"),
+      tri("g203", 0, ASPP2, "Positive_regulation",
+        s"Dephosphorylation($P53@serine 126)", "serine 126"))
+    // dehydrolysis passive (testDehydrolysisPass1 shape); the trailing
+    // "without ubiquitination" must not yield an extra event
+    conv("g204")("user" -> "Ras is dehydrolyzed by MEK1 without ubiquitination.")(
+      tri("g204", 0, "", "Dehydrolysis", RAS),
+      tri("g204", 0, MEK1, "Positive_regulation", s"Dehydrolysis($RAS)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
