@@ -73,7 +73,14 @@ object SparkEntry {
     ("m19", "brain tissue", "Organ"),
     ("m20", "gfp-KRAS", "Gene_or_gene_product"),
     ("m21", "p53 mutant protein", "Gene_or_gene_product"),
-    ("m22", "STAT protein family", "Family"))
+    ("m22", "STAT protein family", "Family"),
+    // complex-KB vectors (TestComplexResolutions): AMPK is in both the
+    // complex KB and uniprot — the complex entry wins (protein sequence
+    // order); family transforms never apply to Complex labels, so the
+    // " family" form misses the KB and takes the failsafe
+    ("m23", "AMPK", "Gene_or_gene_product"),
+    ("m24", "Activin A", "Complex"),
+    ("m25", "Activin A family", "Complex"))
 
   private def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
 

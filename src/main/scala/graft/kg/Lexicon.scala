@@ -175,7 +175,13 @@ object Lexicon {
       // the reference KB; only Pax6 carries a grounding here, so the alias
       // share is observable (failsafe ids collapse onto Pax6's id in CC)
       , "Pax6", "eyeless", "eyegone", "eyefull"
+      // GGP surface ALSO present in the complex KB — the complex-before-
+      // protein sequence collision vector (TestComplexResolutions)
+      , "AMPK"
     ) ++ Seq(
+      // Complex-labeled surfaces grounded through the bepc KB
+      "Activin A" -> "Complex",
+      "9-1-1" -> "Complex",
       "Ras" -> "Family",
       "RAF" -> "Family",
       "Rho" -> "Family",
@@ -259,14 +265,30 @@ object Lexicon {
 
     // Override KB (reference: adHoc/override NER-grounding KBs consulted
     // BEFORE the standard per-label sequence — application.conf:72-76,
-    // TestOverrides semantics): kb_rank = -1 entries win over every standard
+    // TestOverrides semantics): kb_rank = -2 entries win over every standard
     // KB through the same deterministic first-hit ordering — no special
     // casing in the lookup path.
     val overrides = Seq(
-      KBEntry("p38", "Q16539", "human", "uniprot", -1,
+      KBEntry("p38", "Q16539", "human", "uniprot", -2,
         "Gene_or_gene_product", true, false))
 
-    overrides ++ Seq(
+    // Bioentities protein-complex KB (reference: StaticProteinComplex,
+    // ReachEntityLookup.scala:117-121 — the protein search sequence checks
+    // the complex KB BEFORE uniprot, for both Complex- and GGP-labeled
+    // mentions; TestComplexResolutions). Encoded as kb_rank = -1 entries
+    // under both labels, so a GGP surface present in both KBs (AMPK) takes
+    // the complex grounding, matching the reference order. Family key
+    // transforms are NOT applicable to complexes (bePC.resolve("pthr2
+    // family") is empty) — the per-label transform wiring in Link already
+    // gives Complex the protein transforms only.
+    def pcBoth(t: String, id: String): Seq[KBEntry] = Seq(
+      KBEntry(t, id, "", "bepc", -1, "Gene_or_gene_product", false, false),
+      KBEntry(t, id, "", "bepc", -1, "Complex", false, false))
+    val complexes =
+      pcBoth("AMPK", "AMPK") ++ pcBoth("Activin A", "ACTIVIN_A") ++
+      pcBoth("9-1-1", "9_1_1")
+
+    overrides ++ complexes ++ Seq(
       // without the override, "p38" would fall through to the family KB
       fam("p38", "PF00069", "Gene_or_gene_product"),
       up("AKT1", "P31749"), up("AKT1", "P31750", "mouse"),
@@ -298,6 +320,9 @@ object Lexicon {
       up("adenylate cyclase", "Q08828"),
       up("vascular endothelial cell growth inhibitor", "O95150"),
       up("SRC-3", "Q9Y6Q9"), up("ER", "P03372"),
+      // deliberately shadowed by the bepc complex entry (rank -1 < 0):
+      // the protein sequence consults the complex KB first
+      up("AMPK", "Q13131"),
       // homolog-alias anchor: the fly homolog surfaces (eyeless/eyegone/
       // eyefull) carry NO KB row on purpose — their failsafe ids merge onto
       // this grounding through the homolog alias edges (sent62/63)

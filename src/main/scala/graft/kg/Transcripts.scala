@@ -1205,6 +1205,19 @@ object Transcripts {
       tri("g204", 0, "", "Dehydrolysis", RAS),
       tri("g204", 0, MEK1, "Positive_regulation", s"Dehydrolysis($RAS)"))
 
+    // -- TestComplexResolutions: Bioentities complex KB tier ----------------
+    // AMPK exists in BOTH the complex KB and uniprot; the protein search
+    // sequence consults the complex KB first (ReachEntityLookup proteinSeq),
+    // so the controller grounds to bepc:AMPK
+    conv("g205")("user" -> "AMPK phosphorylates ERK2.")(
+      tri("g205", 0, "", "Phosphorylation", ERK2),
+      tri("g205", 0, "bepc:AMPK", "Positive_regulation",
+        s"Phosphorylation($ERK2)"))
+    // Complex-labeled mention grounded through the complex KB
+    conv("g206")("user" -> "Activin A binds SMAD2.")(
+      tri("g206", 0, "", "Binding",
+        Seq("bepc:ACTIVIN_A", gidOf("SMAD2")).sorted.mkString("&")))
+
     (turns.toSeq, triples.toSeq)
   }
 

@@ -109,10 +109,31 @@ class LinkSpec extends AnyFunSuite {
     assert(g.id == "P31749")
   }
 
-  test("override KB (kb_rank -1) beats every standard KB (TestOverrides)") {
+  test("override KB (kb_rank -2) beats every standard KB (TestOverrides)") {
     val g = kb.resolve("p38", "Gene_or_gene_product", "")
     assert(g.namespace == "uniprot" && g.id == "Q16539",
       s"override must win over the rank-0 family entry; got $g")
+  }
+
+  test("complex KB precedes uniprot in the protein sequence " +
+       "(TestComplexResolutions / ReachEntityLookup proteinSeq)") {
+    // AMPK is in BOTH KBs; the bepc entry (rank -1) wins for GGP mentions
+    val g = kb.resolve("AMPK", "Gene_or_gene_product", "")
+    assert(g.namespace == "bepc" && g.id == "AMPK", s"got $g")
+    // Complex-labeled mentions resolve through the same complex KB
+    val c = kb.resolve("Activin A", "Complex", "")
+    assert(c.namespace == "bepc" && c.id == "ACTIVIN_A", s"got $c")
+    assert(kb.resolve("9-1-1", "Complex", "").id == "9_1_1")
+  }
+
+  test("family key transforms are not applicable to complexes " +
+       "(bePC.resolve(\"pthr2 family\") is empty)") {
+    // the " family" post-attributive is a Family-label transform only, so a
+    // Complex-labeled "X family" surface misses the KB -> failsafe
+    val g = kb.resolve("Activin A family", "Complex", "")
+    assert(g.namespace == "uaz", s"got $g")
+    // mutant patterns not matched either (canonical key keeps 'mutant-')
+    assert(kb.resolve("mutant-zyx-1", "Complex", "").namespace == "uaz")
   }
 
   test("failsafe grounding is deterministic and content-derived") {
