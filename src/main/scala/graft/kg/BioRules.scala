@@ -615,6 +615,15 @@ object BioRules {
     Rule("alias_paren", 10, AliasK,
       List(M("a", ENT), W("\\("), aliasWhichIs, aliasRb, aliasCue,
         ML("b", ENT, commaOk = true, conj = "or|/"), W("\\)"))),
+    // cue-less paren, SENTENCE-START anchored exactly like the reference's
+    // paren1_nil template ("^ aCapture -LRB- bCapture ... -RRB-"): the bare
+    // "23peM (ASPP1)" at clause start aliases; a mid-sentence paren does not
+    // (TestCoreference sent60 — the injected rescan entity makes the nonce a
+    // known mention, so this rule closes the loop the cue-ful forms get via
+    // alias_paren)
+    Rule("alias_paren_nil", 10, AliasK,
+      List(AtStart, M("a", ENT), W("\\("),
+        ML("b", ENT, commaOk = true, conj = "or|/"), W("\\)"))),
     Rule("alias_comma", 10, AliasK,
       List(M("a", ENT), W(","), aliasWhichIs, aliasRb, aliasCue,
         ML("b", ENT, commaOk = true, conj = "or|/"), W("[.,:]"))),

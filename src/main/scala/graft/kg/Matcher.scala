@@ -95,6 +95,11 @@ object Matcher {
     */
   final case class NotNextM(label: String) extends PE
 
+  /** Zero-width sentence-start anchor (Odin's `^`, used by the cue-less
+    * paren alias template alias_template.yml paren1_nil).
+    */
+  case object AtStart extends PE
+
   // ---- match state ------------------------------------------------------
 
   final case class Bind(
@@ -231,6 +236,8 @@ object Matcher {
           case nm: NotNextM =>
             if (pos >= words.length || state.at(pos, nm.label).isEmpty)
               tryMatchCb(rest, words, state, pos, b)(emit)
+          case AtStart =>
+            if (pos == 0) tryMatchCb(rest, words, state, pos, b)(emit)
         }
     }
 

@@ -91,6 +91,18 @@ object Pipeline {
     */
   @volatile var aliasJoinThreshold: Long = 100000L
 
+  /** Cross-conversation alias application (reference: the multi-document
+    * API `Alias.canonizeAliases(mentions, docs)` + `ReachSystem.extractFrom
+    * (Seq[Document])` — aliases found in one document are sought in every
+    * other document of the same batch, TestCoreference sent61). Off by
+    * default: a conversation is the document analogue, and pooling surfaces
+    * corpus-wide is only meaningful for small batches — the pool is capped
+    * at [[aliasJoinThreshold]] surfaces (deterministically sorted) with a
+    * warning on truncation, since a corpus-sized rescan vocabulary is the
+    * one shape that cannot scale.
+    */
+  @volatile var crossConvAliases: Boolean = false
+
   def aliasDefsDs(spark: SparkSession,
                   turns: Dataset[Turn]): Dataset[(String, String, String)] = {
     import spark.implicits._
@@ -113,7 +125,22 @@ object Pipeline {
     val useJoin =
       defs.limit(math.min(thr + 1, Int.MaxValue.toLong).toInt).count() > thr
     val extracted =
-      if (!useJoin) {
+      if (crossConvAliases) {
+        // multi-document batch semantics (sent61): pool every conversation's
+        // alias surfaces and rescan ALL conversations with them. Capped —
+        // an unbounded pool is a corpus-sized broadcast.
+        val pooled = defs.sort("_2", "_3")
+          .limit(math.min(thr, Int.MaxValue.toLong).toInt).collect()
+          .map(x => (x._2, x._3)).distinct.sortBy(identity).toSeq
+        if (useJoin)
+          System.err.println(s"[graft] WARNING: crossConvAliases pool " +
+            s"truncated to $thr definitions (deterministic sort order)")
+        val bPool = spark.sparkContext.broadcast(pooled)
+        annotated.flatMap { at =>
+          InCount.inc()
+          BioRules.extractTurn(at, bPool.value)
+        }
+      } else if (!useJoin) {
         // broadcast path: surfaces sorted per conv so injection order (which
         // resolves overlapping-surface conflicts) is deterministic and
         // identical to the join path's

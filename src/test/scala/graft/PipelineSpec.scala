@@ -93,6 +93,37 @@ class PipelineSpec extends AnyFunSuite {
     } finally Pipeline.aliasJoinThreshold = saved
   }
 
+  test("cross-conversation alias application (multi-document batch, sent61)") {
+    // reference: Alias.canonizeAliases(mentions, docs) — an alias defined in
+    // one document creates mentions for its surface in EVERY document of the
+    // batch. conv A defines the nonce; conv B only uses it.
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("cA", 0, "user", "23peM (ASPP1) is a common protein."),
+      Transcripts.mkTurn("cB", 0, "user", "We examine the role of 23peM."),
+      Transcripts.mkTurn("cB", 1, "user", "23peM phosphorylates ERK2.")))
+    // default (per-conversation document scope): conv B has no 23peM entity,
+    // so the theme-only phosphorylation stands but no regulation forms
+    val off = Pipeline.extract(spark, turns).edges
+      .filter(col("conv_id") === "cB")
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().toSet
+    assert(off == Set(("", "Phosphorylation", "uniprot:P28482")),
+      s"per-conv scope must not see the alias, got $off")
+    val saved = Pipeline.crossConvAliases
+    try {
+      Pipeline.crossConvAliases = true
+      val edges = Pipeline.extract(spark, turns).edges
+        .filter(col("conv_id") === "cB")
+        .select("subj", "pred", "obj").as[(String, String, String)]
+        .collect().toSet
+      // the injected 23peM mention grounds to ASPP1 through the alias edge
+      // (global CC collapses the nonce's failsafe id onto uniprot:Q96KQ4)
+      assert(edges.contains(("", "Phosphorylation", "uniprot:P28482")), edges)
+      assert(edges.contains(("uniprot:Q96KQ4", "Positive_regulation",
+        "Phosphorylation(uniprot:P28482)")), edges)
+    } finally Pipeline.crossConvAliases = saved
+  }
+
   test("mega-conversation chunking preserves non-boundary semantics") {
     val (mega, _) = Transcripts.corpus(spark, 0, seed = 5, megaTurns = 2500)
     val res = Pipeline.extract(spark, mega)
