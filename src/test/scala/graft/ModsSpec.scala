@@ -27,6 +27,8 @@ class ModsSpec extends AnyFunSuite {
     // must attach exactly one PTM mod with the De- label to Ras, in the
     // JJ/VBN premodifier shapes (bare, +site, interceding noun +site) and
     // the that-is relative with a spelled-out site
+    // the positive matrix (TestModifications.scala:16-96) shares the seven
+    // shapes; both directions pinned here
     val families = Seq(
       "deubiquitinated" -> "Deubiquitination",
       "dephosphorylated" -> "Dephosphorylation",
@@ -36,7 +38,17 @@ class ModsSpec extends AnyFunSuite {
       "deacetylated" -> "Deacetylation",
       "deglycosylated" -> "Deglycosylation",
       "demethylated" -> "Demethylation",
-      "desumoylated" -> "Desumoylation")
+      "desumoylated" -> "Desumoylation",
+      "ubiquitinated" -> "Ubiquitination",
+      "ubiquitylated" -> "Ubiquitination",
+      "phosphorylated" -> "Phosphorylation",
+      "farnesylated" -> "Farnesylation",
+      "ribosylated" -> "Ribosylation",
+      "hydroxylated" -> "Hydroxylation",
+      "acetylated" -> "Acetylation",
+      "glycosylated" -> "Glycosylation",
+      "methylated" -> "Methylation",
+      "sumoylated" -> "Sumoylation")
     for ((adj, label) <- families) {
       val shapes = Seq(
         s"The $adj Ras binds AKT and ASPP2.",
