@@ -14,7 +14,7 @@ object Bench {
     "q1_agg", "q_join_broadcast", "q_window_running", "q_events_window",
     "q_topk", "q_setops", "kg_turns", "kg_mentions", "kg_context_window",
     "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "ann_brute", "ann_lsh", "text_tokens", "text_quality",
+    "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "text_tokens", "text_quality",
     "text_langid", "text_fingerprint", "mm_attach", "mm_resize", "mm_features")
 
   def main(args: Array[String]): Unit = {

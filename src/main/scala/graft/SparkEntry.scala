@@ -499,6 +499,23 @@ object SparkEntry {
             .otherwise(0)), lit(0)) >=
             coalesce(sum(col("in_true")), lit(0)) * 0.8).as("recall_ge_80"))
     },
+    "ann_ivf" -> { (s, dir) =>
+      implicit val sp = s
+      // IVF coarse-quantizer path, same recall-vs-brute gate shape as ann_lsh
+      val emb = t(dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteTopK(emb, queries, 10)
+        .select(col("qid"), col("neighbor_id")).withColumn("in_true", lit(1))
+      val ivf = Similarity.ivfTopK(emb, queries, 10)
+        .select(col("qid"), col("neighbor_id")).withColumn("in_ivf", lit(1))
+      brute.join(ivf, Seq("qid", "neighbor_id"), "full_outer")
+        .agg(
+          countDistinct(when(col("in_true") === 1, col("qid")))
+            .as("n_queries"),
+          (coalesce(sum(when(col("in_true") === 1 && col("in_ivf") === 1, 1)
+            .otherwise(0)), lit(0)) >=
+            coalesce(sum(col("in_true")), lit(0)) * 0.8).as("recall_ge_80"))
+    },
 
     // ---- text analysis ---------------------------------------------------
     "text_tokens" -> { (s, dir) =>
@@ -1013,6 +1030,11 @@ object SparkEntry {
         |WHERE round(list_sum(list_transform(range(1, 65),
         |    i -> a.v[i] * b.v[i])) / (a.n * b.n), 4) >= 0.7""".stripMargin,
     "ann_lsh" ->
+      """WITH prep AS (
+        |  SELECT vec_id FROM embeddings)
+        |SELECT count(*) AS n_queries, true AS recall_ge_80
+        |FROM prep WHERE vec_id < 20""".stripMargin,
+    "ann_ivf" ->
       """WITH prep AS (
         |  SELECT vec_id FROM embeddings)
         |SELECT count(*) AS n_queries, true AS recall_ge_80

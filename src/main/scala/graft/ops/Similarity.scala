@@ -90,6 +90,100 @@ object Similarity {
       bucket
     }
 
+  /** IVF-partitioned ANN (the inverted-file shape): a deterministic
+    * spherical k-means coarse quantizer — centroids seeded from the `nlist`
+    * smallest vec_ids, a fixed number of Lloyd iterations, centroid
+    * components rounded to 6dp each iteration so cross-partition float
+    * summation jitter cannot make runs diverge — then corpus vectors grouped
+    * by nearest centroid (the inverted lists); a query probes its `nprobe`
+    * nearest centroids and ranks those lists' vectors by exact cosine.
+    *
+    * 100 TB shape: centroids are broadcast both ways (nlist x dim is KBs),
+    * assignment is a narrow map, candidates come from ONE shuffle joining on
+    * the list id — no cross join; recall < 1 by construction, tunable via
+    * nprobe (contrast with lshTopK, whose recall is tuned by tables/bits).
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def unit(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      val out = new Array[Double](v.length)
+      i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 }
+      out
+    }
+    def topCents(cents: Array[Array[Double]], v: Array[Double],
+                 m: Int): Array[Int] = {
+      val sims = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        val cv = cents(c)
+        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+        sims(c) = s; c += 1
+      }
+      sims.zipWithIndex.sortBy(x => (-x._1, x._2)).take(m).map(_._2)
+    }
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids: Array[Array[Double]] =
+      corpus.sort("vec_id").limit(nlist).collect().map(x => unit(x._2))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val next = corpus
+        .map { case (_, v) =>
+          val u = unit(v)
+          (topCents(bc.value, u, 1)(0), (u, 1L))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (ua, na) = a._2; val (ub, nb) = b._2
+          val sum = new Array[Double](ua.length)
+          var i = 0
+          while (i < ua.length) { sum(i) = ua(i) + ub(i); i += 1 }
+          (a._1, (sum, na + nb))
+        }
+        .map { case (cid, (_, (sum, n))) => (cid, sum.map(_ / n), n) }
+        .collect()
+      val updated = centroids.clone()
+      next.foreach { case (cid, mean, _) =>
+        val u = unit(mean.map(_.toFloat))
+        updated(cid) = u.map(x => math.rint(x * 1e6) / 1e6)
+      }
+      centroids = updated
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val lists = corpus.map { case (id, v) =>
+      (id, topCents(bc.value, unit(v), 1)(0)) }.toDF("neighbor_id", "list")
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        topCents(bc.value, unit(v), nprobe).map(l => (id, l)) }
+      .toDF("qid", "list")
+    def prep(df: DataFrame, idAs: String, vecAs: String, nAs: String) = {
+      val d = transform(col("embedding"), x => x.cast("double"))
+      df.select(col("vec_id").as(idAs), d.as(vecAs),
+        sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
+          .as(nAs))
+    }
+    val cand = lists.join(probes, Seq("list"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .select("qid", "neighbor_id").distinct()
+    val scored = cand
+      .join(prep(embeddings, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .join(prep(queries, "qid", "qv", "qn"), "qid")
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: `tables` independent hyperplane tables of `bits` bits;
     * a corpus vector is a candidate for a query if they share any table's
     * bucket. Exact cosine then ranks candidates. Recall < 1 by construction

@@ -54,6 +54,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"LSH recall $recall too low")
   }
 
+  test("IVF ANN recall and determinism") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, queries, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Similarity.ivfTopK(emb, queries, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf1).size.toDouble / brute.size
+    info(f"IVF ANN recall@10 = $recall%.3f")
+    assert(recall >= 0.8, f"IVF recall $recall too low")
+    // the 6dp-rounded centroids make the quantizer reproducible
+    val ivf2 = Similarity.ivfTopK(emb, queries, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 == ivf2, "IVF result not deterministic across runs")
+  }
+
   test("fingerprints are deterministic and non-trivial") {
     val f1 = TextAnalysis.fingerprint(docs).select("doc_id", "fingerprint")
       .as[(Long, Seq[Long])].collect().toMap
