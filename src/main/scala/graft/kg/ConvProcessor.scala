@@ -140,9 +140,17 @@ object ConvProcessor {
       }
       Option(best).orElse(ctxDefault(tpe))
     }
+    // grounding.overrideSpecies (reference: ReachGrounder.scala:22,38 +
+    // application.conf:77): with the flag ON the species context is ignored
+    // and grounding always prioritizes human > no-species > non-human
+    // (groundAsHuman); OFF lets the context re-rank (groundBySpecies). The
+    // reference ships true; this engine defaults to the context-sensitive
+    // false configuration because its context engine supplies species — both
+    // behaviors are pinned (TestReachGrounder writes its assertions against
+    // `!overrideSpecies`, covering either).
     val ctxSpeciesCache = mutable.Map.empty[Int, String]
     def ctxSpecies(turn: Int): String =
-      if (!hasCtx) ""
+      if (!hasCtx || Link.overrideSpecies) ""
       else ctxSpeciesCache.getOrElseUpdate(turn,
         nearestCtx("Species", turn).map(m => normSpecies(m.text)).getOrElse(""))
 

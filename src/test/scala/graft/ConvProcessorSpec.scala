@@ -60,6 +60,21 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(none.exists(_.obj_gid == "uniprot:P28482"))
   }
 
+  test("grounding.overrideSpecies = true ignores species context " +
+       "(ReachGrounder.scala:38, the reference's shipped default)") {
+    val saved = Link.overrideSpecies
+    try {
+      Link.overrideSpecies = true
+      // the mouse context is present but ignored: groundAsHuman ordering
+      // (human > no-species > non-human) keeps the human ERK2
+      val ts = triples(run(
+        "We studied mouse fibroblasts.",
+        "ERK2 was phosphorylated at T669."))
+      assert(ts.exists(_.obj_gid == "uniprot:P28482"), ts.map(_.obj_gid))
+      assert(!ts.exists(_.obj_gid == "uniprot:P63085"))
+    } finally Link.overrideSpecies = saved
+  }
+
   test("plural coref: 'Both' expands the event over two antecedents") {
     val ts = triples(run(
       "AKT1 binds GSK3.",
