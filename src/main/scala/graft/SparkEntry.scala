@@ -739,7 +739,7 @@ object SparkEntry {
          |         WHEN regexp_matches(t, '(?i)^mutant(?: |-)+.*$$')
          |           THEN trim(regexp_extract(t, '(?i)^mutant(?: |-)+(.*)$$', 1)) END,
          |    CASE WHEN regexp_matches(t, '(?i)^\\w+-\\w+$$')
-         |          AND list_contains(['14_3_3','aaa','aai','aicarft_impchas','hat','zu5','germane','sh2','sh3','rbd','ph','bd','ct','nt'],
+         |          AND list_contains(['14_3_3','aaa','aai','aicarft_impchas','dss1_sem1','hat','zu5','germane','sh2','sh3','rbd','ph','bd','ct','nt'],
          |                lower(regexp_extract(t, '(?i)^(\\w+)-(\\w+)$$', 2)))
          |           THEN regexp_extract(t, '(?i)^(\\w+)-(\\w+)$$', 1) END,
          |    CASE WHEN sansaff = t THEN NULL

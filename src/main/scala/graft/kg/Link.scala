@@ -55,7 +55,7 @@ object Link {
     * — "14_3_3" first, "zu5" last — plus common short domains).
     */
   val proteinDomainShortNames: Set[String] = Set(
-    "14_3_3", "aaa", "aai", "aicarft_impchas", "hat", "zu5", "germane",
+    "14_3_3", "aaa", "aai", "aicarft_impchas", "dss1_sem1", "hat", "zu5", "germane",
     "sh2", "sh3", "rbd", "ph", "bd", "ct", "nt")
 
   private val underscoreFamilyRe = "(?i)(.*_family)".r

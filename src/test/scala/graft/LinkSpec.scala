@@ -71,6 +71,21 @@ class LinkSpec extends AnyFunSuite {
     assert(Link.stripAllKeysSuffixes("being human") == "being human")
   }
 
+  test("TestProteinResolutions vectors: mutant- prefix, spacing variants, " +
+       "underscore domains, family transform not applicable to proteins") {
+    // mutant-X / mutant X both strip (stripMutantProtein leading form)
+    assert(kb.resolve("mutant-AKT1", "Gene_or_gene_product", "").id == "P31749")
+    // canonical key folds space and hyphen: SMAD 2 / SMAD-2 / smad2
+    assert(kb.resolve("SMAD 2", "Gene_or_gene_product", "").id == "Q15796")
+    assert(kb.resolve("SMAD-2", "Gene_or_gene_product", "").id == "Q15796")
+    assert(kb.resolve("smad2", "Gene_or_gene_product", "").id == "Q15796")
+    // underscore-named protein domain strips (bioresources proteinDomains)
+    assert(Link.stripProteinDomain("PI3Kbeta-DSS1_SEM1") == Seq("PI3Kbeta"))
+    assert(kb.resolve("AKT1-DSS1_SEM1", "Gene_or_gene_product", "").id == "P31749")
+    // " family" is a Family-label transform only — a protein misses the KB
+    assert(kb.resolve("AKT1 family", "Gene_or_gene_product", "").namespace == "uaz")
+  }
+
   test("transformed keys resolve through the KB") {
     assert(kb.resolve("Myr-Flag-AKT1", "Gene_or_gene_product", "").id == "P31749")
     assert(kb.resolve("pERK2", "Gene_or_gene_product", "").id == "P28482")
