@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   private val audited = Seq(
     "q1_agg", "q_join_broadcast", "q_window_running", "kg_mentions",
-    "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "ann_brute",
+    "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "ann_brute", "ann_ivf",
     "text_quality", "kg_emit_assembly", "kg_emit_serial",
     "kg_emit_indexcard")
 
