@@ -1258,12 +1258,13 @@ object Transcripts {
     while (t < nTurns) {
       val role = if (t % 2 == 0) "user" else "assistant"
       // kinds 14-18 need cross-turn coref and are excluded from mega slices
-      // (chunk boundaries must not truncate anaphora lookback); 19-30 are
+      // (chunk boundaries must not truncate anaphora lookback); 19-32 are
       // sentence-local families (dependency rules, hydrolysis, subject
       // nominal, multi-site, translocation, in-response-to / following
-      // regulations, bioprocess guard, pair tokens, neg-of-neg activation)
+      // regulations, bioprocess guard, pair tokens, neg-of-neg activation,
+      // reduced-passive regulations, -ylate de-events)
       // but stay out of mega too so the mega slice distribution is unchanged
-      val maxT = if (withCoref) 31 else 14
+      val maxT = if (withCoref) 33 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -1499,6 +1500,21 @@ object Transcripts {
           turns += mkTurn(conv, t, role,
             s"Silencing $a impaired the function of $b.")
           triples += tri(conv, t, gidOf(a), "Positive_activation", gidOf(b))
+        case 31 =>
+          // reduced-passive regulation over a nominal event (late r3)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"We found slight $b phosphorylation induced by $a.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+        case 32 =>
+          // de-event with the -ylate spelling (late r3)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role, s"$a deubiquitylates $b.")
+          triples += tri(conv, t, "", "Deubiquitination", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Deubiquitination(${gidOf(b)})")
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
       }
