@@ -48,14 +48,19 @@ object BioRules {
     "hydrolys" -> "Hydrolysis"
   )
   private val stemsAlt = modStems.keys.mkString("|")
+  // quantity prefixes: the reference trigger patterns are unanchored lemma
+  // regexes (`[lemma=/ubiquit(in|yl)ate/]` matches "monoubiquitination" by
+  // FIND), so mono/poly/di/multi prefixed forms trigger the same events
+  // (TestTemplaticSimpleEvents sent8/9/31)
+  private val qPre = "((mono|poly|di|multi)-?)?"
   // verbal: phosphorylates/-ed/-ing/-e ; nominal: phosphorylation(s)
-  val modVerb = s"(de-?)?($stemsAlt)(e|es|ed|ing)"
+  val modVerb = s"$qPre(de-?)?($stemsAlt)(e|es|ed|ing)"
   // past participle only — the passive construction ("X is/was TRIGGERed")
   // requires it; accepting the progressive here misread "MEK1 is
   // phosphorylating ERK2" as a passive with theme MEK1
-  val modParticiple = s"(de-?)?($stemsAlt)ed"
-  val modNom = s"(de-?)?(($stemsAlt)ions?|hydrolys[ei]s)"
-  val modAny = s"(de-?)?(($stemsAlt)(e|es|ed|ing|ions?)|hydrolys[ei]s)"
+  val modParticiple = s"$qPre(de-?)?($stemsAlt)ed"
+  val modNom = s"$qPre(de-?)?(($stemsAlt)ions?|hydrolys[ei]s)"
+  val modAny = s"$qPre(de-?)?(($stemsAlt)(e|es|ed|ing|ions?)|hydrolys[ei]s)"
 
   /** Trigger text -> event label; de- prefix checked first (reference:
     * DarpaActions.getModificationLabel:370-408).
@@ -381,6 +386,20 @@ object BioRules {
     Rule("mod_nominal_siteof", 7, SimpleModK,
       List(T(modNom), W("at|on"), ML("site", "Site", commaOk = true),
         W("of|for"), OptG(W("the")), ML("theme", ENT))),
+    // EMBEDDED nominal with an on-theme: "the effects of monoubiquitination
+    // on Ras" (sent9) — the reference's prep_[^bt] theme paths only reach an
+    // on-phrase when the trigger itself hangs under a preposition; a clause
+    // SUBJECT nominal with prep_on must NOT fire ("The phosphorylation on
+    // AKT was great", sent1) — the leading "of" encodes that distinction
+    Rule("mod_nominal_embedded_on", 7, SimpleModK,
+      List(W("of"), T(modNom), W("on"), OptG(W("the")), ML("theme", ENT),
+        NotNextM(ENT))),
+    // light-verb nominal: "K-Ras and H-Ras underwent mono-ubiquitination"
+    // (sent31) — each coordinated subject yields its own event (the
+    // reference reaches the subjects through the verb's nsubj + conj_and)
+    Rule("mod_undergo", 7, SimpleModK,
+      List(ML("theme", ENT), W("underwent|undergo(es)?|undergone|undergoing"),
+        OptG(W("mono|poly|di|multi")), T(modNom))),
     // pre-modifier nominal: "AKT phosphorylation" (theme before nominal
     // trigger). Guarded like the reference's nn-theme rule (syntax_4_noun:
     // `!outgoing=/prep_(by|of)/`): when the trigger governs a following
@@ -554,7 +573,7 @@ object BioRules {
     // object is skipped by the rule and picked up as a PTM by attachMods
     // ("bind to ubiquitinated Ras")
     Rule("bind_active", 8, BindingK,
-      List(ML("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?"),
+      List(ML("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?|ligates?|ligated"),
         OptG(W("to|with|directly")), OptG(W("to|with")),
         OptG(W(s"(non-?)?(de-?)?($stemsAlt)ed")), ML("theme2", ENT))),
     Rule("bind_nominal", 8, BindingK,
@@ -920,7 +939,7 @@ object BioRules {
     // binding (bind_events.yml syntax rules); theme1 via nsubj and the
     // raising path <xcomp nsubj(pass) ("STAT3 is known to interact with...")
     DepRule("bind_dep", 8, BindingK,
-      "binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?",
+      "binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?|ligates?|ligated",
       trigVerbal = true, Seq(
         DepArg("theme", ENT, Seq(List(O("nsubj")), List(I("vmod")),
           List(I("xcomp"), O("nsubj|nsubjpass")))),
@@ -1670,20 +1689,36 @@ object BioRules {
             m <- {
               val (t1, t2) =
                 if (x.text <= y.text) (x, y) else (y, x)
-              // Binding is a SimpleEvent in the reference taxonomy, so
-              // siteSniffer applies: EventSite mods on the participants are
-              // promoted to the event, one Binding per distinct site
-              // ("the RBD of PI3KC2β binds Ras", TestModifications sent2)
-              val sniffed = Seq(t1, t2).flatMap(_.mods.toSeq)
-                .filter(_.kind == "EventSite")
-                .flatMap(s => state.byId(s.site_id)).distinct
-              val siteOpts: Seq[Option[MentionRow]] =
-                if (sniffed.isEmpty) Seq(None) else sniffed.map(Some(_))
-              siteOpts.map { siteOpt =>
-                mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding",
-                  b.trigger,
-                  Seq("theme" -> t1, "theme" -> t2) ++ siteOpt.map("site" -> _),
-                  rule.name)
+              // a binding pair with a literal "ubiquitin" theme is a
+              // Ubiquitination of the OTHER theme (mkBindingsFromPairs,
+              // DarpaActions.scala:251-256 — "Ras ligated to Ubiquitin",
+              // TestTemplaticSimpleEvents sent10)
+              val ubiqOther =
+                if (t1.text.equalsIgnoreCase("ubiquitin")) Some(t2)
+                else if (t2.text.equalsIgnoreCase("ubiquitin")) Some(t1)
+                else None
+              ubiqOther match {
+                case Some(other) =>
+                  Seq(mkEvent(conv, turn, sent.sent_idx, words, deps,
+                    "Ubiquitination", b.trigger, Seq("theme" -> other),
+                    rule.name))
+                case None =>
+                  // Binding is a SimpleEvent in the reference taxonomy, so
+                  // siteSniffer applies: EventSite mods on the participants
+                  // are promoted to the event, one Binding per distinct site
+                  // ("the RBD of PI3KC2β binds Ras", TestModifications sent2)
+                  val sniffed = Seq(t1, t2).flatMap(_.mods.toSeq)
+                    .filter(_.kind == "EventSite")
+                    .flatMap(s => state.byId(s.site_id)).distinct
+                  val siteOpts: Seq[Option[MentionRow]] =
+                    if (sniffed.isEmpty) Seq(None) else sniffed.map(Some(_))
+                  siteOpts.map { siteOpt =>
+                    mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding",
+                      b.trigger,
+                      Seq("theme" -> t1, "theme" -> t2) ++
+                        siteOpt.map("site" -> _),
+                      rule.name)
+                  }
               }
             }
           } yield m

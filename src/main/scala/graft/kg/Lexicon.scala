@@ -75,6 +75,11 @@ object Lexicon {
     "Deribosylation" -> "RemoveModification",
     "Methylation" -> "AddModification",
     "Demethylation" -> "RemoveModification",
+    // reference taxonomy.yml:39,51 — Hydrolysis is an AdditionEvent,
+    // Dehydrolysis a RemovalEvent; without these the closure misses Event
+    // and regulations cannot capture hydrolysis events as controlled args
+    "Hydrolysis" -> "AddModification",
+    "Dehydrolysis" -> "RemoveModification",
     "AddModification" -> "ModificationEvent",
     "RemoveModification" -> "ModificationEvent",
     "ModificationEvent" -> "SimpleEvent",

@@ -1218,6 +1218,34 @@ object Transcripts {
       tri("g206", 0, "", "Binding",
         Seq("bepc:ACTIVIN_A", gidOf("SMAD2")).sorted.mkString("&")))
 
+    // -- TestTemplaticSimpleEvents sent8/9/10/31: prefixed nominals ---------
+    // mono/poly/di/multi prefixes on triggers (the reference's lemma regexes
+    // are unanchored); "phosphorylation on X" as clause subject must NOT
+    // fire (sent1) while the of-embedded form does (sent9)
+    conv("g207")("user" ->
+      "We next considered the effect of Ras monoubiquitination on GSK3-mediated hydrolysis.")(
+      tri("g207", 0, "", "Ubiquitination", RAS))
+    conv("g208")(
+      "user" -> "The effects of monoubiquitination on Ras are not isoform-specific.",
+      "assistant" -> "The phosphorylation on AKT1 was great.")(
+      tri("g208", 0, "", "Ubiquitination", RAS))
+    // "Ras ligated to Ubiquitin" is a Ubiquitination of Ras, never a Binding
+    // (mkBindingsFromPairs ubiquitin conversion, DarpaActions.scala:251-256);
+    // the GSK3-mediated GTP hydrolysis is a regulation over the hydrolysis
+    // event (taxonomy: Hydrolysis is an AdditionEvent)
+    val GTPc = gidOf("GTP", "Simple_chemical")
+    conv("g209")("user" ->
+      ("We measured the rate of GSK3-mediated GTP hydrolysis and observed " +
+        "that the response of Ras ligated to Ubiquitin was identical."))(
+      tri("g209", 0, "", "Hydrolysis", GTPc),
+      tri("g209", 0, GSK3, "Positive_regulation", s"Hydrolysis($GTPc)"),
+      tri("g209", 0, "", "Ubiquitination", RAS))
+    // light-verb nominal: each coordinated subject yields its own event
+    conv("g210")("user" ->
+      "We found that K-Ras and H-Ras underwent mono-ubiquitination in HeLa cells.")(
+      tri("g210", 0, "", "Ubiquitination", gidOf("KRAS")),
+      tri("g210", 0, "", "Ubiquitination", gidOf("HRAS")))
+
     (turns.toSeq, triples.toSeq)
   }
 
