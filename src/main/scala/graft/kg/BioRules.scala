@@ -376,15 +376,23 @@ object BioRules {
     Rule("auto_passive_inf", 7, AutoModK,
       List(ML("theme", ENT), postMods, filler, W("to"), W("be|become"),
         notOpt, adv, OptG(M("site", "Site")), T(s"auto-?($stemsAlt)ed"))),
-    // nominal: TRIGGERion of theme-list [on/at site] [by cause]
+    // nominal: TRIGGERion of theme-list [on/at site] [by cause]. The
+    // optional "the X substrate(s)," bridge reaches an appositive theme when
+    // the of-object is a role noun whose entity the NER substrate-lookahead
+    // absorbed ("the phosphorylation of the mTOR substrate, 4EBP1" —
+    // TestTemplaticSimpleEvents sent23; the reference walks prep_of to
+    // "substrate" then appos to the protein)
     Rule("mod_nominal", 7, SimpleModK,
-      List(T(modNom), W("of"), siteOfPre, quant, ML("theme", ENT), parenSites,
+      List(T(modNom), W("of"), siteOfPre, quant,
+        OptG(OptG(W("the")), X(2), W("substrates?"), W(",")),
+        ML("theme", ENT), parenSites,
         sitePrep, OptG(W("by"), M("cause", ENT)))),
     // nominal with the site list BEFORE the of/for theme (syntax_1b_noun;
     // TestTemplaticSimpleEvents sent14a: "ubiquitination at Lys residues 104
     // and 147 of K-Ras" — one event per site)
     Rule("mod_nominal_siteof", 7, SimpleModK,
-      List(T(modNom), W("at|on"), ML("site", "Site", commaOk = true),
+      List(T(modNom), W("at|on"), OptG(W("the")),
+        ML("site", "Site", commaOk = true),
         W("of|for"), OptG(W("the")), ML("theme", ENT))),
     // EMBEDDED nominal with an on-theme: "the effects of monoubiquitination
     // on Ras" (sent9) — the reference's prep_[^bt] theme paths only reach an
@@ -405,8 +413,11 @@ object BioRules {
     // `!outgoing=/prep_(by|of)/`): when the trigger governs a following
     // of/by phrase the nn is the CAUSE, not the theme ("MEK1 phosphorylation
     // of ERK2" — handled by mod_subjnominal below).
+    // theme is a coordinated LIST ("both basal EGFR and ERBB3 tyrosine
+    // phosphorylation" -> one event per conjunct, TestTemplaticSimpleEvents
+    // sent5 — the reference widens the nn theme over /conj|cc/)
     Rule("mod_prenominal", 7, SimpleModK,
-      List(M("theme", ENT), parenSites,
+      List(ML("theme", ENT), parenSites,
         // parenthesized mutation codes were consumed as Mutant mods by
         // attachMods ("ERK2(K156M/H204M) phosphorylation" -> one event per
         // mutant variant, TestModifications sent15/16); the span skips them
@@ -682,9 +693,14 @@ object BioRules {
 
     // -- p12: regulations over events ------------------------------------
     // active: controller TRIGGERs controlled-event
+    // determiner/degree modifiers between trigger and controlled are
+    // transparent ("increased both basal EGFR ... phosphorylation" — the
+    // reference reaches the controlled via dobj regardless of premodifiers)
     Rule("reg_active", 12, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(regTriggersVerbal), OptG(W("the")), M("controlled", "Event"))),
+        T(regTriggersVerbal), OptG(W("the|a|an|both")),
+        OptG(W("basal|endogenous|total|overall|global|constitutive")),
+        M("controlled", "Event"))),
     // relative clause: "the phosphorylation of ERK2, which is blocked by PTEN"
     Rule("reg_relcl", 12, RegulationK,
       List(M("controlled", "Event"), W(","), W("which"), W("is|was|are|were"),
@@ -1729,7 +1745,22 @@ object BioRules {
         // expansion in the reference's syntax paths)
         (b.caps.get("controller").map(_.filter(surfaceSubjOk)),
          b.caps.get("controlled")) match {
-          case (Some(ctls @ (_ :: _)), Some(clds @ (_ :: _))) =>
+          case (Some(ctls @ (_ :: _)), Some(clds0 @ (_ :: _))) =>
+            // trigger-sibling expansion (Odin parity): the reference's
+            // controlled dep path lands on the controlled event's TRIGGER
+            // head and State.mentionsFor returns every event anchored there,
+            // so a bound controlled event stands for all its same-trigger
+            // same-label siblings ("increased both basal EGFR and ERBB3
+            // tyrosine phosphorylation" -> one regulation per conjunct
+            // event; TestTemplaticSimpleEvents sent5/sent6)
+            val clds = clds0.flatMap { cld =>
+              if (!cld.is_event || cld.trig_start < 0) List(cld)
+              else cld :: state.all.filter(s => s.is_event &&
+                s.mention_id != cld.mention_id &&
+                s.labels.head == cld.labels.head &&
+                s.trig_start == cld.trig_start &&
+                s.trig_end == cld.trig_end).toList
+            }.distinctBy(_.mention_id)
             for {
               ctl <- ctls
               cld <- clds

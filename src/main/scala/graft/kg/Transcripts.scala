@@ -1246,6 +1246,54 @@ object Transcripts {
       tri("g210", 0, "", "Ubiquitination", gidOf("KRAS")),
       tri("g210", 0, "", "Ubiquitination", gidOf("HRAS")))
 
+    // -- TestTemplaticSimpleEvents sent5/22/23: premod-theme coordination,
+    // substrate-apposition themes, nominalized-cause regs ------------------
+    // sent5: "both basal EGFR and ERBB3 tyrosine phosphorylation" — the nn
+    // theme widens over conj (one event per conjunct); the reg trigger
+    // reaches the controlled dobj through the determiner/degree premods; the
+    // relative "that was not augmented by MEK inhibition" wraps EVERY event
+    // on the trigger (State.mentionsFor returns all same-trigger events),
+    // negated, with the inhibition flip
+    val HER2 = gidOf("HER2")
+    conv("g211")("user" ->
+      ("In contrast, the EGFR T669A mutant increased both basal EGFR and " +
+        "HER2 tyrosine phosphorylation that was not augmented by MEK inhibition"))(
+      tri("g211", 0, "", "Phosphorylation", EGFR, "tyrosine"),
+      tri("g211", 0, "", "Phosphorylation", HER2, "tyrosine"),
+      tri("g211", 0, EGFR, "Positive_regulation",
+        s"Phosphorylation($EGFR@tyrosine)", "tyrosine"),
+      tri("g211", 0, EGFR, "Positive_regulation",
+        s"Phosphorylation($HER2@tyrosine)", "tyrosine"),
+      tri("g211", 0, MEK, "Negative_regulation",
+        s"Phosphorylation($EGFR@tyrosine)", "tyrosine", neg = true),
+      tri("g211", 0, MEK, "Negative_regulation",
+        s"Phosphorylation($HER2@tyrosine)", "tyrosine", neg = true))
+    // sent23: "the phosphorylation of the mTOR substrate, STAT3" — the
+    // of-object is a role noun whose entity the substrate-lookahead absorbed;
+    // theme = the apposition (prep_of -> substrate -> appos in the reference)
+    conv("g212")("user" ->
+      ("Shown in Figure is a Western blot detecting the phosphorylation of " +
+        "the mTOR substrate, STAT3."))(
+      tri("g212", 0, "", "Phosphorylation", STAT3))
+    // sent6 core clause: "on the JM domains of EGFR and HER2" — site BEFORE
+    // the of-theme list, one event per theme conjunct, all wrapped by the
+    // blocking regulation
+    conv("g213")("user" ->
+      ("AKT1 blocks an inhibitory threonine phosphorylation on the JM " +
+        "domains of EGFR and HER2."))(
+      tri("g213", 0, "", "Phosphorylation", EGFR, "JM domains"),
+      tri("g213", 0, "", "Phosphorylation", HER2, "JM domains"),
+      tri("g213", 0, AKT1, "Negative_regulation",
+        s"Phosphorylation($EGFR@JM domains)", "JM domains"),
+      tri("g213", 0, AKT1, "Negative_regulation",
+        s"Phosphorylation($HER2@JM domains)", "JM domains"))
+    // sent22: subject-nominal cause — theme is the of-object (never the nn
+    // cause), reg controller = the nn
+    conv("g214")("user" ->
+      "MEK phosphorylation of ERK2 stimulates binding to either AKT1 or GSK3")(
+      tri("g214", 0, "", "Phosphorylation", ERK2),
+      tri("g214", 0, MEK, "Positive_regulation", s"Phosphorylation($ERK2)"))
+
     (turns.toSeq, triples.toSeq)
   }
 
