@@ -1019,8 +1019,14 @@ object BioRules {
     var cur = seeds
     var d = 0
     while (d < 2 && cur.nonEmpty) {
+      // appositives license identity in BOTH directions (the appos child
+      // stands for its head): "Ras, an XXX that phosphorylates ASPP2" —
+      // nsubj lands on "XXX", incoming appos recovers Ras (same convention
+      // as the subject-consistency guard)
       val nxt = cur.flatMap(i => deps.outgoing(i).collect {
         case (j, l) if re.matcher(l).matches() => j
+      } ++ deps.incoming(i).collect {
+        case (j, l) if l == "appos" && re.matcher(l).matches() => j
       }).distinct.filterNot(all.contains)
       all = all ++ nxt
       cur = nxt

@@ -517,8 +517,14 @@ object ConvProcessor {
 
     // ---- theme descent for event-valued roles ----------------------------
     // (OutputDegrader.flattenMentions semantics, OutputDegrader.scala:16-48)
-    def descend(id: Long, depth: Int = 0): (String, String) = {
-      // returns (core entity gid, site text)
+    def descend(id: Long, depth: Int = 0,
+                asController: Boolean = false): (String, String) = {
+      // returns (core entity gid, site text). Direction follows the
+      // reference's convertEventToEntity (DarpaActions.scala:668-750):
+      // flattening a CONTROLLER that is a ComplexEvent digs into its own
+      // controller ("Ras, which ... phosphorylates ASPP2, activates MEK" —
+      // the activation's controller is the regulation, which flattens to
+      // Ras); flattening a theme/controlled digs into theme/controlled
       byId.get(id) match {
         case Some(m) if !m.is_event => (gid(id), "")
         case Some(m) if depth < 4 =>
@@ -528,9 +534,13 @@ object ConvProcessor {
             .orElse(m.args.find(_.role == "source"))
             .flatMap(a => byId.get(a.mention_id))
             .flatMap(d => groundings.get(d.mention_id)).map(gidOf)
-          val core = m.args.find(_.role == "theme")
+          val viaController =
+            if (asController) m.args.find(_.role == "controller") else None
+          val core = viaController
+            .orElse(m.args.find(_.role == "theme"))
             .orElse(m.args.find(_.role == "controlled"))
-            .map(a => descend(a.mention_id, depth + 1)._1).getOrElse("")
+            .map(a => descend(a.mention_id, depth + 1, asController)._1)
+            .getOrElse("")
           val siteOut = if (site.nonEmpty) site else dest.getOrElse("")
           (core, siteOut)
         case _ => ("", "")
@@ -642,7 +652,7 @@ object ConvProcessor {
           val cld = e.args.find(_.role == "controlled")
           (ctl, cld) match {
             case (Some(c), Some(d)) =>
-              val subjGid = descend(c.mention_id)._1
+              val subjGid = descend(c.mention_id, asController = true)._1
               val cldM = byId.get(d.mention_id)
               val (objCore, objSite) = descend(d.mention_id)
               val objPred = cldM.map(_.labels.head).getOrElse("")
@@ -651,7 +661,8 @@ object ConvProcessor {
           }
         } else if (e.labels.contains("ActivationEvent")) {
           val subjGid = e.args.find(_.role == "controller")
-            .map(c => descend(c.mention_id)._1).getOrElse("")
+            .map(c => descend(c.mention_id, asController = true)._1)
+            .getOrElse("")
           val objGid = e.args.find(_.role == "controlled")
             .map(c => descend(c.mention_id)._1).getOrElse("")
           Some(pt(subjGid, objGid, "", "", siteText))

@@ -183,6 +183,10 @@ object Lexicon {
       // GGP surface ALSO present in the complex KB — the complex-before-
       // protein sequence collision vector (TestComplexResolutions)
       , "AMPK"
+      // nucleotide-bound Ras forms: the reference CRF NER tags these as
+      // proteins with no KB entry (AzFailsafeKB grounding) — the hydrolysis
+      // matrix themes, TestTemplaticSimpleEvents testHydrolysis*
+      , "Ras-GDP", "Ras-GTP"
     ) ++ Seq(
       // Complex-labeled surfaces grounded through the bepc KB
       "Activin A" -> "Complex",

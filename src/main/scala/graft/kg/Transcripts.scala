@@ -1294,6 +1294,69 @@ object Transcripts {
       tri("g214", 0, "", "Phosphorylation", ERK2),
       tri("g214", 0, MEK, "Positive_regulation", s"Phosphorylation($ERK2)"))
 
+    // -- TestTemplaticSimpleEvents testHydrolysis* matrix (:129-166) --------
+    // Ras-GDP / Ras-GTP are NER-only surfaces with no KB row (the reference
+    // CRF tags them; grounding falls through to the AzFailsafeKB → uaz ns)
+    val RGDP = gidOf("Ras-GDP"); val RGTP = gidOf("Ras-GTP")
+    // subject-nominal: "MEK hydrolysis of Ras-GDP increased."
+    conv("g215")("user" -> "MEK hydrolysis of Ras-GDP increased.")(
+      tri("g215", 0, "", "Hydrolysis", RGDP),
+      tri("g215", 0, MEK, "Positive_regulation", s"Hydrolysis($RGDP)"))
+    // object-nominal with by-cause: "Ras-GDP hydrolysis by MEK increased."
+    conv("g216")("user" -> "Ras-GDP hydrolysis by MEK increased.")(
+      tri("g216", 0, "", "Hydrolysis", RGDP),
+      tri("g216", 0, MEK, "Positive_regulation", s"Hydrolysis($RGDP)"))
+    // which-relative subject (testHydrolysisSubjectRel1) + its negated
+    // variant (sent17: only the regulation is negated, never the event)
+    conv("g217")("user" ->
+      ("Its many abnormal phenotypes can be rescued via MEK1, which " +
+        "specifically hydrolyzes Ras-GDP."))(
+      tri("g217", 0, "", "Hydrolysis", RGDP),
+      tri("g217", 0, MEK1, "Positive_regulation", s"Hydrolysis($RGDP)"))
+    conv("g218")("user" ->
+      ("Its many abnormal phenotypes can be rescued via MEK1, which " +
+        "does not hydrolyze Ras-GDP."))(
+      tri("g218", 0, "", "Hydrolysis", RGDP),
+      tri("g218", 0, MEK1, "Positive_regulation", s"Hydrolysis($RGDP)",
+        neg = true))
+    // appositive + bare-that relative (testHydrolysisSubjectRelApposition2):
+    // the nsubj lands on the appos child ("an enzyme") and the cause widens
+    // back over the INCOMING appos edge to MEK1
+    conv("g219")("user" ->
+      "A main rate-controlling step in RAS is MEK1, an enzyme that hydrolyzes Ras-GTP.")(
+      tri("g219", 0, "", "Hydrolysis", RGTP),
+      tri("g219", 0, MEK1, "Positive_regulation", s"Hydrolysis($RGTP)"))
+    // passive which-relative object (testHydrolysisObjectRel1)
+    conv("g220")("user" ->
+      ("We measured transcription activation in the presence of MEK, " +
+        "which is hydrolyzed by BRAF."))(
+      tri("g220", 0, "", "Hydrolysis", MEK),
+      tri("g220", 0, gidOf("BRAF"), "Positive_regulation", s"Hydrolysis($MEK)"))
+    // subject-relative inside a main clause whose activation controller is
+    // the relative-clause REGULATION event: the reference flattens a
+    // ComplexEvent controller recursively through its own controller
+    // (convertEventToEntity, DarpaActions.scala:668-750) → activation
+    // controller = Ras, not the phospho theme
+    conv("g221")("user" ->
+      "Ras, which has been found to phosphorylate ASPP2, activates MEK.")(
+      tri("g221", 0, "", "Phosphorylation", ASPP2),
+      tri("g221", 0, RAS, "Positive_regulation", s"Phosphorylation($ASPP2)"),
+      tri("g221", 0, RAS, "Positive_activation", MEK))
+    // appositive over an UNKNOWN role noun ("an XXX that ...") — the cause
+    // path must widen from the unknown appos child back to Ras; negated
+    // variant pins the reg-only negation through the appositive relative
+    conv("g222")("user" ->
+      ("Its many abnormal phenotypes can be rescued via overexpressing " +
+        "Ras, an XXX that specifically phosphorylates ASPP2."))(
+      tri("g222", 0, "", "Phosphorylation", ASPP2),
+      tri("g222", 0, RAS, "Positive_regulation", s"Phosphorylation($ASPP2)"))
+    conv("g223")("user" ->
+      ("Its many abnormal phenotypes can be rescued via overexpressing " +
+        "Ras, an XXX that does not phosphorylate ASPP2."))(
+      tri("g223", 0, "", "Phosphorylation", ASPP2),
+      tri("g223", 0, RAS, "Positive_regulation", s"Phosphorylation($ASPP2)",
+        neg = true))
+
     (turns.toSeq, triples.toSeq)
   }
 
