@@ -49,9 +49,17 @@ object Annotate {
       // ("Bad" stays a word; "BAD" stays the protein — ner_stoplist.txt)
       if (phrase.exists(_.isUpper) && phrase.length <= 6) {
         cur.surfaces += phrase
-        val title = phrase.toLowerCase.capitalize
-        if (title != phrase && !Lexicon.nerStopList.contains(phrase.toLowerCase))
-          cur.surfaces += title
+        // title-case and ALL-CAPS variants of registered symbols are
+        // accepted ("Akt"/"AKT" for "AKT", "RAS" for "Ras" — the reference
+        // dictionaries carry these case variants; TestModifications
+        // mutantTest9-14 use all-caps "RAS") unless the lowercase form is a
+        // stop-listed common word ("Bad" stays a word — ner_stoplist.txt)
+        if (!Lexicon.nerStopList.contains(phrase.toLowerCase)) {
+          val title = phrase.toLowerCase.capitalize
+          if (title != phrase) cur.surfaces += title
+          val upper = phrase.toUpperCase
+          if (upper != phrase) cur.surfaces += upper
+        }
       }
       else cur.anyCase = true
     }

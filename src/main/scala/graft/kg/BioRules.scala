@@ -2119,12 +2119,17 @@ object BioRules {
 
         // Mutants rightward: "ERK2 T669A [, T671A] [and G12V] [mutants]",
         // optionally parenthesized: "ERK(K156M/H204M)" (TestModifications
-        // sent15/16 — one mention per mutation)
+        // sent15/16 — one mention per mutation). An optional mutant word may
+        // precede the first code ("MEK mutant R567Q", "ASPP1 mutants K111M,
+        // K112M, and K113M" — mutantmod_1a/3a, mutants.yml:199-259)
         var j = m.end_tok
         var parenMut = false
         if (j + 1 < n && words(j) == "(" &&
             mutantTokP.matcher(words(j + 1)).matches()) {
           parenMut = true; j += 1
+        } else if (j + 1 < n && mutantWordP.matcher(words(j)).matches() &&
+                   mutantTokP.matcher(words(j + 1)).matches()) {
+          j += 1
         }
         var sawRight = false
         var contRight = j < n && mutantTokP.matcher(words(j)).matches()
@@ -2171,26 +2176,37 @@ object BioRules {
         }
         // Mutant premodifier lists: "only K650M and K650E-AKT1 mutants cause"
         // (TestRegulationEvents sent30/31 — one Mutant mod per code, the
-        // multi-mutant split below yields one mention per mutant form). Only
-        // scanned when the mention is already mutant-marked (fused code) or
-        // is headed by "mutants": bare "K650M AKT1" adjacency stays out.
-        if (mods.exists(_.kind == "Mutant") ||
-            (m.end_tok < n && mutantWordP.matcher(words(m.end_tok)).matches())) {
-          // the token adjacent to the mention must be a code; further left,
-          // codes and separator runs (", and") alternate freely
+        // multi-mutant split below yields one mention per mutant form), bare
+        // single-code premods ("Ser785His RAS", mutantTest10 / mutantmod_1b)
+        // and code + mutant-word premods ("Ser785His mutant RAS",
+        // mutantTest9). Mirrors mutantmod_1b/2 (mutants.yml:199-233): the
+        // token adjacent to the mention (across an optional mutant word)
+        // must be a code; further left, codes and separator runs (", and")
+        // alternate freely. Multi-code lists keep mutantmod_2's
+        // (?<!BioChemicalEntity) guard: an entity immediately before the
+        // list means the codes are ITS rightward codes, not our premods.
+        locally {
           var lj = m.start_tok - 1
-          var sawCode = false
+          if (lj >= 1 && mutantWordP.matcher(words(lj)).matches() &&
+              mutantTokP.matcher(words(lj - 1)).matches()) lj -= 1
+          var sawCode = 0
           var cont = lj >= 0 && mutantTokP.matcher(words(lj)).matches()
+          val collected = mutable.ArrayBuffer.empty[Mod]
           while (cont && lj >= 0) {
             val w = words(lj)
             if (mutantTokP.matcher(w).matches()) {
-              mods += Mod("Mutant", "", normMutCode(w), 0L)
-              sawCode = true
+              collected += Mod("Mutant", "", normMutCode(w), 0L)
+              sawCode += 1
               lj -= 1
             // separator runs (", and") skip freely between codes
-            } else if (sawCode && mutantSepP.matcher(w).matches()) lj -= 1
+            } else if (sawCode > 0 && mutantSepP.matcher(w).matches()) lj -= 1
             else cont = false
           }
+          val entityPrecedes = lj >= 0 && ms.exists(e =>
+            !e.is_event && e.labels.contains("BioChemicalEntity") &&
+              e.end_tok == lj + 1)
+          if (sawCode == 1 || (sawCode > 1 && !entityPrecedes))
+            mods ++= collected
         }
         // bare "mutant ERK2" marker (mutants.yml generic relation rules)
         if (m.start_tok > 0 &&

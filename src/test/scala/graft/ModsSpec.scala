@@ -113,6 +113,34 @@ class ModsSpec extends AnyFunSuite {
     assert(muts == Seq("K111M", "K112M", "K113M"))
   }
 
+  test("postposed mutant-word codes: 'MEK mutant R567Q' / 'ASPP1 mutants K111M, ...'") {
+    // TestModifications mutantTest4 (mutantmod_1a) and mutantTest8
+    // (mutantmod_3a): an optional mutant word between the entity and its
+    // rightward code list
+    val ms1 = extract("MEK mutant R567Q was used.")
+    val mek = entities(ms1).find(_.text == "MEK").get
+    assert(mek.mods.exists(m => m.kind == "Mutant" && m.site_text == "R567Q"))
+    val ms2 = extract("ASPP1 mutants K111M, K112M, and K113M and ASPP2 were used.")
+    val aspp1 = entities(ms2).filter(_.text == "ASPP1")
+    assert(aspp1.size == 3, s"expected 3 split mentions, got ${aspp1.size}")
+    assert(aspp1.flatMap(_.mods.toSeq).filter(_.kind == "Mutant")
+      .map(_.site_text).sorted == Seq("K111M", "K112M", "K113M"))
+    assert(entities(ms2).find(_.text == "ASPP2").get.mods
+      .forall(_.kind != "Mutant"))
+  }
+
+  test("bare and mutant-word premod codes: 'Ser785His [mutant] RAS'") {
+    // TestModifications mutantTest9/10 (mutantmod_1b): a single code premod
+    // attaches with or without an intervening mutant word; the all-caps
+    // "RAS" surface is a registered case variant of "Ras"
+    for (s <- Seq("Ser785His mutant RAS was used.", "Ser785His RAS was used.")) {
+      val ras = entities(extract(s)).find(_.text == "RAS")
+      assert(ras.isDefined, s"no RAS mention in: $s")
+      assert(ras.get.mods.exists(m => m.kind == "Mutant" &&
+        m.site_text == "Ser785His"), s"no Ser785His Mutant in: $s")
+    }
+  }
+
   test("generic 'Mutation of the X gene' attaches a codeless Mutant mod") {
     // TestModifications mutantTest15 (evidence = the mutant word itself)
     val ms = extract("Mutation of the PTEN gene was detected.")
