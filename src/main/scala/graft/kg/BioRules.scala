@@ -423,7 +423,9 @@ object BioRules {
         // mutant variant, TestModifications sent15/16); the span skips them
         OptG(W("\\("), X(5), W("\\)")),
         OptG(M("site", "Site")), T(modNom),
-        NotNext("of|by"), sitePrep)),
+        // "sites" after the trigger means the nn is under the sites head
+        // (syntax_5_noun shape) — the nn is the CAUSE there, never the theme
+        NotNext("of|by|sites?"), sitePrep)),
     // nn-theme with by-cause (syntax_2_noun: theme prep_of? nn, cause
     // prep_by): "ERK2 phosphorylation by MEK1 increased."
     Rule("mod_prenominal_by", 7, SimpleModK,
@@ -447,7 +449,27 @@ object BioRules {
     // ASPP2 is doing something" — an event with a cause, NOT a PTM
     // (TestModifications sent9)
     Rule("mod_premod_by", 7, SimpleModK,
-      List(T(modParticiple), ML("theme", ENT), W("by"), M("cause", ENT))),
+      List(T(modParticiple), ML("theme", ENT),
+        OptG(W("\\("), X(3), W("\\)")),
+        OptG(W("fragment|fragments|protein|proteins")),
+        W("by"), M("cause", ENT))),
+    // reduced postmodifier participle with by-agent (no copula): "ASPP2
+    // (693-1128) fragment phosphorylated by AKT1 had very low levels ..."
+    // (TestRegulationEvents sent6 — the reference reaches the theme through
+    // <vmod off the head noun); an interceding paren range and fragment/
+    // protein head noun are skipped
+    Rule("mod_postmod_by", 7, SimpleModK,
+      List(ML("theme", ENT), OptG(W("\\("), X(3), W("\\)")),
+        OptG(W("fragment|fragments|protein|proteins")),
+        T(modParticiple), W("by"), M("cause", ENT))),
+    // prenominal cause with a sites-in theme (syntax_5_noun: theme =
+    // `< nn > prep_in`, cause = `< nn`): "two conserved putative MAPK
+    // phosphorylation sites in ASPP1 and ASPP2" — the in-objects are the
+    // THEMES (one event per conjunct), the nn sibling is the cause
+    // (TestRegulationEvents sent3)
+    Rule("mod_sites_in", 7, SimpleModK,
+      List(OptG(M("cause", ENT)), T(modNom), W("sites?"), W("in"),
+        OptG(W("the")), ML("theme", ENT))),
     Rule("mod_relcl", 7, SimpleModK,
       List(ML("theme", ENT), W(","), W("which"), W("is|was|are|were"), notOpt,
         adv, T(modParticiple), sitePrep, OptG(W("by"), M("cause", ENT)))),
@@ -698,8 +720,15 @@ object BioRules {
     // reference reaches the controlled via dobj regardless of premodifiers)
     Rule("reg_active", 12, RegulationK,
       List(M("controller", "PossibleController"), appos, X(2), auxNeg,
-        T(regTriggersVerbal), OptG(W("the|a|an|both")),
+        // "aids in the translocation of Kras" — prep_in controlled path
+        // (TestRegulationEvents sent25)
+        T(regTriggersVerbal), OptG(W("in")), OptG(W("the|a|an|both")),
         OptG(W("basal|endogenous|total|overall|global|constitutive")),
+        // premod participles are transparent ("the serum-stimulated
+        // phosphorylation of ERK", sent27 — the reference's dobj path from
+        // the verb reaches the nominal head regardless of premods; the
+        // tokenizer splits hyphen-fused premods into two tokens)
+        OptG(X(1), W("stimulated|induced|mediated|dependent|driven")),
         M("controlled", "Event"))),
     // relative clause: "the phosphorylation of ERK2, which is blocked by PTEN"
     Rule("reg_relcl", 12, RegulationK,
@@ -1618,25 +1647,26 @@ object BioRules {
             if !proteinBetween(theme)
             m <- {
               val baseArgs = Seq("theme" -> theme) ++ siteOpt.map("site" -> _)
-              causes.headOption match {
-                case None =>
+              causes match {
+                case Nil =>
                   Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name))
-                case Some(cause) =>
-                  // splitSimpleEvents: event loses its cause; a regulation
-                  // (controller=cause) is emitted over it
+                case cs =>
+                  // splitSimpleEvents: event loses its cause; one regulation
+                  // (controller=cause) per coordinated cause is emitted over
+                  // it ("acetylated by p300 and CBP" — the reference's cause
+                  // widening over conj yields one match variant per cause)
                   val ev = mkEvent(conv, turn, sent.sent_idx, words, deps, label,
                     b.trigger, baseArgs, rule.name)
-                  if (!bioprocessOk(cause, ev)) Seq(ev) else {
-                  val flips = semNegFlips(words, deps, cause, b.trigger._1)
-                  val regLabel =
-                    if (flips % 2 == 1) "Negative_regulation"
-                    else "Positive_regulation"
-                  val reg = mkEvent(conv, turn, sent.sent_idx, words, deps, regLabel,
-                    b.trigger,
-                    Seq("controller" -> cause, "controlled" -> ev),
-                    rule.name + "_split")
-                  Seq(ev, reg)
+                  ev +: cs.filter(bioprocessOk(_, ev)).map { cause =>
+                    val flips = semNegFlips(words, deps, cause, b.trigger._1)
+                    val regLabel =
+                      if (flips % 2 == 1) "Negative_regulation"
+                      else "Positive_regulation"
+                    mkEvent(conv, turn, sent.sent_idx, words, deps, regLabel,
+                      b.trigger,
+                      Seq("controller" -> cause, "controlled" -> ev),
+                      rule.name + "_split")
                   }
               }
             }

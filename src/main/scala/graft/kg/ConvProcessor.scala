@@ -527,6 +527,14 @@ object ConvProcessor {
       // Ras); flattening a theme/controlled digs into theme/controlled
       byId.get(id) match {
         case Some(m) if !m.is_event => (gid(id), "")
+        // a Binding converts to a Complex of all its themes
+        // (convertEventToEntity's BioRelationMention case) — the complex
+        // key is the sorted theme-gid pair, as Binding triples use
+        case Some(m) if m.labels.head == "Binding" && depth < 4 =>
+          val themes = m.args.filter(_.role.startsWith("theme"))
+            .map(a => descend(a.mention_id, depth + 1)._1)
+            .filter(_.nonEmpty).distinct.sorted
+          (themes.mkString("&"), "")
         case Some(m) if depth < 4 =>
           val site = m.args.find(_.role == "site")
             .flatMap(a => byId.get(a.mention_id)).map(_.text).getOrElse("")

@@ -499,12 +499,17 @@ object DepParser {
           else if (words(j) == ")") depth -= 1
           if (depth > 0) j += 1
         }
-        // inner content: find last NP head inside
+        // inner content: collect every NP head inside — a parenthesized
+        // list ("( K164 , 370 , ... and 386 )") yields one appositive per
+        // member, as collapsed-Stanford conj-from-first-conjunct makes all
+        // members reachable from the outer head (TestRegulationEvents
+        // sent35 site enumerations)
         var ih = -1
+        val innerHeads = scala.collection.mutable.ArrayBuffer.empty[Int]
         var k = i + 1
         while (k < j) {
           val (h2, j2) = baseNP(k)
-          if (h2 >= 0) { ih = h2; k = j2 } else k += 1
+          if (h2 >= 0) { ih = h2; innerHeads += h2; k = j2 } else k += 1
         }
         // alias-cue parenthetical ("(better known as ASPP2)"): the real
         // parse hangs the target under the participle via prep_as —
@@ -524,7 +529,8 @@ object DepParser {
         if (ih >= 0 && cueIdx >= 0)
           edges += DepEdge(cueIdx, ih, "prep_as")
         else if (ih >= 0 && lastNPHead >= 0)
-          edges += DepEdge(lastNPHead, ih, "appos")
+          innerHeads.distinct.foreach(h =>
+            edges += DepEdge(lastNPHead, h, "appos"))
         i = math.min(j + 1, n)
       } else if (t == "PUNCT" && words(i) == ",") {
         if (inRelcl) {

@@ -187,6 +187,10 @@ object Lexicon {
       // proteins with no KB entry (AzFailsafeKB grounding) — the hydrolysis
       // matrix themes, TestTemplaticSimpleEvents testHydrolysis*
       , "Ras-GDP", "Ras-GTP"
+      // MEK2: the Ser221/Ser217 multi-theme cross-product vector
+      // (TestRegulationEvents sent29); histone 2B: multi-word CRF-only
+      // surface, no KB entry (sent23 overmatch guard)
+      , "MEK2", "histone 2B"
     ) ++ Seq(
       // Complex-labeled surfaces grounded through the bepc KB
       "Activin A" -> "Complex",
@@ -306,6 +310,7 @@ object Lexicon {
       up("HuR", "Q15717"), up("ASPP1", "Q96KQ4"),
       up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
       up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
+      up("MEK2", "P36507"),
       up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
       up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),
       up("BRAF", "P15056"), up("KRAS", "P01116"), up("K-Ras", "P01116"),

@@ -1357,6 +1357,97 @@ object Transcripts {
       tri("g223", 0, RAS, "Positive_regulation", s"Phosphorylation($ASPP2)",
         neg = true))
 
+    // -- TestRegulationEvents breadth (round-3 late batch 2) ----------------
+    // sent3 / syntax_5_noun: the in-objects are THEMES (one event per
+    // conjunct), the nn sibling of the trigger under "sites" is the cause
+    conv("g224")("user" ->
+      "Interestingly, we observed two conserved putative MAPK phosphorylation sites in ASPP1 and ASPP2")(
+      tri("g224", 0, "", "Phosphorylation", ASPP1g),
+      tri("g224", 0, "", "Phosphorylation", ASPP2),
+      tri("g224", 0, gidOf("MAPK"), "Positive_regulation",
+        s"Phosphorylation($ASPP1g)"),
+      tri("g224", 0, gidOf("MAPK"), "Positive_regulation",
+        s"Phosphorylation($ASPP2)"))
+    // sent6: reduced postmodifier participle with by-agent across a paren
+    // range and a "fragment" head noun
+    conv("g225")("user" ->
+      ("Under the same conditions, ASPP2 (693-1128) fragment phosphorylated " +
+        "by AKT1 had very low levels of incorporated 32P"))(
+      tri("g225", 0, "", "Phosphorylation", ASPP2),
+      tri("g225", 0, AKT1, "Positive_regulation", s"Phosphorylation($ASPP2)"))
+    // sent7: premod participle with the by-cause across "fragment"
+    conv("g226")("user" ->
+      ("The phosphorylated ASPP2 fragment by MAPK1 was digested by trypsin " +
+        "and fractioned on a high performance liquid chromatography."))(
+      tri("g226", 0, "", "Phosphorylation", ASPP2),
+      tri("g226", 0, gidOf("MAPK1"), "Positive_regulation",
+        s"Phosphorylation($ASPP2)"))
+    // sent20: a Binding controller flattens to the Complex of its themes
+    // (convertEventToEntity's BioRelationMention case)
+    conv("g227")("user" ->
+      "The binding of ASPP1 and ASPP2 promotes the phosphorylation of MEK")(
+      tri("g227", 0, "", "Binding",
+        Seq(ASPP1g, ASPP2).sorted.mkString("&")),
+      tri("g227", 0, "", "Phosphorylation", MEK),
+      tri("g227", 0, Seq(ASPP1g, ASPP2).sorted.mkString("&"),
+        "Positive_regulation", s"Phosphorylation($MEK)"))
+    // sent25: "aids in" — prep_in controlled path on a verbal reg trigger
+    val MEMB = gidOf("membrane", "Cellular_component")
+    conv("g228")("user" ->
+      "ASPP1 aids in the translocation of KRAS to the membrane")(
+      tri("g228", 0, "", "Translocation", gidOf("KRAS"), MEMB),
+      tri("g228", 0, ASPP1g, "Positive_regulation",
+        s"Translocation(${gidOf("KRAS")}@$MEMB)", MEMB))
+    // sent27: premod participles between determiner and nominal are
+    // transparent to the verbal reg's controlled path
+    conv("g229")("user" ->
+      "rapamycin blocked the serum-stimulated phosphorylation of ERK")(
+      tri("g229", 0, "", "Phosphorylation", gidOf("ERK")),
+      tri("g229", 0, gidOf("rapamycin", "Simple_chemical"),
+        "Negative_regulation", s"Phosphorylation(${gidOf("ERK")})"))
+    // sent29: theme-list x site-list cross product (4 events, 4 regs)
+    conv("g230")("user" ->
+      "BRAF phosphorylates MEK2 and MEK1 on Ser221 and Ser217")(
+      tri("g230", 0, "", "Phosphorylation", gidOf("MEK2"), "Ser221"),
+      tri("g230", 0, "", "Phosphorylation", gidOf("MEK2"), "Ser217"),
+      tri("g230", 0, "", "Phosphorylation", MEK1, "Ser221"),
+      tri("g230", 0, "", "Phosphorylation", MEK1, "Ser217"),
+      tri("g230", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Phosphorylation(${gidOf("MEK2")}@Ser221)", "Ser221"),
+      tri("g230", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Phosphorylation(${gidOf("MEK2")}@Ser217)", "Ser217"),
+      tri("g230", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Phosphorylation($MEK1@Ser221)", "Ser221"),
+      tri("g230", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Phosphorylation($MEK1@Ser217)", "Ser217"))
+    // sent35 shape: paren site enumeration (appositive per member) x
+    // coordinated by-causes — 7 events, 14 regulations (the reference's
+    // asserted 16 double-counts the "lysine residues" site; the 7x2 cross
+    // product is the hand-traced semantics its own comment describes)
+    locally {
+      val sites35 = Seq("K164", "370", "372", "373", "381", "382", "386")
+      val P53g = gidOf("p53")
+      conv("g231")("user" ->
+        ("p53 can be acetylated by AKT1 and GSK3 at multiple lysine " +
+          "residues ( K164 , 370 , 372 , 373 , 381 , 382 and 386 ) ."))(
+        sites35.flatMap(s => Seq(
+          tri("g231", 0, "", "Acetylation", P53g, s),
+          tri("g231", 0, AKT1, "Positive_regulation",
+            s"Acetylation($P53g@$s)", s),
+          tri("g231", 0, GSK3, "Positive_regulation",
+            s"Acetylation($P53g@$s)", s))): _*)
+    }
+    // sent23 overmatch guard: exactly one phospho + one reg; the trailing
+    // "ASPP2 (693-1128) fragment" with no participle yields nothing; the
+    // "suggesting" hint scopes over the clause
+    conv("g232")("user" ->
+      ("histone 2B phosphorylated by AKT1 had high levels of incorporated " +
+        "32P, suggesting that AKT1 was active; while under the same " +
+        "conditions, ASPP2 (693-1128) fragment"))(
+      tri("g232", 0, "", "Phosphorylation", gidOf("histone 2B"), hyp = true),
+      tri("g232", 0, AKT1, "Positive_regulation",
+        s"Phosphorylation(${gidOf("histone 2B")})", hyp = true))
+
     (turns.toSeq, triples.toSeq)
   }
 
