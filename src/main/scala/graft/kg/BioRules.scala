@@ -725,10 +725,12 @@ object BioRules {
         T(regTriggersVerbal), OptG(W("in")), OptG(W("the|a|an|both")),
         OptG(W("basal|endogenous|total|overall|global|constitutive")),
         // premod participles are transparent ("the serum-stimulated
-        // phosphorylation of ERK", sent27 — the reference's dobj path from
-        // the verb reaches the nominal head regardless of premods; the
+        // phosphorylation of ERK", sent27; "increased tyrosine
+        // phosphorylated ERBB3 levels", sent58 — the reference's dobj path
+        // from the verb reaches the nominal head regardless of premods; the
         // tokenizer splits hyphen-fused premods into two tokens)
-        OptG(X(1), W("stimulated|induced|mediated|dependent|driven")),
+        OptG(X(1),
+          W(s"stimulated|induced|mediated|dependent|driven|$modParticiple")),
         M("controlled", "Event"))),
     // relative clause: "the phosphorylation of ERK2, which is blocked by PTEN"
     Rule("reg_relcl", 12, RegulationK,

@@ -191,6 +191,10 @@ object Lexicon {
       // (TestRegulationEvents sent29); histone 2B: multi-word CRF-only
       // surface, no KB entry (sent23 overmatch guard)
       , "MEK2", "histone 2B"
+      // ERBB3/ErbB3: the following-regulation + amount-levels vectors
+      // (TestRegulationEvents sent15/42-44/58) — both case spellings are
+      // reference-dictionary surfaces
+      , "ERBB3", "ErbB3"
     ) ++ Seq(
       // Complex-labeled surfaces grounded through the bepc KB
       "Activin A" -> "Complex",
@@ -219,6 +223,9 @@ object Lexicon {
       "ATP" -> "Simple_chemical",
       "GTP" -> "Simple_chemical",
       "rapamycin" -> "Simple_chemical",
+      // "retinoic acid induced apoptosis" premod-activation vector
+      // (TestRegulationEvents sent57)
+      "retinoic acid" -> "Simple_chemical",
       "wortmannin" -> "Simple_chemical",
       "staurosporine" -> "Simple_chemical",
       "LY294002" -> "Simple_chemical",
@@ -311,6 +318,7 @@ object Lexicon {
       up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
       up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
       up("MEK2", "P36507"),
+      up("ERBB3", "P21860"), up("ErbB3", "P21860"),
       up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
       up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),
       up("BRAF", "P15056"), up("KRAS", "P01116"), up("K-Ras", "P01116"),
@@ -358,6 +366,7 @@ object Lexicon {
       chem("ubiquitin", "CID3081416"), chem("ATP", "CID5957"),
       chem("E2", "CID5757"),
       chem("GTP", "CID6830"), chem("rapamycin", "CID5284616"),
+      chem("retinoic acid", "CID444795"),
       chem("wortmannin", "CID312145"), chem("staurosporine", "CID44259"),
       chem("LY294002", "CID3973"), chem("calcium", "CID271"),
       // distinct ids so the alias-driven grounding share is observable:

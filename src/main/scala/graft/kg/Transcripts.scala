@@ -1447,6 +1447,54 @@ object Transcripts {
       tri("g232", 0, "", "Phosphorylation", gidOf("histone 2B"), hyp = true),
       tri("g232", 0, AKT1, "Positive_regulation",
         s"Phosphorylation(${gidOf("histone 2B")})", hyp = true))
+    // sent41: fused-premod cause inside a which-relative — exactly one
+    // phospho and one reg (E2 is a KB chemical)
+    val E2c = gidOf("E2", "Simple_chemical"); val SRC3 = gidOf("SRC-3")
+    conv("g233")("user" ->
+      "Our model, in which E2-induced SRC-3 phosphorylation occurs in a complex with ER")(
+      tri("g233", 0, "", "Phosphorylation", SRC3),
+      tri("g233", 0, E2c, "Positive_regulation", s"Phosphorylation($SRC3)"))
+    // sent45: the dependent-interaction clause adds exactly one Binding
+    conv("g234")("user" ->
+      ("Together these data demonstrate that E2-induced SRC-3 " +
+        "phosphorylation is dependent on a direct interaction between " +
+        "SRC-3 and ER and can occur outside of the nucleus."))(
+      tri("g234", 0, "", "Phosphorylation", SRC3),
+      tri("g234", 0, E2c, "Positive_regulation", s"Phosphorylation($SRC3)"),
+      tri("g234", 0, "", "Binding",
+        Seq(SRC3, gidOf("ER")).sorted.mkString("&")))
+    // sent57: a Transcription-event controller over a premod-chemical
+    // activation — 1 Transcription, 1 Positive_activation, 1 Positive_reg
+    // whose controller flattens to the transcribed entity
+    val RETA = gidOf("retinoic acid", "Simple_chemical")
+    val APOP = gidOf("apoptosis", "BioProcess")
+    conv("g235")("user" ->
+      "Indeed, expression of SMAD2 has been shown to restore retinoic acid induced apoptosis")(
+      tri("g235", 0, "", "Transcription", gidOf("SMAD2")),
+      tri("g235", 0, RETA, "Positive_activation", APOP),
+      tri("g235", 0, gidOf("SMAD2"), "Positive_regulation",
+        s"Positive_activation($APOP)"))
+    // sent58: 1 Amount, 1 Binding, 2 Negative_regulations (inhibition flips
+    // both); PTM premods before the amount head are transparent
+    val ERBB3 = gidOf("ERBB3")
+    conv("g236")("user" ->
+      ("We observed increased ERBB3 binding to PI3K following MEK " +
+        "inhibition (Figure 1D), and accordingly, MEK inhibition " +
+        "substantially increased tyrosine phosphorylated ERBB3 levels " +
+        "(Figure 1A)."))(
+      tri("g236", 0, "", "Amount", ERBB3),
+      tri("g236", 0, "", "Binding",
+        Seq(ERBB3, PI3K).sorted.mkString("&")),
+      tri("g236", 0, MEK, "Negative_regulation", s"Amount($ERBB3)"),
+      tri("g236", 0, MEK, "Negative_regulation",
+        s"Binding(${Seq(ERBB3, PI3K).sorted.mkString("&")})"))
+    // sent59: two transcriptions, one regulation, zero activations
+    conv("g237")("user" ->
+      "Up-regulation of SMAD4 expression by active Ras expression")(
+      tri("g237", 0, "", "Transcription", gidOf("SMAD4")),
+      tri("g237", 0, "", "Transcription", RAS),
+      tri("g237", 0, RAS, "Positive_regulation",
+        s"Transcription(${gidOf("SMAD4")})"))
 
     (turns.toSeq, triples.toSeq)
   }
