@@ -261,7 +261,7 @@ object BioRules {
     // "a.k.a." tokenizes as "a.k.a" + a dangling "." token
     Seq(W("alias|a\\.k\\.a\\.?|aka"), OptG(W("\\."))))
   private val sitePrep = OptG(AltG(
-    Seq(W("on|at"), ML("site", "Site", commaOk = true)),
+    Seq(W("on|at"), OptG(W("a|an|the")), ML("site", "Site", commaOk = true)),
     Seq(W("on|at"), W("residues?|sites?"), ML("site", "Site", commaOk = true))))
   private val parenSites = OptG(OptG(W("residues?")), W("\\("),
     ML("site", "Site", commaOk = true, conj = "and|or|&|/"), W("\\)"))
@@ -340,6 +340,12 @@ object BioRules {
     // owned by site_residue_long / site_aa3 above
     Rule("site_aa_bare", 5, EntityK("Site"),
       List(W("serine|threonine|tyrosine"), NotNext("residues?|\\d{1,4}"))),
+    // unnumbered residue site: "autophosphorylates on a tyrosine residue"
+    // (TestTemplaticAutoEvents example1) — the numbered forms are owned by
+    // site_residue_long / site_aa3 above
+    Rule("site_aa_residue", 5, EntityK("Site"),
+      List(W("serine|threonine|tyrosine|lysine|arginine|histidine"),
+        W("residues?"), NotNext("\\d{1,4}"))),
 
     // -- p7: templatic simple events (modifications) ---------------------
     // active: [cause] TRIGGERs [quant] theme-list [residues (S1, S2)] [on/at site-list]
@@ -443,6 +449,10 @@ object BioRules {
       List(M("theme", ENT), filler, adv, T(modVerb), W("itself"), sitePrep)),
     Rule("auto_nominal", 7, AutoModK,
       List(T(s"auto-?($stemsAlt)ions?"), W("of"), ML("theme", ENT))),
+    // prenominal auto-event: "EGFR autophosphorylation" (the of-form is
+    // owned by auto_nominal; TestTemplaticAutoEvents example5-7)
+    Rule("auto_prenominal", 7, AutoModK,
+      List(ML("theme", ENT), T(s"auto-?($stemsAlt)ions?"), NotNext("of"))),
     // relative clause: "ERK2, which is phosphorylated by MEK1" — clause-aware
     // surrogate for the reference's *_syntax_* dependency rules (F8)
     // participle premodifier with by-cause: "The phosphorylated p53 by
@@ -533,7 +543,11 @@ object BioRules {
       List(T("loss(es)?"), W("of|in"), OptG(W("the")), ML("theme", ENT))),
     Rule("amount_nominal", 7, FixedEventK("Amount"),
       List(T("amounts?|levels?|quantit(y|ies)"), W("of|in"), OptG(W("the")),
-        ML("theme", ENT))),
+        // a nominal event after the of-object means the entity is ITS
+        // premodifier, not the amount's theme ("levels of EGFR
+        // autophosphorylation" — the reference's prep_of lands on the
+        // event nominal, which is not a BioChemicalEntity, so no Amount)
+        ML("theme", ENT), NotNext(s"auto\\w+|$modNom"))),
     Rule("amount_nn", 7, FixedEventK("Amount"),
       List(ML("theme", ENT), T("amounts?|levels?|quantit(y|ies)"))),
 

@@ -1421,11 +1421,13 @@ object Transcripts {
       tri("g230", 0, gidOf("BRAF"), "Positive_regulation",
         s"Phosphorylation($MEK1@Ser217)", "Ser217"))
     // sent35 shape: paren site enumeration (appositive per member) x
-    // coordinated by-causes — 7 events, 14 regulations (the reference's
-    // asserted 16 double-counts the "lysine residues" site; the 7x2 cross
-    // product is the hand-traced semantics its own comment describes)
+    // coordinated by-causes — 8 events, 16 regulations, matching the
+    // reference's asserted count exactly: the unnumbered "lysine residues"
+    // span is itself a Site alongside the 7 enumerated codes
     locally {
-      val sites35 = Seq("K164", "370", "372", "373", "381", "382", "386")
+      val sites35 =
+        Seq("K164", "370", "372", "373", "381", "382", "386",
+          "lysine residues")
       val P53g = gidOf("p53")
       conv("g231")("user" ->
         ("p53 can be acetylated by AKT1 and GSK3 at multiple lysine " +
@@ -1495,6 +1497,22 @@ object Transcripts {
       tri("g237", 0, "", "Transcription", RAS),
       tri("g237", 0, RAS, "Positive_regulation",
         s"Transcription(${gidOf("SMAD4")})"))
+    // TestTemplaticAutoEvents example1: unnumbered residue site across a
+    // determiner ("on a tyrosine residue")
+    conv("g238")("user" -> "EGFR autophosphorylates on a tyrosine residue.")(
+      tri("g238", 0, "", "AutoPhosphorylation", EGFR, "tyrosine residue"),
+      tri("g238", 0, EGFR, "Positive_regulation",
+        s"AutoPhosphorylation($EGFR@tyrosine residue)", "tyrosine residue"))
+    // example5: prenominal auto-event; "Levels of EGFR autophosphorylation"
+    // yields NO Amount (the of-object head is the event nominal, not a
+    // BioChemicalEntity)
+    conv("g239")("user" ->
+      ("Levels of EGFR autophosphorylation are represented linearly " +
+        "following quantitation by densitometry and normalization for " +
+        "protein expression levels."))(
+      tri("g239", 0, "", "AutoPhosphorylation", EGFR),
+      tri("g239", 0, EGFR, "Positive_regulation",
+        s"AutoPhosphorylation($EGFR)"))
 
     (turns.toSeq, triples.toSeq)
   }
