@@ -389,7 +389,9 @@ object BioRules {
     // TestTemplaticSimpleEvents sent23; the reference walks prep_of to
     // "substrate" then appos to the protein)
     Rule("mod_nominal", 7, SimpleModK,
-      List(T(modNom), W("of"), siteOfPre, quant,
+      // an optional premod site before the trigger ("the tyrosine
+      // phosphorylation of EGFR" — TestTemplaticSimpleEvents sent36)
+      List(OptG(M("site", "Site")), T(modNom), W("of"), siteOfPre, quant,
         OptG(OptG(W("the")), X(2), W("substrates?"), W(",")),
         ML("theme", ENT), parenSites,
         sitePrep, OptG(W("by"), M("cause", ENT)))),
@@ -783,7 +785,10 @@ object BioRules {
           "inhibit|block|suppress|repress|decreas|reduc|prevent|impair|" +
           "attenuat|abolish|abrogat|antagoniz|disrupt|diminish|imped)ed|" +
           "driven|up-?regulated|down-?regulated"),
-        W("by"), OptG(W("the")), M("controller", "PossibleController"))),
+        W("by"), OptG(W("the")),
+        // "induced by wild-type FGFR3" (TestTemplaticSimpleEvents sent30)
+        OptG(W("wild-type|wild|mutant|endogenous|exogenous|active|activated")),
+        M("controller", "PossibleController"))),
     // subject-nominal: controller nn directly before a nominal reg trigger
     // governing an of-event ("rapamycin inhibition of the phosphorylation of
     // ERK" — TestRegulationEvents sent28); polarity from the trigger via

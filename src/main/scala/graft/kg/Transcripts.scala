@@ -1497,6 +1497,25 @@ object Transcripts {
       tri("g237", 0, "", "Transcription", RAS),
       tri("g237", 0, RAS, "Positive_regulation",
         s"Transcription(${gidOf("SMAD4")})"))
+    // TestTemplaticSimpleEvents sent30: reduced-passive regulation across a
+    // wild-type premod on the controller
+    conv("g240")("user" ->
+      "we found slight STAT3(Y701) phosphorylation induced by wild-type BRAF.")(
+      tri("g240", 0, "", "Phosphorylation", STAT3, "Y701"),
+      tri("g240", 0, gidOf("BRAF"), "Positive_regulation",
+        s"Phosphorylation($STAT3@Y701)", "Y701"))
+    // sent36: premod site before the of-theme nominal ("the tyrosine
+    // phosphorylation of EGFR"); "did not detect" is epistemic, not a
+    // negation of the event itself
+    conv("g241")("user" ->
+      ("We did not detect a change in the tyrosine phosphorylation of EGFR " +
+        "in cells expressing Gab1 proteins."))(
+      tri("g241", 0, "", "Phosphorylation", EGFR, "tyrosine"))
+    // testHydrolysisPass1: the trailing "without ubiquitination" yields NO
+    // ubiquitination event
+    conv("g242")("user" ->
+      "Ras-GDP is hydrolyzed by 26S proteasome without ubiquitination.")(
+      tri("g242", 0, "", "Hydrolysis", RGDP))
     // TestTemplaticAutoEvents example1: unnumbered residue site across a
     // determiner ("on a tyrosine residue")
     conv("g238")("user" -> "EGFR autophosphorylates on a tyrosine residue.")(

@@ -141,6 +141,16 @@ class ModsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutant-theme x site-list cross product: 6 phospho mentions") {
+    // TestTemplaticSimpleEvents sent32: 3 mutant variants x 2 sites;
+    // the edges view dedupes the variants (same gid + site), but the
+    // mention stream must carry all 6
+    val ms = extract(
+      "The K650M, K660M, and K650E-EGFR mutants are phosphorylated on Y123 and T546")
+    val phos = events(ms).filter(_.labels.head == "Phosphorylation")
+    assert(phos.size == 6, s"expected 6 phospho mentions, got ${phos.size}")
+  }
+
   test("generic 'Mutation of the X gene' attaches a codeless Mutant mod") {
     // TestModifications mutantTest15 (evidence = the mutant word itself)
     val ms = extract("Mutation of the PTEN gene was detected.")
