@@ -233,7 +233,7 @@ object BioRules {
   private val ENT = "BioChemicalEntity"
   private val filler = OptG(W("protein|proteins|kinase|gene|enzyme|receptor|complex"))
   private val quant = OptG(W("one|two|three|four|five|several|many|multiple|all|both|\\d+"))
-  private val adv = OptG(W("directly|specifically|rapidly|strongly|significantly|also|further|subsequently|then|markedly|potently|efficiently|selectively|often|frequently|usually|typically|commonly|constitutively"))
+  private val adv = OptG(W("directly|specifically|rapidly|strongly|significantly|also|further|subsequently|then|markedly|potently|efficiently|selectively|often|frequently|usually|typically|commonly|constitutively|primarily|preferentially|mainly|predominantly|exclusively"))
   // auxiliary verbs + optional negation between subject and trigger
   // ("MEK does not phosphorylate ERK2", "MEK1 doesn't phosphorylate ERK2",
   // "MEK1 isn't phosphorylating ERK2"). The tokenizer splits n't clitics
@@ -623,12 +623,18 @@ object BioRules {
     // ("bind to ubiquitinated Ras")
     Rule("bind_active", 8, BindingK,
       List(ML("theme", ENT), postMods, filler, adv, T("binds?|bound|binding|interacts?|interacted|associates?|associated|complexes?|ligates?|ligated"),
-        OptG(W("to|with|directly")), OptG(W("to|with")),
-        OptG(W(s"(non-?)?(de-?)?($stemsAlt)ed")), ML("theme2", ENT))),
+        adv, OptG(W("to|with|directly")), OptG(W("to|with")),
+        OptG(W(s"(non-?)?(de-?)?($stemsAlt)ed")),
+        // non-entity premods before the object ("binds nucleotide-free Ras",
+        // TestBindingEvents sent17)
+        OptG(W("nucleotide-free|wild-type|mutant|endogenous|exogenous|recombinant|purified")),
+        ML("theme2", ENT))),
+
     Rule("bind_nominal", 8, BindingK,
       List(T("binding|interaction|association|complex|(hetero)?dimerization"),
         W("of|between"),
-        M("theme", ENT), W("to|with|and"), ML("theme2", ENT))),
+        M("theme", ENT), W("to|with|and"), OptG(W("the|a|an")),
+        ML("theme2", ENT))),
     // object nominal with by-agent: "K-Ras binding by p53"
     // (TestBindingEvents testBindingObjNom1)
     Rule("bind_objnominal", 8, BindingK,
@@ -665,6 +671,20 @@ object BioRules {
     // subject-coordination binding with NO object ("A and B interact", "A and
     // B form a complex") — blocked when a to/with object follows, where the
     // coordinated subjects must pair with the object instead (bind_active)
+    // recruitment-of-X to a protein/promoter target is a Binding, never a
+    // Translocation ("Recruitment of p53 to the p21 or PUMA promoter",
+    // TestBindingEvents sent34 — the translocation grammar requires a
+    // location argument, so an entity destination lands here)
+    Rule("bind_recruit", 8, BindingK,
+      List(T("recruitments?"), W("of"), M("theme", ENT), W("to"),
+        OptG(W("the|a|an")), ML("theme2", ENT))),
+    // coordinated subjects present/found in a complex ("XRCC1 and DNA-PK
+    // are present in a complex", TestBindingEvents sent29)
+    Rule("bind_present", 8, BindingK,
+      List(M("theme", ENT), W("and"), M("theme2", ENT),
+        W("are|were|remain|remains"), T("present|found|detected"),
+        W("in"), OptG(W("a|an|the")), OptG(W("common")),
+        W("complex|complexes|dimer|heterodimer"))),
     Rule("bind_coord", 8, BindingK,
       List(M("theme", ENT), W("and"), M("theme2", ENT), adv,
         T("bind|binds|interact|interacts|associate|associates|form|" +
@@ -1011,6 +1031,20 @@ object BioRules {
           List(I("xcomp"), O("nsubj|nsubjpass")))),
         DepArg("theme2", ENT,
           Seq(List(O("dobj")), List(O("prep_with|prep_to")))))),
+    // by-gerund binding: "Ras induces multiple signaling pathways by
+    // binding to its numerous effectors such as Raf and PI3K"
+    // (TestBindingEvents sent12): theme1 = the matrix verb's subject
+    // through the prepc_by edge; theme2 via prep_to/with (+ such-as)
+    DepRule("bind_dep_bygerund", 8, BindingK,
+      "binding|interacting|associating", trigVerbal = true, Seq(
+        // conj/cc-only widening: an nn premod of the subject ("GTP loaded
+        // Ras") is not a binding participant (sent12 asserts exactly 2)
+        DepArg("theme", ENT, Seq(List(I("prep_by|prep_via"), O("nsubj"))),
+          expand = "conj_.*|cc"),
+        DepArg("theme2", ENT,
+          Seq(List(O("prep_to|prep_with|prep_as")),
+            List(O("prep_to"), O("prep_as"))),
+          expand = "conj_.*|cc"))),
     // binding passive ("ERK2 is bound by STAT3")
     DepRule("bind_dep_passive", 8, BindingK,
       "bound|binding", trigVerbal = true, Seq(

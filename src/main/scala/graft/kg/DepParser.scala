@@ -391,7 +391,13 @@ object DepParser {
           if (k < n && tags(k) == "CC") { val l0 = lc(k); k += 1; Some(l0) }
           else None
         if (ccLab.isEmpty && !sawComma) done = true
-        else if (ccLab.isEmpty && sawComma &&
+        // a subordinator after the separator starts a new clause, never an
+        // NP conjunct ("... bound 32P-GDP, while G12V-Ras bound ...")
+        else if (k < n && Set("while", "whereas", "although", "though",
+                   "because", "since", "when", "if", "unless",
+                   "suggesting", "indicating")(lc(k))) {
+          done = true
+        } else if (ccLab.isEmpty && sawComma &&
                  (k >= n || !npStart(tags(k)) || tags(k) == "DT" || tags(k) == "PRP")) {
           // ", the ..." after an NP is an appositive/clause, not a list item
           done = true
@@ -416,9 +422,15 @@ object DepParser {
               case _ => false
             }
           }
+          // the plural-agreement escape only applies after an explicit CC:
+          // in a comma list every non-final item is followed by another
+          // separator, so ", NP V..." without a CC is a new clause even
+          // when the verb form is number-ambiguous ("previous studies,
+          // wild-type K-Ras bound ...")
           val clauseAhead = h2 >= 0 && j2 < n &&
             (tags(j2).startsWith("V") || tags(j2) == "AUX" ||
-              tags(j2) == "MD") && !pluralVerbAt(j2)
+              tags(j2) == "MD") &&
+            (ccLab.isEmpty || !pluralVerbAt(j2))
           if (h2 < 0 || clauseAhead) done = true
           else {
             val lab = "conj_" + ccLab.map {
@@ -617,7 +629,14 @@ object DepParser {
       } else if (t == "IN") {
         val p = lc(i)
         val (h2, j2) = npGroup(i + 1)
-        if (h2 < 0) i += 1
+        if (h2 < 0) {
+          // gerund complement of a preposition ("induces ... by binding
+          // to ..."): collapsed-Stanford prepc_* edge from the governing
+          // verb to the gerund, kept as prep_* for path uniformity
+          if (i + 1 < n && tags(i + 1) == "VBG" && curVerb >= 0)
+            edges += DepEdge(curVerb, i + 1, "prep_" + p)
+          i += 1
+        }
         else {
           val gov =
             if (p == "of") {

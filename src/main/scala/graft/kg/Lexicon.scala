@@ -195,6 +195,8 @@ object Lexicon {
       // (TestRegulationEvents sent15/42-44/58) — both case spellings are
       // reference-dictionary surfaces
       , "ERBB3", "ErbB3"
+      // promoter-binding vectors (TestBindingEvents sent34)
+      , "p21", "PUMA"
     ) ++ Seq(
       // Complex-labeled surfaces grounded through the bepc KB
       "Activin A" -> "Complex",
@@ -226,6 +228,10 @@ object Lexicon {
       // "retinoic acid induced apoptosis" premod-activation vector
       // (TestRegulationEvents sent57)
       "retinoic acid" -> "Simple_chemical",
+      // radiolabeled nucleotides: CRF-only chemical surfaces, no KB entry
+      // (TestBindingEvents sent33)
+      "32P-GDP" -> "Simple_chemical",
+      "32P-GTP" -> "Simple_chemical",
       "wortmannin" -> "Simple_chemical",
       "staurosporine" -> "Simple_chemical",
       "LY294002" -> "Simple_chemical",

@@ -1516,6 +1516,61 @@ object Transcripts {
     conv("g242")("user" ->
       "Ras-GDP is hydrolyzed by 26S proteasome without ubiquitination.")(
       tri("g242", 0, "", "Hydrolysis", RGDP))
+    // -- TestBindingEvents breadth (round-3 late batch 3) -------------------
+    // sent12: by-gerund binding through the prepc_by edge; theme1 = matrix
+    // subject (conj/cc-only widening excludes the GTP nn premod); the
+    // "induces ... by binding" wrap also regs the bindings (cause widening
+    // over nn reaches GTP, as the reference's nsubj /nn|conj|cc/ path does)
+    val RAFf = gidOf("RAF", "Family")
+    conv("g243")("user" ->
+      ("GTP loaded Ras induces multiple signaling pathways by binding to " +
+        "its numerous effectors such as RAF and PI3K."))(
+      tri("g243", 0, "", "Binding", Seq(RAS, RAFf).sorted.mkString("&")),
+      tri("g243", 0, "", "Binding",
+        Seq(RAS, gidOf("PI3K")).sorted.mkString("&")),
+      tri("g243", 0, GTPc, "Positive_regulation",
+        s"Binding(${Seq(RAS, RAFf).sorted.mkString("&")})"),
+      tri("g243", 0, GTPc, "Positive_regulation",
+        s"Binding(${Seq(RAS, gidOf("PI3K")).sorted.mkString("&")})"))
+    // sent13: interaction-of nominal across a determiner on the second theme
+    conv("g244")("user" ->
+      ("ERK negatively regulates the epidermal growth factor mediated " +
+        "interaction of Gab1 and the PI3K."))(
+      tri("g244", 0, "", "Binding",
+        Seq(gidOf("Gab1"), gidOf("PI3K")).sorted.mkString("&")))
+    // sent17: site-of subject + non-entity premod before the object;
+    // siteSniffer promotes the RBD EventSite onto the Binding
+    conv("g245")("user" ->
+      "We demonstrate that the RBD of PI3K binds nucleotide-free Ras in vitro.")(
+      tri("g245", 0, "", "Binding",
+        Seq(RAS, gidOf("PI3K")).sorted.mkString("&"), "RBD"))
+    // sent29 core clause: coordinated subjects present in a complex
+    conv("g246")("user" ->
+      "We found that EGFR and BRAF are present in a complex.")(
+      tri("g246", 0, "", "Binding",
+        Seq(EGFR, gidOf("BRAF")).sorted.mkString("&")))
+    // sent32: hyphen-fused "-bound" premod splits into a binding
+    conv("g247")("user" -> "Something increases the fraction of GTP-bound Ras")(
+      tri("g247", 0, "", "Binding", Seq(RAS, GTPc).sorted.mkString("&")))
+    // sent33: subordinate "while" clause is never an NP conjunct — exactly
+    // one binding per clause; the radiolabeled nucleotides are CRF-only
+    // chemical surfaces
+    val P32GDP = gidOf("32P-GDP", "Simple_chemical")
+    val P32GTP = gidOf("32P-GTP", "Simple_chemical")
+    conv("g248")("user" ->
+      ("As expected based on previous studies, wild-type K-Ras bound " +
+        "primarily 32P-GDP, while G12V-Ras bound 32P-GTP."))(
+      tri("g248", 0, "", "Binding",
+        Seq(gidOf("KRAS"), P32GDP).sorted.mkString("&")),
+      tri("g248", 0, "", "Binding", Seq(RAS, P32GTP).sorted.mkString("&")))
+    // sent34: recruitment to a protein target is a Binding (the
+    // translocation grammar requires a location argument)
+    conv("g249")("user" ->
+      "Recruitment of p53 to the p21 or PUMA promoter was normalized to input.")(
+      tri("g249", 0, "", "Binding",
+        Seq(gidOf("p53"), gidOf("p21")).sorted.mkString("&")),
+      tri("g249", 0, "", "Binding",
+        Seq(gidOf("p53"), gidOf("PUMA")).sorted.mkString("&")))
     // TestTemplaticAutoEvents example1: unnumbered residue site across a
     // determiner ("on a tyrosine residue")
     conv("g238")("user" -> "EGFR autophosphorylates on a tyrosine residue.")(
