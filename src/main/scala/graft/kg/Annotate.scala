@@ -115,7 +115,7 @@ object Annotate {
     // anything else ("SRC-3", "K650E-AKT1", "dominant-negative", "Mad-Max")
     // stays one token.
     private val hyphenSuffixRe =
-      """(?i)(?:de-?)?(?:phosphorylat|ubiquitinat|hydroxylat|sumoylat|glycosylat|acetylat|farnesylat|ribosylat|methylat)(?:e|es|ed|ing|ions?)|hydrolys[ei]s|induced|mediated|stimulated|driven|triggered|bound|loaded""".r
+      """(?i)(?:de-?)?(?:phosphorylat|ubiquitinat|hydroxylat|sumoylat|glycosylat|acetylat|farnesylat|ribosylat|methylat)(?:e|es|ed|ing|ions?)|hydrolys[ei]s|induced|mediated|stimulated|driven|triggered|bound|loaded|binding""".r
     // substitution-mutation code fused to an entity ("K650E-FGFR3 mutants"):
     // the code splits off so the trie sees the bare entity and the leftward
     // mutant-list scan in BioRules.attachMods picks up the code

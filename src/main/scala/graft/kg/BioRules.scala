@@ -671,6 +671,12 @@ object BioRules {
     // subject-coordination binding with NO object ("A and B interact", "A and
     // B form a complex") — blocked when a to/with object follows, where the
     // coordinated subjects must pair with the object instead (bind_active)
+    // premod binding-activity nominal: "The ASPP2-binding activity of CREB
+    // is constitutive" -> Binding{ASPP2, CREB}, no activation
+    // (TestActivationEvents sent8; the fused "-binding" token splits)
+    Rule("bind_activity_of", 8, BindingK,
+      List(ML("theme", ENT), T("binding"), W("activity|activities"),
+        W("of"), OptG(W("the")), ML("theme2", ENT))),
     // recruitment-of-X to a protein/promoter target is a Binding, never a
     // Translocation ("Recruitment of p53 to the p21 or PUMA promoter",
     // TestBindingEvents sent34 — the translocation grammar requires a

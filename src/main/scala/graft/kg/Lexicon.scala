@@ -265,6 +265,9 @@ object Lexicon {
       "endoplasmic reticulum" -> "Cellular_component",
       "Golgi" -> "Cellular_component",
       "apoptosis" -> "BioProcess",
+      // bioprocess-controller-over-bioprocess vector
+      // (TestActivationEvents sent37)
+      "cell aging" -> "BioProcess",
       "autophagy" -> "BioProcess",
       "cell cycle" -> "BioProcess",
       "proliferation" -> "BioProcess"

@@ -1497,6 +1497,40 @@ object Transcripts {
       tri("g237", 0, "", "Transcription", RAS),
       tri("g237", 0, RAS, "Positive_regulation",
         s"Transcription(${gidOf("SMAD4")})"))
+    // -- TestActivationEvents breadth ---------------------------------------
+    // sent8: premod binding-activity nominal is a Binding, never an
+    // activation or regulation (the fused "-binding" token splits)
+    conv("g250")("user" ->
+      "The ASPP2-binding activity of SMAD2 is, in most cases, constitutive.")(
+      tri("g250", 0, "", "Binding",
+        Seq(ASPP2, gidOf("SMAD2")).sorted.mkString("&")))
+    // sent36/37: a BioProcess controller is valid only over a BioProcess
+    // controlled (bioprocessValid) — "Apoptosis activated p53" yields
+    // nothing, "Cell aging increases apoptosis" activates
+    conv("g251")(
+      "user" -> "Apoptosis activated p53.",
+      "assistant" -> "Cell aging increases apoptosis")(
+      tri("g251", 1, gidOf("cell aging", "BioProcess"), "Positive_activation",
+        APOP))
+    // sent33: results-in up-regulation — 1 transcription + 1 activation
+    // whose event controller flattens to the transcribed entity; NO
+    // positive regulation
+    conv("g252")("user" ->
+      "We found that prolonged expression of active Ras resulted in up-regulation of the SMAD4 gene.")(
+      tri("g252", 0, "", "Transcription", RAS),
+      tri("g252", 0, RAS, "Positive_activation", gidOf("SMAD4")))
+    // sent28: overlapping-path guard — phosphos and the amount survive but
+    // no regulations or activations form
+    conv("g253")("user" ->
+      ("The basal levels of EGFR downstream signaling, shown by the levels " +
+        "of activation specific phosphorylation of AKT, ERK, and STAT3, " +
+        "were not consistently associated with the HER2 family expression " +
+        "levels or EGFR sequence coding status in a positive or negative " +
+        "manner among the cell lines."))(
+      tri("g253", 0, "", "Amount", EGFR),
+      tri("g253", 0, "", "Phosphorylation", gidOf("AKT")),
+      tri("g253", 0, "", "Phosphorylation", gidOf("ERK")),
+      tri("g253", 0, "", "Phosphorylation", STAT3))
     // TestTemplaticSimpleEvents sent30: reduced-passive regulation across a
     // wild-type premod on the controller
     conv("g240")("user" ->
