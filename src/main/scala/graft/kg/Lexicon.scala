@@ -194,7 +194,7 @@ object Lexicon {
       // ERBB3/ErbB3: the following-regulation + amount-levels vectors
       // (TestRegulationEvents sent15/42-44/58) — both case spellings are
       // reference-dictionary surfaces
-      , "ERBB3", "ErbB3"
+      , "ERBB3", "ErbB3", "EGF"
       // promoter-binding vectors (TestBindingEvents sent34)
       , "p21", "PUMA"
     ) ++ Seq(
@@ -327,7 +327,7 @@ object Lexicon {
       up("ASPP2", "Q13625"), up("53BP2", "Q13625"),
       up("optineurin", "Q96CV9"), up("MEK", "Q02750"), up("MEK1", "Q02750"),
       up("MEK2", "P36507"),
-      up("ERBB3", "P21860"), up("ErbB3", "P21860"),
+      up("ERBB3", "P21860"), up("ErbB3", "P21860"), up("EGF", "P01133"),
       up("ERK", "P28482"), up("ERK2", "P28482"), up("ERK2", "P63085", "mouse"),
       up("p53", "P04637"), up("p53", "P02340", "mouse"), up("TP53", "P04637"),
       up("BRAF", "P15056"), up("KRAS", "P01116"), up("K-Ras", "P01116"),

@@ -1497,6 +1497,21 @@ object Transcripts {
       tri("g237", 0, "", "Transcription", RAS),
       tri("g237", 0, RAS, "Positive_regulation",
         s"Transcription(${gidOf("SMAD4")})"))
+    // TestCoreference sent55: two-level complex event — a regulation whose
+    // controlled is itself an activation (EGF is a KB protein)
+    val EGFg = gidOf("EGF")
+    conv("g254")("user" ->
+      "Gab1 mutant protein enhances EGF induced activation of the PI3K")(
+      tri("g254", 0, EGFg, "Positive_activation", gidOf("PI3K")),
+      tri("g254", 0, gidOf("Gab1"), "Positive_regulation",
+        s"Positive_activation(${gidOf("PI3K")})"))
+    // TestTemplaticSimpleEvents sent37: in-response-to EGF supplies the
+    // regulation controller over the tyrosine phosphorylation
+    conv("g255")("user" ->
+      "The endogenous EGFR is tyrosine phosphorylated in response to EGF in all cell lines.")(
+      tri("g255", 0, "", "Phosphorylation", EGFR, "tyrosine"),
+      tri("g255", 0, EGFg, "Positive_regulation",
+        s"Phosphorylation($EGFR@tyrosine)", "tyrosine"))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
