@@ -1683,7 +1683,7 @@ object Transcripts {
       // regulations, bioprocess guard, pair tokens, neg-of-neg activation,
       // reduced-passive regulations, -ylate de-events)
       // but stay out of mega too so the mega slice distribution is unchanged
-      val maxT = if (withCoref) 33 else 14
+      val maxT = if (withCoref) 36 else 14
       val kind = rnd.nextInt(maxT)
       kind match {
         case 0 =>
@@ -1934,6 +1934,37 @@ object Transcripts {
           triples += tri(conv, t, "", "Deubiquitination", gidOf(b))
           triples += tri(conv, t, gidOf(a), "Positive_regulation",
             s"Deubiquitination(${gidOf(b)})")
+        case 33 =>
+          // sites-in themes (syntax_5_noun, final r3): one event + reg per
+          // in-conjunct, nn sibling is the cause
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role,
+            s"We observed two conserved putative $a phosphorylation sites in $b and $c.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(c))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(c)})")
+        case 34 =>
+          // coordinated by-causes: one regulation per cause (final r3)
+          val Seq(a, b, c) = genes(3)
+          turns += mkTurn(conv, t, role,
+            s"$c is acetylated by $a and $b at multiple lysine residues.")
+          triples += tri(conv, t, "", "Acetylation", gidOf(c),
+            "lysine residues")
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Acetylation(${gidOf(c)}@lysine residues)", "lysine residues")
+          triples += tri(conv, t, gidOf(b), "Positive_regulation",
+            s"Acetylation(${gidOf(c)}@lysine residues)", "lysine residues")
+        case 35 =>
+          // fragment postmodifier participle with by-agent (final r3)
+          val Seq(a, b) = genes(2)
+          turns += mkTurn(conv, t, role,
+            s"Under the same conditions, $b fragment phosphorylated by $a had low levels of incorporated 32P.")
+          triples += tri(conv, t, "", "Phosphorylation", gidOf(b))
+          triples += tri(conv, t, gidOf(a), "Positive_regulation",
+            s"Phosphorylation(${gidOf(b)})")
         case _ =>
           turns += mkTurn(conv, t, role, fillers(rnd.nextInt(fillers.size)))
       }
