@@ -134,7 +134,32 @@ object SparkEntry {
     // intra-sentential rule-based: textual order kept by "before"
     ("p05", 0, "JAK3 ubiquitinates HuR before MEK1 phosphorylates ERK2."),
     // intra-sentential rule-based: "following" swaps the roles
-    ("p06", 0, "AKT1 binds BAD following the phosphorylation of BAD."))
+    ("p06", 0, "AKT1 binds BAD following the phosphorylation of BAD."),
+    // TestAssemblySieves tamSent1-3 (Reichenbach through subordinate
+    // clauses; BEF/AFT -> lexicon proteins)
+    ("p07", 0, "Once MEK1 had been phosphorylated, ERK2 was ubiquitinated"),
+    ("p08", 0, "ERK2 will be ubiquitinated only if MEK1 is first phosphorylated"),
+    ("p09", 0, "ERK2 was ubiquitinated when MEK1 had been phosphorylated"),
+    // TestAssemblySieves interSent1-5 (both sentences in ONE turn — the
+    // sieve pairs across sentence boundaries within a turn)
+    ("p10", 0, "MEK1 was phosphorylated. Then, ERK2 was ubiquitinated."),
+    ("p11", 0, "MEK1 was phosphorylated. Subsequently ERK2 was ubiquitinated."),
+    ("p12", 0, "ERK2 was ubiquitinated. Prior to this, MEK1 was phosphorylated."),
+    ("p13", 0, "ERK2 was ubiquitinated. Previously, MEK1 was phosphorylated."),
+    // negative control: the cue is not sentence-initial -> no relation
+    ("p14", 0, "ERK2 was ubiquitinated. There is intervening material and, " +
+      "previously, MEK1 was phosphorylated."),
+    // TestAssemblySieves intraSent1 (dependent-on; the regulation pairs too)
+    ("p15", 0, "Together these data demonstrate that E2-induced SRC-3 " +
+      "phosphorylation is dependent on a direct interaction between SRC-3 " +
+      "and AKT1 and can occur outside of the nucleus."),
+    // intrasentential.yml verb/result families
+    ("p16", 0, "The ubiquitination of MEK1 precedes the phosphorylation of ERK2."),
+    ("p17", 0, "The ubiquitination of ERK2 follows the phosphorylation of MEK1."),
+    ("p18", 0, "MEK1 is ubiquitinated due to the phosphorylation of ERK2."),
+    ("p19", 0, "The ubiquitination of ERK2 is a result of the phosphorylation of MEK1."),
+    ("p20", 0, "MEK1 ubiquitination results from ERK2 phosphorylation."),
+    ("p21", 0, "MEK1 is ubiquitinated, resulting in the phosphorylation of ERK2."))
 
   /** MITRE-filter fixture (reference: ExportFilters.MITREfilter:105-122).
     * Each block exercises one requirement: the phosphorylation is seen 3x
@@ -950,19 +975,19 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('p01', 'Phosphorylation', 'uniprot:P28482', 0,
         |   'Positive_activation', 'uniprot:P40763', 1,
-        |   'inter-sentential-cue:as a result'),
+        |   'inter-sentential-rb:as a result'),
         |  ('p01', 'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
         |   'Positive_activation', 'uniprot:P40763', 1,
-        |   'inter-sentential-cue:as a result'),
+        |   'inter-sentential-rb:as a result'),
         |  ('p03', 'Binding', 'uniprot:P31749&uniprot:P49840', 0,
         |   'Positive_regulation', 'Phosphorylation(uniprot:Q92934)', 2,
-        |   'inter-sentential-cue:therefore'),
+        |   'inter-sentential-rb:therefore'),
         |  ('p04', 'Phosphorylation', 'uniprot:P28482', 0,
         |   'Binding', 'uniprot:P28482&uniprot:P31749', 1,
-        |   'reichenbach-tense'),
+        |   'inter-sentential-rb:then'),
         |  ('p04', 'Positive_regulation', 'Phosphorylation(uniprot:P28482)', 0,
         |   'Binding', 'uniprot:P28482&uniprot:P31749', 1,
-        |   'reichenbach-tense'),
+        |   'inter-sentential-rb:then'),
         |  ('p05', 'Ubiquitination', 'uniprot:Q15717', 0,
         |   'Phosphorylation', 'uniprot:P28482', 0,
         |   'intra-sentential-rb:before'),
@@ -977,7 +1002,48 @@ object SparkEntry {
         |   'intra-sentential-rb:before'),
         |  ('p06', 'Phosphorylation', 'uniprot:Q92934', 0,
         |   'Binding', 'uniprot:P31749&uniprot:Q92934', 0,
-        |   'intra-sentential-rb:following')
+        |   'intra-sentential-rb:following'),
+        |  ('p07', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0, 'reichenbach-tense'),
+        |  ('p08', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0, 'reichenbach-tense'),
+        |  ('p09', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0, 'reichenbach-tense'),
+        |  ('p10', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0, 'inter-sentential-rb:then'),
+        |  ('p11', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0,
+        |   'inter-sentential-rb:subsequently'),
+        |  ('p12', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0,
+        |   'inter-sentential-rb:prior to this'),
+        |  ('p13', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0,
+        |   'inter-sentential-rb:previously'),
+        |  ('p15', 'Binding', 'uniprot:P31749&uniprot:Q9Y6Q9', 0,
+        |   'Phosphorylation', 'uniprot:Q9Y6Q9', 0,
+        |   'intra-sentential-rb:dependent_on'),
+        |  ('p15', 'Binding', 'uniprot:P31749&uniprot:Q9Y6Q9', 0,
+        |   'Positive_regulation', 'Phosphorylation(uniprot:Q9Y6Q9)', 0,
+        |   'intra-sentential-rb:dependent_on'),
+        |  ('p16', 'Ubiquitination', 'uniprot:Q02750', 0,
+        |   'Phosphorylation', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:precedes'),
+        |  ('p17', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:follows'),
+        |  ('p18', 'Phosphorylation', 'uniprot:P28482', 0,
+        |   'Ubiquitination', 'uniprot:Q02750', 0,
+        |   'intra-sentential-rb:due_to'),
+        |  ('p19', 'Phosphorylation', 'uniprot:Q02750', 0,
+        |   'Ubiquitination', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:result_of'),
+        |  ('p20', 'Phosphorylation', 'uniprot:P28482', 0,
+        |   'Ubiquitination', 'uniprot:Q02750', 0,
+        |   'intra-sentential-rb:results_from'),
+        |  ('p21', 'Ubiquitination', 'uniprot:Q02750', 0,
+        |   'Phosphorylation', 'uniprot:P28482', 0,
+        |   'intra-sentential-rb:results_in')
         |) AS t(conv_id, before_pred, before_obj, before_turn,
         |       after_pred, after_obj, after_turn, sieve)""".stripMargin,
     "kg_mods" -> {

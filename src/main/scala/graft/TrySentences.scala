@@ -19,7 +19,8 @@ object TrySentences {
     val turns = spark.createDataset(sents.zipWithIndex.map { case (s, i) =>
       Transcripts.mkTurn(f"t$i%02d", 0, "user", s)
     })
-    val edges = Pipeline.extract(spark, turns).edges
+    val allEdges = Pipeline.extract(spark, turns).edges
+    val edges = allEdges
       .select("conv_id", "subj", "pred", "obj", "site", "negated", "hypothesis")
       .collect()
       .sortBy(r => (r.getString(0), r.getString(2), r.getString(3)))
@@ -29,6 +30,16 @@ object TrySentences {
         println(s"    (${r.getString(1)}, ${r.getString(2)}, ${r.getString(3)}," +
           s" site=${r.getString(4)}, neg=${r.getBoolean(5)}, hyp=${r.getBoolean(6)})")
       }
+    }
+    if (args.length > 1 && args(1) == "prec") {
+      println("=== precedence rows ===")
+      Precedence.precedence(allEdges)
+        .select("conv_id", "before_pred", "before_obj", "after_pred",
+          "after_obj", "sieve")
+        .collect()
+        .sortBy(_.getString(0))
+        .foreach(r => println(s"  ${r.getString(0)}: ${r.getString(1)}(${r.getString(2)})" +
+          s" < ${r.getString(3)}(${r.getString(4)}) [${r.getString(5)}]"))
     }
     spark.stop()
   }

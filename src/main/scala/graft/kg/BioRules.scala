@@ -1349,19 +1349,37 @@ object BioRules {
     args.flatMap(a => semNegTokens(words, deps, a, trigPos)).distinct.size
 
   /** Intra-sentential precedence connectives scanned in a short window
-    * before the trigger (surface form of intrasentential.yml's
-    * `E1 (before|prior to) E2` / `E1 (after|following) E2` event-pair rules
-    * plus consequence adverbs; Sieves.intrasententialRBPrecedence:58-84).
+    * before the trigger — the surface form of intrasentential.yml's
+    * event-pair rules (assembly-prep-* / assembly-verb-* / assembly-surface-*
+    * families; Sieves.intrasententialRBPrecedence:58-84). The marked event is
+    * the textually LATER one; multi-word connectives are canonicalized with
+    * underscores. Direction is decided in Precedence (intraSwapCues).
     */
-  private val intraCueP = Pattern.compile(
-    "before|prior|after|following|subsequently|then|thereby",
-    Pattern.CASE_INSENSITIVE)
+  private val intraSingleCues = Set("before", "after", "following",
+    "follows", "followed", "precedes", "precede", "preceded", "precipitates",
+    "thereby", "subsequently", "then")
 
   private def intraCueAt(words: Array[String], ts: Int): String = {
     var i = ts - 1
-    val lo = math.max(0, ts - 3)
+    val lo = math.max(0, ts - 4)
     while (i >= lo) {
-      if (intraCueP.matcher(words(i)).matches()) return words(i).toLowerCase
+      val w = words(i).toLowerCase
+      val prev = if (i > 0) words(i - 1).toLowerCase else ""
+      val next = if (i + 1 < words.length) words(i + 1).toLowerCase else ""
+      val cue =
+        if (w == "prior" && next == "to") "before"
+        else if (w == "due" && next == "to") "due_to"
+        else if (w == "because" && next == "of") "because_of"
+        else if (w == "response" && prev == "in" && next == "to")
+          "in_response_to"
+        else if (w == "dependent" && next == "on") "dependent_on"
+        else if (w == "result" && next == "of") "result_of"
+        else if (w == "results" && next == "from") "results_from"
+        else if ((w == "results" || w == "resulting") && next == "in")
+          "results_in"
+        else if (intraSingleCues(w)) w
+        else ""
+      if (cue.nonEmpty) return cue
       i -= 1
     }
     ""
@@ -1375,17 +1393,34 @@ object BioRules {
     */
   private def tenseAt(words: Array[String], ts: Int): String = {
     val t = words(ts).toLowerCase
-    val prev = if (ts > 0) words(ts - 1).toLowerCase else ""
-    val prev2 = if (ts > 1) words(ts - 2).toLowerCase else ""
-    val perf = prev == "has" || prev == "have" || prev == "had" ||
-      (prev2 == "has" || prev2 == "have" || prev2 == "had") &&
-        (prev == "not" || prev == "been")
-    if (prev == "will" || prev2 == "will")
-      if (perf) "future|perf" else "future"
-    else if (perf)
-      if (prev == "had" || prev2 == "had") "past|perf" else "present|perf"
-    else if (prev == "was" || prev == "were") "past"
-    else if (prev == "is" || prev == "are" || prev == "being") "present"
+    // scan the auxiliary chain leftward, skipping adverbs/negation/"be(en)"
+    // ("will be ubiquitinated", "is first phosphorylated", "had not been
+    // phosphorylated") — the reference's TAM rules reach the finite aux
+    // through the dependency arcs, so intervening adverbs are transparent
+    var will = false; var have = false; var had = false
+    var was = false; var pres = false
+    var i = ts - 1
+    var steps = 0
+    var stop = false
+    while (!stop && i >= 0 && steps < 5) {
+      words(i).toLowerCase match {
+        case "will" | "shall" => will = true
+        case "has" | "have" => have = true
+        case "had" => had = true
+        case "was" | "were" => was = true
+        case "is" | "are" | "am" | "being" => pres = true
+        case "be" | "been" | "not" | "n't" | "first" | "only" | "also" |
+             "then" | "now" | "already" | "yet" => ()
+        case w if w.endsWith("ly") => ()
+        case _ => stop = true
+      }
+      i -= 1; steps += 1
+    }
+    if (will) { if (have || had) "future|perf" else "future" }
+    else if (had) "past|perf"
+    else if (have) "present|perf"
+    else if (was) "past"
+    else if (pres) "present"
     else if (t.endsWith("ed")) "past"
     else if (t.endsWith("s")) "present"
     else ""
@@ -1408,28 +1443,61 @@ object BioRules {
       conv, turn, sentIdx, s, e, Lexicon.labelClosure(label),
       words.slice(s, e).mkString(" "), foundBy, true, trigText,
       argRefs.toArray, neg, hyp, trig._1, trig._2, Mod.none,
-      sentenceCue(words),
+      interCueAt(words, deps, s, trig._1),
       if (trig._1 >= 0) intraCueAt(words, trig._1) else "",
       if (trig._1 >= 0) tenseAt(words, trig._1) else "")
   }
 
-  /** Sentence-initial consequence cue for the causal-precedence sieve
-    * (reference: assembly sieves' inter-sentential discourse markers,
-    * Sieves.scala:58-336).
+  /** Sentence-initial discourse cues for the inter-sentential precedence
+    * sieve, with direction (reference: intersentential.yml inter-after1 /
+    * inter-before1): an "after" cue marks its event as happening AFTER the
+    * previous sentence's events; a "before" cue the converse. The cue must
+    * be sentence-initial and the event must start immediately after it
+    * (optional comma), exactly like the grammar's `^ cue ","? @event`.
     */
-  private val cueWords =
-    Set("therefore", "consequently", "subsequently", "thus", "hence")
+  private val afterCues: Seq[Seq[String]] = Seq(
+    Seq("as", "a", "downstream", "effect"), Seq("as", "a", "result"),
+    Seq("as", "a", "consequence"), Seq("following", "this"),
+    Seq("following", "that"), Seq("in", "response"), Seq("later"),
+    Seq("ultimately"), Seq("then"), Seq("afterwards"), Seq("subsequently"),
+    Seq("consequently"), Seq("eventually"),
+    // r2 extension kept: consequence adverbs beyond the yml inventory
+    Seq("therefore"), Seq("thus"), Seq("hence"))
+  private val beforeCues: Seq[Seq[String]] = Seq(
+    Seq("prior", "to", "this"), Seq("prior", "to", "that"),
+    Seq("before", "this"), Seq("for", "this"), Seq("previously"),
+    Seq("beforehand"))
+  /** Timex adverbs that mark a sentence-initial event as "after" through an
+    * advmod on its trigger (intersentential.yml inter-after2 / timex-after1:
+    * "ERK2 is then phosphorylated."). */
+  private val timexAfter = Set("then", "next", "later", "subsequently",
+    "consequently", "ultimately", "finally")
 
-  def sentenceCue(words: Array[String]): String = {
-    if (words.isEmpty) return ""
-    val w0 = words(0).toLowerCase
-    if (cueWords.contains(w0)) w0
-    else if (w0 == "as" && words.length >= 3 &&
-             words(1).toLowerCase == "a" &&
-             (words(2).toLowerCase == "result" ||
-              words(2).toLowerCase == "consequence"))
-      "as a " + words(2).toLowerCase
-    else ""
+  def interCueAt(words: Array[String], deps: DepGraph,
+                 evStart: Int, trig: Int): String = {
+    def matchAt(c: Seq[String]): Boolean =
+      c.length <= words.length &&
+        c.indices.forall(k => words(k).toLowerCase == c(k))
+    def gate(len: Int): Boolean = {
+      val off = if (len < words.length && words(len) == ",") len + 1 else len
+      evStart == off
+    }
+    afterCues.find(c => matchAt(c) && gate(c.length)) match {
+      case Some(c) => "after:" + c.mkString(" ")
+      case None => beforeCues.find(c => matchAt(c) && gate(c.length)) match {
+        case Some(c) => "before:" + c.mkString(" ")
+        case None =>
+          // inter-after2: sentence-initial event with a timex advmod
+          if (evStart == 0 && trig >= 0 && trig < deps.n &&
+              deps.outgoing(trig).exists { case (j, l) =>
+                l == "advmod" && timexAfter(words(j).toLowerCase) })
+            "after:" + deps.outgoing(trig).collectFirst {
+              case (j, "advmod") if timexAfter(words(j).toLowerCase) =>
+                words(j).toLowerCase
+            }.get
+          else ""
+      }
+    }
   }
 
   /** Assemble mentions from one rule match. Returns the new mentions

@@ -140,6 +140,13 @@ object DepParser {
   private val prons = Set("it", "they", "them", "we", "he", "she", "you", "i",
     "itself", "themselves", "this", "that", "these", "those", "both")
   private val ccs = Set("and", "or", "but", "nor", "&")
+  /** Subordinating conjunctions: open an adverbial clause with its own
+    * subject/verb ("Once MEK1 had been phosphorylated, ERK2 was
+    * ubiquitinated" — the Stanford parse gives advcl + mark; what the
+    * downstream grammars need is that the two clauses don't leak arguments
+    * into each other, TestAssemblySieves tamSent1-3 shapes). */
+  private val subord = Set("once", "when", "whenever", "if", "unless",
+    "while", "whereas", "although", "though", "because")
 
   /** Small open-class verb lexicon: discourse/epistemic verbs + the general
     * bio-event verbs whose morphology the suffix rules below don't catch.
@@ -230,6 +237,7 @@ object DepParser {
         else if (l == "which" || l == "who" || l == "whom" || l == "whose") "WDT"
         else if (l == "that") "THAT" // disambiguated below
         else if (negs.contains(l)) "NEG"
+        else if (subord.contains(l)) "INS"
         else if (modals.contains(l)) "MD"
         else if (auxBe.contains(l)) "AUX"
         else if (auxHave.contains(l)) "AUX"
@@ -268,6 +276,14 @@ object DepParser {
             if (prev.startsWith("V")) "WDT" // "suggest that ..." (comp)
             else if (prev == "NN" || prev == "NNP") "WDT" // relcl
             else "DT" // "that phosphorylation"
+        case "NN" =>
+          // temporal adverbs the -ly rule misses, in verb-group position
+          // only ("is first phosphorylated", TestAssemblySieves tamSent2) —
+          // after DT they stay nominal ("the first kinase")
+          val l0 = words(i).toLowerCase
+          val prev0 = if (i > 0) tags(i - 1) else ""
+          if ((l0 == "first" || l0 == "now" || l0 == "already") &&
+              (prev0 == "AUX" || prev0 == "MD")) tags(i) = "RB"
         case "VB" | "VBG" =>
           val l = words(i).toLowerCase
           val prev = if (i > 0) tags(i - 1) else ""
@@ -479,6 +495,15 @@ object DepParser {
         // itself as the clause predicate
         val v = pre.head._1
         (v, j, false)
+      } else if (pre.nonEmpty && !sawBe &&
+                 pre.exists(p => Set("had", "has", "have")(lc(p._1)))) {
+        // possession have/has/had with no verb following ("had high levels
+        // of 32P", "has no effect on") — the have-word IS the main verb
+        val v = pre.find(p => Set("had", "has", "have")(lc(p._1))).get._1
+        pre.foreach { case (p, lab0) =>
+          if (p != v) edges += DepEdge(v, p, lab0)
+        }
+        (v, j, false)
       } else (-1, i0, false)
     }
 
@@ -495,6 +520,7 @@ object DepParser {
     var relFrom = -1       // NP head awaiting rcmod to relcl verb
     var relObjSubj = -1    // subject NP inside an object relative
     var reducedVBN = -1    // vmod participle: keeps pendingSubj for the main verb
+    var inSubCl = false    // inside a subordinate (INS-marked) clause
     var inRelcl = false
     var relOuter: (Int, Int, Boolean, Int) = (-1, -1, false, -1) // pendingSubj, curVerb, passive, chainBase
 
@@ -545,7 +571,14 @@ object DepParser {
             edges += DepEdge(lastNPHead, h, "appos"))
         i = math.min(j + 1, n)
       } else if (t == "PUNCT" && words(i) == ",") {
-        if (inRelcl) {
+        if (inSubCl && curVerb >= 0) {
+          // the comma closes a sentence-initial subordinate clause ("Once
+          // MEK1 had been phosphorylated, ERK2 was ubiquitinated") — the
+          // main clause starts fresh
+          inSubCl = false
+          pendingSubj = -1; curVerb = -1; chainBase = -1; dobjTaken = false
+          i += 1
+        } else if (inRelcl) {
           // close the relative clause; restore outer state
           val (ps, cv, pv, cb) = relOuter
           pendingSubj = ps; curVerb = cv; curVerbPassive = pv; chainBase = cb
@@ -610,6 +643,15 @@ object DepParser {
           clauseCoordFrom = curVerb
           curVerb = -1; chainBase = -1; dobjTaken = false; pendingSubj = -1
         }
+        i += 1
+      } else if (t == "INS") {
+        // subordinate-clause marker: close the current clause so neither
+        // clause leaks arguments into the other ("ERK2 was ubiquitinated
+        // when MEK1 had been phosphorylated" — MEK1 must not become an
+        // object of "ubiquitinated"); no advcl edge is emitted (the event
+        // grammars don't pattern over advcl)
+        inSubCl = true
+        pendingSubj = -1; curVerb = -1; chainBase = -1; dobjTaken = false
         i += 1
       } else if (t == "WDT") {
         val prevTag = if (i > 0) tags(i - 1) else ""
@@ -716,6 +758,12 @@ object DepParser {
             edges += DepEdge(ccompFrom, v, "ccomp")
             ccompFrom = -1
           }
+          // participial adjunct: ", suggesting/indicating ..." hangs off the
+          // current clause's verb (Stanford vmod/advcl) — this is the arc
+          // the hypothesis 2-hop scope travels (HypothesisHandler shapes)
+          if (curVerb >= 0 && v != curVerb && tags(v) == "VBG" &&
+              i > 0 && words(i - 1) == ",")
+            edges += DepEdge(curVerb, v, "vmod")
           curVerb = v; curVerbPassive = passive; dobjTaken = false
           chainBase = -1
           i = j2
@@ -737,11 +785,18 @@ object DepParser {
           } else if (curVerb < 0) {
             pendingSubj = h
           } else if (!dobjTaken) {
-            edges += DepEdge(curVerb, h, "dobj")
-            dobjTaken = true
-            // a nominal object can govern a following PP chain:
-            // "suggests the phosphorylation of MEK" -> prep_of(phosphorylation)
-            chainBase = -1
+            if (curVerbPassive) {
+              // a passive verb takes no direct object — an NP after a
+              // completed passive clause opens a new clause and becomes the
+              // next verb's subject candidate
+              pendingSubj = h
+            } else {
+              edges += DepEdge(curVerb, h, "dobj")
+              dobjTaken = true
+              // a nominal object can govern a following PP chain:
+              // "suggests the phosphorylation of MEK" -> prep_of(phosphorylation)
+              chainBase = -1
+            }
           } else {
             // stray NP after object (no preposition) — attach as dep
             edges += DepEdge(curVerb, h, "dep")

@@ -1,43 +1,57 @@
 package graft.kg
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Causal-precedence sieves over the materialized edges (reference:
   * assembly/src/main/scala/org/clulab/reach/assembly/sieves/Sieves.scala):
   *
-  *  1. inter-sentential discourse cue (:58-336 subset): an event whose
-  *     sentence opens with a consequence cue ("as a result", "therefore") is
-  *     preceded by shared-participant events of the previous `lookback` turns
-  *  2. intra-sentential rule-based (:58-84 + intrasentential.yml): an event
-  *     whose trigger is preceded by a connective pairs with the nearest
-  *     earlier-trigger event in the same sentence — `E1 before|prior-to E2`
-  *     keeps textual order, `E1 after|following E2` swaps it, consequence
-  *     adverbs ("then", "subsequently", "thereby") keep it
-  *  3. Reichenbach tense/aspect (:93-240 + tense_aspect.yml): the reference's
-  *     (tense, aspect) x (tense, aspect) decision table over trigger
-  *     tense+aspect markers computed at extraction time; restricted to
-  *     shared-participant pairs within `lookback` turns (a deliberate
-  *     scale-driven narrowing of the reference's all-pairs scan)
+  *  1. inter-sentential rule-based (:240-281 + intersentential.yml): an
+  *     event opening its sentence after a discourse cue pairs with the
+  *     events of the nearest preceding event-bearing sentence. "after"
+  *     cues ("then", "subsequently", "as a result", timex advmod) put the
+  *     cued event AFTER them; "before" cues ("previously", "prior to
+  *     this") put it BEFORE. The reference pairs with sentence-1 exactly;
+  *     transcripts interleave event-less tool/ack turns, so the
+  *     domain-right generalization is nearest event-bearing sentence
+  *     within `lookback` turns.
+  *  2. intra-sentential rule-based (:58-84 + intrasentential.yml): an
+  *     event whose trigger is preceded by a connective pairs with the
+  *     nearest earlier-trigger event in the same sentence — keep-order
+  *     connectives ("before", "precedes", "thereby", "results in") leave
+  *     textual order; swap connectives ("after", "following", "due to",
+  *     "dependent on", "in response to", "result of") invert it.
+  *  3. Reichenbach tense/aspect (:93-240 + tense_aspect.yml): the
+  *     reference's (tense, aspect) x (tense, aspect) decision table over
+  *     trigger tense+aspect markers computed at extraction time, applied
+  *     to textually-ordered event pairs. The reference scans all pairs per
+  *     document; at 10^12 turns that is quadratic per conversation, so
+  *     pairs are bounded to `lookback` turns (the TAM cues themselves are
+  *     sentence-local, so long-range pairs add noise, not signal).
   *
-  * Earlier sieves win on duplicate pairs (the reference's
-  * noExistingPrecedence guard).
+  * Every sieve applies the reference's isValidRelationPair constraints
+  * (Constraints.scala:127-160): the two events must be distinct, a
+  * regulation is never paired with its own controlled, and two activations
+  * must not share their controlled. Earlier sieves win on duplicate pairs
+  * in either direction (the reference's noExistingPrecedence guard).
   *
-  * Plan shape at scale: every sieve joins conv_id-keyed with the marked side
-  * filtered first — Catalyst pushes the marker filters below the joins and
-  * AQE broadcasts the small sides; participants come from a pure
-  * `regexp_extract_all` projection (no UDF).
+  * Plan shape at scale: every sieve joins conv_id-keyed with the marked
+  * side filtered first — Catalyst pushes the marker filters below the
+  * joins and AQE broadcasts the small sides; the constraints are pure
+  * column expressions (no UDF).
   */
 object Precedence {
 
-  /** Grounded participants of an edge: subject gid + gids embedded in the
-    * object key ("Phosphorylation(uniprot:X@S)" / "a&b" composites), site
-    * suffixes stripped.
+  /** Connectives whose marked (textually later) event PRECEDES the earlier
+    * one (intrasentential.yml assembly-prep-syntax-2 "after|following",
+    * assembly-verb-syntax-2a "follows", -syntax-3 "due to|because of",
+    * -syntax-3/surface-5 "result of", surface-3 "in response to",
+    * -dependent-on).
     */
-  private val participantsExpr =
-    array_distinct(transform(
-      expr("regexp_extract_all(concat(subj, ' ', obj), '[a-z]+:[A-Za-z0-9_.:@]+', 0)"),
-      p => split(p, "@").getItem(0)))
+  private val intraSwapCues = Seq("after", "following", "follows",
+    "followed", "due_to", "because_of", "in_response_to", "dependent_on",
+    "result_of", "results_from")
 
   /** The reference's Reichenbach decision table (Sieves.scala:120-149),
     * keyed by "tense[|perf]" markers of the textually-first and -second
@@ -71,53 +85,107 @@ object Precedence {
       when(t1 === a && t2 === b, rel).otherwise(acc)
     }
 
+  /** The composite event key a regulation's obj column uses for its
+    * controlled ("Phosphorylation(uniprot:X@S)").
+    */
+  private def composite(pred: Column, obj: Column, site: Column): Column =
+    concat(pred, lit("("), obj,
+      when(site =!= "", concat(lit("@"), site)).otherwise(lit("")), lit(")"))
+
+  /** Constraints.isValidRelationPair (reference :127-160): distinct events;
+    * a regulation never pairs with its own controlled; two activations
+    * must not share their controlled.
+    */
+  private def validPair(aPred: Column, aObj: Column, aSite: Column,
+                        bPred: Column, bObj: Column, bSite: Column): Column =
+    (aPred =!= bPred || aObj =!= bObj) &&
+      aObj =!= composite(bPred, bObj, bSite) &&
+      bObj =!= composite(aPred, aObj, aSite) &&
+      !(aPred.contains("activation") && bPred.contains("activation") &&
+        aObj === bObj)
+
   def precedence(edges: DataFrame, lookback: Int = 3): DataFrame = {
-    val withParts = edges.withColumn("parts", participantsExpr)
-    def side(prefix: String, extra: (String, String)*): DataFrame = {
-      val base = withParts.select(
+    def side(prefix: String, extra: (String, String)*): DataFrame =
+      edges.select(
         Seq(col("conv_id"), col("turn_idx").as(prefix + "_turn"),
           col("sent_idx").as(prefix + "_sent"),
           col("trig_start").as(prefix + "_trig"),
           col("pred").as(prefix + "_pred"), col("obj").as(prefix + "_obj"),
-          col("parts").as(prefix + "_parts"),
+          col("site").as(prefix + "_site"),
           col("tense").as(prefix + "_tense")) ++
           extra.map { case (c, a) => col(c).as(a) }: _*)
-      base
-    }
 
     // ---- sieve 1: inter-sentential discourse cue -------------------------
-    val later = side("after", "cue" -> "cue").filter(col("cue") =!= "")
-    val earlier = side("before")
-    val cueRows = later.join(earlier, Seq("conv_id"))
-      .filter(col("before_turn") < col("after_turn") &&
-        col("before_turn") >= col("after_turn") - lookback)
-      .filter(size(array_intersect(col("before_parts"), col("after_parts"))) > 0)
-      .select(col("conv_id"), col("before_pred"), col("before_obj"),
-        col("before_turn"), col("after_pred"), col("after_obj"),
-        col("after_turn"),
-        concat(lit("inter-sentential-cue:"), col("cue")).as("sieve"),
-        lit(1).as("sieve_rank"))
+    // the cue-marked event pairs with every event of the nearest preceding
+    // event-bearing sentence (reference: rel.sentence - 1)
+    val marked = side("m", "cue" -> "cue").filter(col("cue") =!= "")
+      .withColumn("cue_dir", split(col("cue"), ":").getItem(0))
+      .withColumn("cue_name", split(col("cue"), ":").getItem(1))
+    val other = side("o").withColumnRenamed("conv_id", "o_conv")
+    val interPaired = marked.join(other,
+        col("conv_id") === col("o_conv") && (
+          (col("o_turn") === col("m_turn") && col("o_sent") < col("m_sent")) ||
+          (col("o_turn") < col("m_turn") &&
+            col("o_turn") >= col("m_turn") - lookback)))
+      .filter(validPair(col("m_pred"), col("m_obj"), col("m_site"),
+        col("o_pred"), col("o_obj"), col("o_site")))
+    val mw = Window.partitionBy(col("conv_id"), col("m_turn"), col("m_sent"),
+        col("m_trig"), col("m_pred"), col("m_obj"), col("m_site"))
+      .orderBy(col("o_turn").desc, col("o_sent").desc)
+    val interNearest = interPaired
+      .withColumn("rk", dense_rank().over(mw)).filter(col("rk") === 1)
+    val cueSwap = col("cue_dir") === "before"
+    val cueRows = interNearest.select(
+      col("conv_id"),
+      when(cueSwap, col("m_pred")).otherwise(col("o_pred")).as("before_pred"),
+      when(cueSwap, col("m_obj")).otherwise(col("o_obj")).as("before_obj"),
+      when(cueSwap, col("m_turn")).otherwise(col("o_turn")).as("before_turn"),
+      when(cueSwap, col("o_pred")).otherwise(col("m_pred")).as("after_pred"),
+      when(cueSwap, col("o_obj")).otherwise(col("m_obj")).as("after_obj"),
+      when(cueSwap, col("o_turn")).otherwise(col("m_turn")).as("after_turn"),
+      concat(lit("inter-sentential-rb:"), col("cue_name")).as("sieve"),
+      lit(1).as("sieve_rank"))
 
     // ---- sieve 2: intra-sentential rule-based ----------------------------
     // the connective-marked event pairs with every event at the nearest
     // earlier trigger position of the same sentence (split regulations share
-    // their event's trigger, so ties are kept); "after"/"following" swap
-    // before/after
-    val marked = side("m", "intra_cue" -> "icue")
+    // their event's trigger, so ties are kept)
+    val imarked = side("m", "intra_cue" -> "icue")
       .filter(col("icue") =!= "" && col("m_trig") >= 0)
-    val other = side("o").filter(col("o_trig") >= 0)
+    val iother = side("o").filter(col("o_trig") >= 0)
       .withColumnRenamed("conv_id", "o_conv")
-    val intraPaired = marked.join(other,
+    val intraPaired = imarked.join(iother,
         col("conv_id") === col("o_conv") &&
           col("m_turn") === col("o_turn") && col("m_sent") === col("o_sent") &&
           col("o_trig") < col("m_trig"))
-    import org.apache.spark.sql.expressions.Window
+      .filter(validPair(col("m_pred"), col("m_obj"), col("m_site"),
+        col("o_pred"), col("o_obj"), col("o_site")))
     val w = Window.partitionBy(col("conv_id"), col("m_turn"), col("m_sent"),
-        col("m_trig"), col("m_pred"), col("m_obj"))
+        col("m_trig"), col("m_pred"), col("m_obj"), col("m_site"))
       .orderBy(col("o_trig").desc)
-    val intraNearest = intraPaired
-      .withColumn("rk", dense_rank().over(w)).filter(col("rk") === 1)
-    val swap = col("icue").isin("after", "following")
+    val intraRanked = intraPaired.withColumn("rk", dense_rank().over(w))
+    val intraR1 = intraRanked.filter(col("rk") === 1).drop("rk")
+    // a regulation OVER a nearest event shares its anchor position in the
+    // reference's dep-anchored match ("E2-induced SRC-3 phosphorylation is
+    // dependent on ..." pairs the interaction with BOTH the phosphorylation
+    // and its regulation, TestAssemblySieves intraSent1) — its own trigger
+    // ("induced") sits earlier, so the trigger rank alone would drop it
+    val r1keys = intraR1.select(col("conv_id").as("k_conv"),
+        col("m_turn").as("k_turn"), col("m_sent").as("k_sent"),
+        col("m_trig").as("k_mtrig"), col("m_pred").as("k_mpred"),
+        col("m_obj").as("k_mobj"), col("m_site").as("k_msite"),
+        composite(col("o_pred"), col("o_obj"), col("o_site")).as("k_comp"))
+      .distinct()
+    val intraReg = intraRanked.filter(col("rk") > 1).drop("rk")
+      .join(r1keys,
+        col("conv_id") === col("k_conv") && col("m_turn") === col("k_turn") &&
+          col("m_sent") === col("k_sent") && col("m_trig") === col("k_mtrig") &&
+          col("m_pred") === col("k_mpred") && col("m_obj") === col("k_mobj") &&
+          col("m_site") === col("k_msite") && col("o_obj") === col("k_comp"))
+      .drop("k_conv", "k_turn", "k_sent", "k_mtrig", "k_mpred", "k_mobj",
+        "k_msite", "k_comp")
+    val intraNearest = intraR1.unionByName(intraReg)
+    val swap = col("icue").isin(intraSwapCues: _*)
     val intraRows = intraNearest.select(
       col("conv_id"),
       when(swap, col("m_pred")).otherwise(col("o_pred")).as("before_pred"),
@@ -141,7 +209,8 @@ object Precedence {
             (col("a_sent") < col("b_sent") ||
               (col("a_sent") === col("b_sent") &&
                 col("a_trig") < col("b_trig"))))))
-      .filter(size(array_intersect(col("a_parts"), col("b_parts"))) > 0)
+      .filter(validPair(col("a_pred"), col("a_obj"), col("a_site"),
+        col("b_pred"), col("b_obj"), col("b_site")))
       .withColumn("rel", relExpr(col("a_tense"), col("b_tense")))
       .filter(col("rel") =!= "none")
     val relSwap = col("rel") === "after"
@@ -156,11 +225,15 @@ object Precedence {
       lit("reichenbach-tense").as("sieve"),
       lit(3).as("sieve_rank"))
 
-    // earlier sieves win on duplicate (before, after) pairs
+    // earlier sieves win on duplicate pairs in EITHER direction (the
+    // reference's noExistingPrecedence checks both)
     val unioned = cueRows.unionByName(intraRows).unionByName(tenseRows)
-    val dw = Window.partitionBy(col("conv_id"), col("before_pred"),
-        col("before_obj"), col("before_turn"), col("after_pred"),
-        col("after_obj"), col("after_turn"))
+    val beforeKey = concat_ws("|", col("before_pred"), col("before_obj"),
+      col("before_turn"))
+    val afterKey = concat_ws("|", col("after_pred"), col("after_obj"),
+      col("after_turn"))
+    val dw = Window.partitionBy(col("conv_id"),
+        least(beforeKey, afterKey), greatest(beforeKey, afterKey))
       .orderBy(col("sieve_rank").asc, col("sieve").asc)
     unioned.withColumn("rn", row_number().over(dw)).filter(col("rn") === 1)
       .drop("rn", "sieve_rank")

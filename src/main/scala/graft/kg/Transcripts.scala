@@ -1512,6 +1512,21 @@ object Transcripts {
       tri("g255", 0, "", "Phosphorylation", EGFR, "tyrosine"),
       tri("g255", 0, EGFg, "Positive_regulation",
         s"Phosphorylation($EGFR@tyrosine)", "tyrosine"))
+    // -- TestAssemblySieves tamSent1-3 (subordinate-clause boundaries) ------
+    // "once/when/only if" open a clause with its own subject: neither clause
+    // leaks arguments into the other (exactly two events, no regulations)
+    conv("g256")("user" ->
+      "Once MEK1 had been phosphorylated, ERK2 was ubiquitinated")(
+      tri("g256", 0, "", "Phosphorylation", MEK1),
+      tri("g256", 0, "", "Ubiquitination", ERK2))
+    conv("g257")("user" ->
+      "ERK2 will be ubiquitinated only if MEK1 is first phosphorylated")(
+      tri("g257", 0, "", "Phosphorylation", MEK1),
+      tri("g257", 0, "", "Ubiquitination", ERK2))
+    conv("g258")("user" ->
+      "ERK2 was ubiquitinated when MEK1 had been phosphorylated")(
+      tri("g258", 0, "", "Phosphorylation", MEK1),
+      tri("g258", 0, "", "Ubiquitination", ERK2))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)

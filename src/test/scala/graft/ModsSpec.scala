@@ -308,8 +308,8 @@ class ModsSpec extends AnyFunSuite {
       .contains("OLK1")), "node must carry the rescanned surface form")
   }
 
-  test("causal-precedence sieve links cue-opened events to shared-participant " +
-       "predecessors") {
+  test("causal-precedence sieve links cue-opened events to the nearest " +
+       "preceding event-bearing sentence") {
     import spark.implicits._
     val turns = spark.createDataset(Seq(
       Transcripts.mkTurn("pr", 0, "user", "MEK1 phosphorylates ERK2."),
