@@ -15,7 +15,8 @@ object Bench {
     "q_topk", "q_setops", "kg_turns", "kg_mentions", "kg_context_window",
     "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "text_tokens", "text_quality",
-    "text_langid", "text_fingerprint", "mm_attach", "mm_resize", "mm_features")
+    "text_langid", "text_fingerprint", "text_search", "mm_attach",
+    "mm_resize", "mm_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +80,16 @@ object Bench {
       // the contract text_fingerprint query is the seeded VALUES tier; this
       // times winnowing over the full sf corpus
       "text_fingerprint_corpus" -> (() =>
-        graft.ops.TextAnalysis.fingerprint(docs).count(): Unit)
+        graft.ops.TextAnalysis.fingerprint(docs).count(): Unit),
+      // production search story: the index is materialized ONCE (cached
+      // here, bucketed-by-term parquet at scale); queries only touch it
+      "text_search_indexed" -> {
+        val idx = graft.ops.TextSearch.index(docs).cache()
+        idx.count()
+        val nDocs = docs.count()
+        () => graft.ops.TextSearch.search(idx, nDocs,
+          Seq("spark", "join", "vector")).count(): Unit
+      }
     ).map { case (name, f) => name -> (1 to 2).map(_ => time(f())).min }
 
     // KG pipeline throughput: generated corpus incl. skewed mega-conversation.

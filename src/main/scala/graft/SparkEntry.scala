@@ -564,6 +564,13 @@ object SparkEntry {
         s.createDataset(simhashFixture).toDF("doc_id", "text"))
         .select(col("doc_id"), explode(col("fingerprint")).as("h"))
     },
+    "text_search" -> { (s, dir) =>
+      // inverted-index TF-IDF top-k (the reference's Lucene search, S6)
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      TextSearch.search(TextSearch.index(docs), docs.count(),
+        Seq("spark", "join", "vector"))
+    },
 
     // ---- multimodal plumbing --------------------------------------------
     "mm_attach" -> { (s, dir) =>
@@ -1132,6 +1139,26 @@ object SparkEntry {
         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    "text_search" -> {
+      val stop = TextSearch.stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH tok0 AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok0
+         |  WHERE length(term) >= 2 AND term NOT IN ($stop)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id,
+         |  round(sum(tf.tf * ln(n.n::DOUBLE / df.df)), 4) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |WHERE tf.term IN ('spark', 'join', 'vector')
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin
+    },
     "text_tokens" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,

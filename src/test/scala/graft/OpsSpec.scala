@@ -101,4 +101,36 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("out_width") <= 224 && r.getAs[Int]("out_height") <= 224)
     }
   }
+
+  test("text search: tf-idf ranks rare-term docs first; conjunctive mode " +
+       "requires all terms; bm25 agrees on the clear winner") {
+    val corpus = Seq(
+      (1L, "spark shuffle spark partition spark executor"),
+      (2L, "spark partition join broadcast"),
+      (3L, "filter scan filter scan filter scan"),
+      (4L, "join join join broadcast shuffle"),
+      (5L, "vector index vector search")).toDF("doc_id", "text")
+    val idx = TextSearch.index(corpus)
+    // postings: tf counted per (term, doc)
+    assert(idx.filter(col("term") === "spark" && col("doc_id") === 1)
+      .head().getAs[Long]("tf") == 3)
+    val any = TextSearch.search(idx, 5, Seq("spark", "join"), topK = 5)
+      .collect()
+    // doc 1 (3x spark) beats doc 2 (1x spark + 1x join): idf(spark)=idf(join)
+    assert(any.head.getAs[Long]("doc_id") == 1L)
+    assert(any.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    // conjunctive: only doc 2 has BOTH terms
+    val all = TextSearch.search(idx, 5, Seq("spark", "join"), topK = 5,
+      mode = "all").collect()
+    assert(all.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    // "vector" only in doc 5
+    val v = TextSearch.search(idx, 5, Seq("vector"), topK = 1).collect()
+    assert(v.head.getAs[Long]("doc_id") == 5L)
+    // bm25: same clear winner on the rare term
+    val b = TextSearch.searchBm25(idx, corpus, Seq("vector"), topK = 1)
+      .collect()
+    assert(b.head.getAs[Long]("doc_id") == 5L)
+    // stopwords and 1-char tokens never enter the index
+    assert(idx.filter(col("term").isin(TextSearch.stopwords: _*)).count() == 0)
+  }
 }
