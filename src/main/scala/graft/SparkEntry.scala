@@ -417,10 +417,11 @@ object SparkEntry {
           "g23", "g28", "g30", "g39", "g42", "g46"))
     },
     "kg_fries_frames" -> { (s, dir) =>
-      // FRIES frame GRAPH (entity/event frames with frame-id references) —
-      // one JSON document per conversation, from the linked-mention table
+      // FRIES frame GRAPH (sentences/entities/events frame-collection
+      // sections with frame-id references) — one JSON document per
+      // conversation, from the linked-mention table + the turns
       val b = goldenRun(s).b
-      Emit.friesFrameGraph(b.toDF())
+      Emit.friesFrameGraph(b.toDF(), Some(Transcripts.goldenTurns(s).toDF()))
     },
     "kg_precedence" -> { (s, dir) =>
       // causal-precedence sieve (assembly Sieves discourse subset) over the
@@ -661,27 +662,57 @@ object SparkEntry {
     },
     "kg_fries_frames_sample" -> { (s, dir) =>
       // frame-graph content minus the hashed frame ids: parse the emitted
-      // JSON back and project hand-traceable frame fields
+      // JSON back and project hand-traceable frame fields from the
+      // entities/events frame-collection sections
       val b = goldenRun(s).b
-      val frameSchema = "STRUCT<document: STRING, frames: ARRAY<STRUCT<" +
-        "turn_idx: INT, sent_idx: INT, start_tok: INT, end_tok: INT, " +
-        "frame_id: BIGINT, frame_type: STRING, type: STRING, text: STRING, " +
-        "xref: STRING, display: STRING, trigger: STRING, " +
-        "args: ARRAY<STRUCT<role: STRING, arg: BIGINT>>, " +
+      val entSchema = "ARRAY<STRUCT<turn_idx: INT, sent_idx: INT, " +
+        "start_tok: INT, end_tok: INT, `frame-id`: BIGINT, " +
+        "`frame-type`: STRING, type: STRING, text: STRING, " +
+        "xrefs: ARRAY<STRUCT<namespace: STRING, `object-type`: STRING, id: STRING>>, " +
         "modifications: ARRAY<STRUCT<kind: STRING, label: STRING, site: STRING>>, " +
-        "is_negated: BOOLEAN, is_hypothesis: BOOLEAN>>>"
-      Emit.friesFrameGraph(b.toDF())
+        "`is-negated`: BOOLEAN, `is-hypothesis`: BOOLEAN>>"
+      val evSchema = "ARRAY<STRUCT<turn_idx: INT, sent_idx: INT, " +
+        "start_tok: INT, end_tok: INT, `frame-id`: BIGINT, " +
+        "`frame-type`: STRING, subtype: STRING, text: STRING, " +
+        "trigger: STRING, " +
+        "arguments: ARRAY<STRUCT<type: STRING, arg: BIGINT, `argument-type`: STRING>>, " +
+        "`is-direct`: BOOLEAN, " +
+        "modifications: ARRAY<STRUCT<kind: STRING, label: STRING, site: STRING>>, " +
+        "`is-negated`: BOOLEAN, `is-hypothesis`: BOOLEAN>>"
+      val docSchema = s"STRUCT<document: STRING, " +
+        "sentences: STRUCT<`object-type`: STRING, frames: ARRAY<STRUCT<" +
+        "turn_idx: INT, sent_idx: INT, `frame-type`: STRING, text: STRING>>>, " +
+        s"entities: STRUCT<`object-type`: STRING, frames: $entSchema>, " +
+        s"events: STRUCT<`object-type`: STRING, frames: $evSchema>>"
+      val parsed = Emit.friesFrameGraph(b.toDF(),
+          Some(Transcripts.goldenTurns(s).toDF()))
         .filter(col("conv_id").isin("g05", "g12", "g13"))
         .select(col("conv_id"),
-          explode(from_json(col("fries"), frameSchema,
-            Map.empty[String, String]).getField("frames")).as("f"))
+          from_json(col("fries"), docSchema, Map.empty[String, String])
+            .as("d"))
+      val ents = parsed
+        .select(col("conv_id"), explode(col("d.entities.frames")).as("f"))
         .select(col("conv_id"), col("f.turn_idx").as("turn_idx"),
           col("f.start_tok").as("start_tok"), col("f.end_tok").as("end_tok"),
-          col("f.frame_type").as("frame_type"), col("f.type").as("type"),
-          col("f.text").as("text"), col("f.xref").as("xref"),
-          col("f.display").as("display"), col("f.trigger").as("trigger"),
-          size(col("f.args")).as("n_args"),
-          col("f.is_negated").as("is_negated"))
+          col("f").getField("frame-type").as("frame_type"),
+          col("f.type").as("type"), col("f.text").as("text"),
+          concat(col("f.xrefs")(0).getField("namespace"), lit(":"),
+            col("f.xrefs")(0).getField("id")).as("xref"),
+          lit("").as("trigger"), lit(0).as("n_args"),
+          col("f").getField("is-negated").as("is_negated"),
+          lit(false).as("is_direct"))
+      val evs = parsed
+        .select(col("conv_id"), explode(col("d.events.frames")).as("f"))
+        .select(col("conv_id"), col("f.turn_idx").as("turn_idx"),
+          col("f.start_tok").as("start_tok"), col("f.end_tok").as("end_tok"),
+          col("f").getField("frame-type").as("frame_type"),
+          col("f.subtype").as("type"), col("f.text").as("text"),
+          lit("").as("xref"),
+          col("f.trigger").as("trigger"),
+          size(col("f.arguments")).as("n_args"),
+          col("f").getField("is-negated").as("is_negated"),
+          col("f").getField("is-direct").as("is_direct"))
+      ents.unionByName(evs)
     }
   )
 
@@ -1257,32 +1288,30 @@ object SparkEntry {
         |       TRANSLOCATION_DESTINATION, TRIGGERS, SEEN, EVIDENCE, SEEN_IN)""".stripMargin,
     "kg_fries_frames_sample" ->
       """SELECT * FROM (VALUES
-        |  ('g05', 0, 0, 1, 'entity-mention', 'Gene_or_gene_product', 'MEK',
-        |   'uniprot:Q02750', 'Protein', '', 0, FALSE),
-        |  ('g05', 0, 0, 5, 'event-mention', 'Positive_regulation',
-        |   'MEK does not phosphorylate ERK2', '', 'Positive_regulation',
-        |   'phosphorylate', 2, TRUE),
-        |  ('g05', 0, 3, 5, 'event-mention', 'Phosphorylation',
-        |   'phosphorylate ERK2', '', 'Phosphorylation', 'phosphorylate', 1,
-        |   FALSE),
-        |  ('g05', 0, 4, 5, 'entity-mention', 'Gene_or_gene_product', 'ERK2',
-        |   'uniprot:P28482', 'Protein', '', 0, FALSE),
-        |  ('g12', 0, 0, 1, 'entity-mention', 'Simple_chemical', 'Rapamycin',
-        |   'pubchem:CID5284616', 'Simple_chemical', '', 0, FALSE),
-        |  ('g12', 0, 0, 3, 'event-mention', 'Negative_activation',
-        |   'Rapamycin inhibits mTOR', '', 'Negative_activation', 'inhibits',
-        |   2, FALSE),
-        |  ('g12', 0, 2, 3, 'entity-mention', 'Gene_or_gene_product', 'mTOR',
-        |   'uniprot:P42345', 'Protein', '', 0, FALSE),
-        |  ('g13', 0, 0, 1, 'entity-mention', 'Gene_or_gene_product', 'STAT3',
-        |   'uniprot:P40763', 'Protein', '', 0, FALSE),
-        |  ('g13', 0, 0, 5, 'event-mention', 'Translocation',
-        |   'STAT3 translocates to the nucleus', '', 'Translocation',
-        |   'translocates', 2, FALSE),
-        |  ('g13', 0, 4, 5, 'entity-mention', 'Cellular_component', 'nucleus',
-        |   'go:GO:0005634', 'Cellular_component', '', 0, FALSE)
+        |  ('g05', 0, 0, 1, 'entity-mention', 'protein', 'MEK',
+        |   'uniprot:Q02750', '', 0, FALSE, FALSE),
+        |  ('g05', 0, 0, 5, 'event-mention', 'positive-regulation',
+        |   'MEK does not phosphorylate ERK2', '', 'phosphorylate', 2, TRUE,
+        |   TRUE),
+        |  ('g05', 0, 3, 5, 'event-mention', 'phosphorylation',
+        |   'phosphorylate ERK2', '', 'phosphorylate', 1, FALSE, FALSE),
+        |  ('g05', 0, 4, 5, 'entity-mention', 'protein', 'ERK2',
+        |   'uniprot:P28482', '', 0, FALSE, FALSE),
+        |  ('g12', 0, 0, 1, 'entity-mention', 'simple-chemical', 'Rapamycin',
+        |   'pubchem:CID5284616', '', 0, FALSE, FALSE),
+        |  ('g12', 0, 0, 3, 'event-mention', 'negative-activation',
+        |   'Rapamycin inhibits mTOR', '', 'inhibits', 2, FALSE, FALSE),
+        |  ('g12', 0, 2, 3, 'entity-mention', 'protein', 'mTOR',
+        |   'uniprot:P42345', '', 0, FALSE, FALSE),
+        |  ('g13', 0, 0, 1, 'entity-mention', 'protein', 'STAT3',
+        |   'uniprot:P40763', '', 0, FALSE, FALSE),
+        |  ('g13', 0, 0, 5, 'event-mention', 'translocation',
+        |   'STAT3 translocates to the nucleus', '', 'translocates', 2,
+        |   FALSE, FALSE),
+        |  ('g13', 0, 4, 5, 'entity-mention', 'cellular-component', 'nucleus',
+        |   'go:GO:0005634', '', 0, FALSE, FALSE)
         |) AS t(conv_id, turn_idx, start_tok, end_tok, frame_type, type,
-        |       text, xref, display, trigger, n_args, is_negated)""".stripMargin,
+        |       text, xref, trigger, n_args, is_negated, is_direct)""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, width, height,
         | CAST(floor(width * s) AS INT) AS out_width,

@@ -1473,11 +1473,20 @@ object BioRules {
   private val timexAfter = Set("then", "next", "later", "subsequently",
     "consequently", "ultimately", "finally")
 
+  // fast path: first words of any cue — one probe rejects almost every
+  // sentence before the 22-cue prefix scan (this runs per event in the
+  // extraction hot loop)
+  private val cueFirstWords: Set[String] =
+    (afterCues ++ beforeCues).map(_.head).toSet
+
   def interCueAt(words: Array[String], deps: DepGraph,
                  evStart: Int, trig: Int): String = {
+    if (words.isEmpty) return ""
+    val w0 = words(0).toLowerCase
+    if (!cueFirstWords(w0) && evStart != 0) return ""
     def matchAt(c: Seq[String]): Boolean =
-      c.length <= words.length &&
-        c.indices.forall(k => words(k).toLowerCase == c(k))
+      c.length <= words.length && c.head == w0 &&
+        (1 until c.length).forall(k => words(k).toLowerCase == c(k))
     def gate(len: Int): Boolean = {
       val off = if (len < words.length && words(len) == ",") len + 1 else len
       evStart == off

@@ -41,25 +41,36 @@ object Emit {
     */
   def friesJson(edges: DataFrame): DataFrame =
     edges.select(to_json(struct(
-      col("edge_id").as("frame_id"),
-      lit("event-mention").as("frame_type"),
+      col("edge_id").as("frame-id"),
+      lit("event-mention").as("frame-type"),
       col("pred").as("type"),
       struct(col("subj").as("canon_id")).as("controller"),
       struct(col("obj").as("canon_id"), col("site").as("site")).as("argument"),
-      col("negated").as("is_negated"),
-      col("hypothesis").as("is_hypothesis"),
+      col("negated").as("is-negated"),
+      col("hypothesis").as("is-hypothesis"),
       struct(col("conv_id"), col("turn_idx"),
         col("evidence_text").as("text")).as("provenance"),
       col("found_by")
     )).as("frame"))
 
+  /** JsonOutputter.prettifyLabel (reference :176): FRIES types/subtypes are
+    * lowercase with hyphens ("Positive_regulation" -> "positive-regulation").
+    */
+  private def prettify(c: Column): Column = lower(regexp_replace(c, "_", "-"))
+
   /** FRIES frame graph (reference: FriesOutput.scala:524-660 — one document
     * per input unit whose frames reference each other by frame id: entity
     * mentions are frames, event mentions are frames whose arguments point at
-    * other frames). Built from the stage-B linked mentions: `frame_id` is the
-    * deterministic mention id, event `args[].arg` are frame-id references.
-    * One row per (conversation, doc part); the frame array is sorted by
-    * document position so the JSON is deterministic.
+    * other frames). Faithful to the reference's document layout: three
+    * frame-collection sections (`sentences` when `turns` is given,
+    * `entities`, `events`), each carrying `object-type`/`object-meta`
+    * (FriesOutput.startSection analogue); entity frames carry prettified
+    * `type` + `xrefs` db-reference lists (:524-560); event frames carry
+    * prettified `subtype`, `trigger`, `is-direct` (true for the regulations
+    * splitSimpleEvents creates, DarpaActions.scala:219,259,319) and
+    * `arguments` whose `argument-type` says whether the referenced frame is
+    * an event or an entity (:382-420). `frame-id` is the deterministic
+    * mention id; arrays are sorted so the JSON is deterministic.
     *
     * Scale: the groupBy is salted with `turn_idx / chunkTurns` (the same span
     * chunking stage B uses), so a mega-conversation becomes a sequence of
@@ -67,41 +78,119 @@ object Emit {
     * the bare conv_id as its document name — single-chunk conversations (the
     * overwhelmingly common case, and the whole golden corpus) are
     * byte-identical to the unchunked output; later parts are suffixed
-    * `#<part>`.
+    * `#<part>`. The argument-type lookup is a (conv_id, mention_id)-keyed
+    * self-join — conversation-scoped, never cross-document.
     */
-  def friesFrameGraph(stageB: DataFrame,
+  def friesFrameGraph(stageB: DataFrame, turns: Option[DataFrame] = None,
                       chunkTurns: Int = Pipeline.chunkTurns): DataFrame = {
     val linked = stageB.filter(col("kind") === "linked").select("linked.*")
-    val frame = struct(
+
+    // argument-type of each frame reference: "event" when the referenced
+    // frame is an event mention, "entity" otherwise
+    val kinds = linked.select(col("conv_id").as("k_conv"),
+      col("mention_id").as("k_id"), col("is_event").as("k_ev")).distinct()
+    val argLists = linked
+      .select(col("conv_id"), col("mention_id"), explode(col("args")).as("a"))
+      .join(kinds, col("conv_id") === col("k_conv") &&
+        col("a.mention_id") === col("k_id"), "left")
+      .groupBy("conv_id", "mention_id")
+      .agg(sort_array(collect_list(struct(
+        col("a.role").as("type"),
+        col("a.mention_id").as("arg"),
+        when(coalesce(col("k_ev"), lit(false)), lit("event"))
+          .otherwise(lit("entity")).as("argument-type")))).as("arguments"))
+      .withColumnRenamed("conv_id", "al_conv")
+      .withColumnRenamed("mention_id", "al_id")
+    val withArgs = linked.join(argLists,
+        col("conv_id") === col("al_conv") && col("mention_id") === col("al_id"),
+        "left")
+      .drop("al_conv", "al_id")
+      .withColumn("arguments", coalesce(col("arguments"), expr(
+        "CAST(array() AS array<struct<type:string,arg:bigint,`argument-type`:string>>)")))
+
+    val modsT = transform(col("mods"),
+      m => struct(m.getField("kind").as("kind"),
+        m.getField("label").as("label"),
+        m.getField("site_text").as("site")))
+    val entFrame = struct(
       col("turn_idx"), col("sent_idx"), col("start_tok"), col("end_tok"),
-      col("mention_id").as("frame_id"),
-      when(col("is_event"), lit("event-mention"))
-        .otherwise(lit("entity-mention")).as("frame_type"),
-      col("labels")(0).as("type"),
+      col("mention_id").as("frame-id"),
+      lit("entity-mention").as("frame-type"),
+      prettify(col("display_label")).as("type"),
       col("text"),
-      when(col("is_event"), lit(""))
-        .otherwise(concat(col("ns"), lit(":"), col("ns_id"))).as("xref"),
-      col("display_label").as("display"),
+      array(struct(col("ns").as("namespace"),
+        lit("db-reference").as("object-type"),
+        col("ns_id").as("id"))).as("xrefs"),
+      modsT.as("modifications"),
+      col("negated").as("is-negated"),
+      col("hypothesis").as("is-hypothesis"))
+    val evFrame = struct(
+      col("turn_idx"), col("sent_idx"), col("start_tok"), col("end_tok"),
+      col("mention_id").as("frame-id"),
+      lit("event-mention").as("frame-type"),
+      prettify(col("labels")(0)).as("subtype"),
+      col("text"),
       col("trigger_text").as("trigger"),
-      transform(col("args"),
-        a => struct(a.getField("role").as("role"),
-          a.getField("mention_id").as("arg"))).as("args"),
-      transform(col("mods"),
-        m => struct(m.getField("kind").as("kind"),
-          m.getField("label").as("label"),
-          m.getField("site_text").as("site"))).as("modifications"),
-      col("negated").as("is_negated"),
-      col("hypothesis").as("is_hypothesis"))
-    linked
+      col("arguments"),
+      col("found_by").endsWith("_split").as("is-direct"),
+      modsT.as("modifications"),
+      col("negated").as("is-negated"),
+      col("hypothesis").as("is-hypothesis"))
+
+    val mentionsAgg = withArgs
       .withColumn("doc_part", floor(col("turn_idx") / chunkTurns))
       .groupBy(col("conv_id"), col("doc_part"))
-      .agg(sort_array(collect_list(frame)).as("frames"))
-      .select(col("conv_id"),
-        to_json(struct(
-          when(col("doc_part") === 0, col("conv_id"))
-            .otherwise(concat(col("conv_id"), lit("#"), col("doc_part")))
-            .as("document"),
-          col("frames"))).as("fries"))
+      .agg(
+        sort_array(collect_list(when(!col("is_event"), entFrame)))
+          .as("entity_frames"),
+        sort_array(collect_list(when(col("is_event"), evFrame)))
+          .as("event_frames"))
+
+    // sentences section: passage frame per turn + sentence frames from the
+    // same deterministic splitter extraction uses (row-local kernel)
+    val withSents = turns match {
+      case Some(t) =>
+        val sp = t.sparkSession
+        import sp.implicits._
+        val sentRows = t.select(col("conv_id"), col("turn_idx"), col("text"))
+          .as[(String, Int, String)]
+          .flatMap { case (c, ti, tx) =>
+            ("passage", c, ti, -1, tx) +:
+              Annotate.Tokenizer.sentences(tx).zipWithIndex.toSeq
+                .map { case (s, si) => ("sentence", c, ti, si, s) }
+          }
+          .toDF("ftype", "conv_id", "turn_idx", "sent_idx", "stext")
+        val sentAgg = sentRows
+          .withColumn("doc_part", floor(col("turn_idx") / chunkTurns))
+          .groupBy(col("conv_id"), col("doc_part"))
+          .agg(sort_array(collect_list(struct(
+            col("turn_idx"), col("sent_idx"),
+            col("ftype").as("frame-type"),
+            col("stext").as("text")))).as("sentence_frames"))
+          .withColumnRenamed("conv_id", "s_conv")
+          .withColumnRenamed("doc_part", "s_part")
+        mentionsAgg.join(sentAgg,
+            col("conv_id") === col("s_conv") && col("doc_part") === col("s_part"),
+            "left")
+          .drop("s_conv", "s_part")
+      case None =>
+        mentionsAgg.withColumn("sentence_frames", expr(
+          "CAST(array() AS array<struct<turn_idx:int,sent_idx:int,`frame-type`:string,text:string>>)"))
+    }
+
+    val document = when(col("doc_part") === 0, col("conv_id"))
+      .otherwise(concat(col("conv_id"), lit("#"), col("doc_part")))
+    def section(frames: Column, doc: Column): Column = struct(
+      lit("frame-collection").as("object-type"),
+      struct(lit("graft-kg").as("component"), lit("graft").as("organization"),
+        doc.as("doc-id")).as("object-meta"),
+      frames.as("frames"))
+    withSents.select(col("conv_id"),
+      to_json(struct(
+        document.as("document"),
+        section(col("sentence_frames"), document).as("sentences"),
+        section(col("entity_frames"), document).as("entities"),
+        section(col("event_frames"), document).as("events"))).as("fries"))
   }
 
   /** Debug text sink (reference: MentionManager.mentionToStrings,

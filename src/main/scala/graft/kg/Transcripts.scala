@@ -1527,6 +1527,20 @@ object Transcripts {
       "ERK2 was ubiquitinated when MEK1 had been phosphorylated")(
       tri("g258", 0, "", "Phosphorylation", MEK1),
       tri("g258", 0, "", "Ubiquitination", ERK2))
+    // -- TestAssemblyManager equivalence semantics --------------------------
+    // text1-3: siteless phosphorylations are ONE distinct event across
+    // evidence sentences; the sited variant stays distinct
+    conv("g259")("user" ->
+      ("Ras is phosphorylated. Ras was phosphorylated. " +
+        "Ras is phosphorylated at Ser123."))(
+      tri("g259", 0, "", "Phosphorylation", RAS),
+      tri("g259", 0, "", "Phosphorylation", RAS, "Ser123"))
+    // text5-6: "Mek binds with Ras" / "Ras binds with MEK" are EQUIVALENT
+    // complexes (sorted participant pair) -> one distinct binding
+    // (text7 destination-coordination is already pinned by g64)
+    conv("g260")("user" -> "Mek binds with Ras. Ras binds with MEK.")(
+      tri("g260", 0, "", "Binding",
+        Seq(RAS, MEK).sorted.mkString("&")))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)

@@ -46,7 +46,7 @@ class SourcesSpec extends AnyFunSuite {
     val edges = Pipeline.extract(spark, Transcripts.goldenTurns(spark)).edges.cache()
     val fj = Emit.friesJson(edges).as[String].collect()
     assert(fj.length == edges.count())
-    assert(fj.forall(s => s.startsWith("{") && s.contains("\"frame_type\":\"event-mention\"")))
+    assert(fj.forall(s => s.startsWith("{") && s.contains("\"frame-type\":\"event-mention\"")))
     val az = Emit.arizonaTsv(edges)
     // reference column set (ArizonaOutputter.scala:14-38)
     for (c <- Seq("INPUT", "OUTPUT", "CONTROLLER", "EVENT_ID", "EVENT_LABEL",
@@ -74,7 +74,7 @@ class SourcesSpec extends AnyFunSuite {
     val docs = Emit.friesFrameGraph(b.toDF())
       .select("conv_id", "fries").as[(String, String)].collect()
     assert(docs.nonEmpty)
-    val idRe = """"frame_id":(-?\d+)""".r
+    val idRe = """"frame-id":(-?\d+)""".r
     val argRe = """"arg":(-?\d+)""".r
     docs.foreach { case (conv, json) =>
       val frameIds = idRe.findAllMatchIn(json).map(_.group(1)).toSet
@@ -82,8 +82,51 @@ class SourcesSpec extends AnyFunSuite {
       assert(argIds.subsetOf(frameIds),
         s"$conv: dangling frame references ${argIds -- frameIds}")
     }
-    assert(docs.exists(_._2.contains("\"frame_type\":\"event-mention\"")))
-    assert(docs.exists(_._2.contains("\"frame_type\":\"entity-mention\"")))
+    assert(docs.exists(_._2.contains("\"frame-type\":\"event-mention\"")))
+    assert(docs.exists(_._2.contains("\"frame-type\":\"entity-mention\"")))
+  }
+
+  test("fries frame graph matches the reference document layout " +
+       "(TestFriesOutput pins: 3 sections, meta, subtypes, argument types, " +
+       "is-direct, xrefs)") {
+    import spark.implicits._
+    val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
+    spark.sparkContext.register(acc)
+    // TestFriesOutput text1 ("AKT1 phosphorylates PTHR2") adapted to the
+    // lexicon: 4 mentions = 2 proteins + 1 phospho + 1 pos-reg
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("fr", 0, "user", "AKT1 phosphorylates ERK2")))
+    val b = Pipeline.stageB(spark,
+      Pipeline.stageMentions(spark, turns, "t", acc), "t", acc)
+    val doc = Emit.friesFrameGraph(b.toDF(), Some(turns.toDF()))
+      .as[(String, String)].collect().head._2
+    def count(lit: String): Int =
+      java.util.regex.Pattern.quote(lit).r.findAllIn(doc).size
+    // three frame-collection sections, object-meta in each
+    for (sec <- Seq("sentences", "entities", "events"))
+      assert(doc.contains(s""""$sec":{"object-type":"frame-collection""""))
+    assert(count("\"organization\":\"graft\"") == 3)
+    assert(count("\"doc-id\":\"fr\"") == 3)
+    // passage + sentence frames carry the full text
+    assert(doc.contains("\"frame-type\":\"passage\""))
+    assert(doc.contains("\"frame-type\":\"sentence\""))
+    assert(count("\"text\":\"AKT1 phosphorylates ERK2\"") >= 2)
+    // 2 event frames with prettified subtypes and the trigger
+    assert(doc.contains("\"subtype\":\"positive-regulation\""))
+    assert(doc.contains("\"subtype\":\"phosphorylation\""))
+    assert(doc.contains("\"trigger\":\"phosphorylates\""))
+    // argument-type: 1 event reference (controlled) + 2 entity references
+    assert(count("\"argument-type\":\"event\"") == 1)
+    assert(count("\"argument-type\":\"entity\"") == 2)
+    assert(count("\"type\":\"controller\"") == 1)
+    assert(count("\"type\":\"controlled\"") == 1)
+    assert(count("\"type\":\"theme\"") == 1)
+    // the split regulation is direct (DarpaActions splitSimpleEvents)
+    assert(doc.contains("\"is-direct\":true"))
+    // 2 protein entity frames with uniprot db-reference xrefs
+    assert(count("\"type\":\"protein\"") == 2)
+    assert(count("\"namespace\":\"uniprot\"") == 2)
+    assert(count("\"object-type\":\"db-reference\"") == 2)
   }
 
   test("fries frame graph chunks mega-conversations into bounded documents") {
@@ -102,7 +145,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(chunked.exists(_._2.contains("\"document\":\"g08#1\"")))
     assert(chunked.exists(_._2.contains("\"document\":\"g08\"")))
     // every frame survives the chunking (same multiset of frame ids)
-    val idRe = """"frame_id":(-?\d+)""".r
+    val idRe = """"frame-id":(-?\d+)""".r
     def ids(rows: Array[(String, String)]) =
       rows.flatMap(r => idRe.findAllMatchIn(r._2).map(_.group(1))).sorted.toSeq
     assert(ids(chunked) == ids(whole))
