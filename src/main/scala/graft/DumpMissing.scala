@@ -13,6 +13,7 @@ object DumpMissing {
     val e = Score.keysOf(spark.createDataset(es).toDF())
     val g = Score.keysOf(res.edges)
     val key = Seq("conv_id","turn_idx","subj","pred","obj","site","negated","hypothesis")
+    println(s"expected=${e.count()} got=${g.count()}")
     println("== missing =="); e.join(g, key, "left_anti").show(10, false)
     println("== spurious =="); g.join(e, key, "left_anti").show(10, false)
     spark.stop()

@@ -1541,6 +1541,17 @@ object Transcripts {
     conv("g260")("user" -> "Mek binds with Ras. Ras binds with MEK.")(
       tri("g260", 0, "", "Binding",
         Seq(RAS, MEK).sorted.mkString("&")))
+    // TestCoreference sent18a/18b: a plural anaphor with coordinated
+    // antecedents cannot fill an activation or a triggered-regulation slot
+    // (number-sensitive search forbids plurals there) — the nominal events
+    // themselves survive
+    conv("g261")("user" ->
+      "ASPP2 and STAT3 are common, as is their activation.")()
+    conv("g262")("user" ->
+      ("The phosphorylation of ASPP2 and STAT3 is common, " +
+        "as is their upregulation."))(
+      tri("g262", 0, "", "Phosphorylation", gidOf("ASPP2")),
+      tri("g262", 0, "", "Phosphorylation", gidOf("STAT3")))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
