@@ -708,10 +708,12 @@ object SparkEntry {
           col("f").getField("frame-type").as("frame_type"),
           col("f.subtype").as("type"), col("f.text").as("text"),
           lit("").as("xref"),
-          col("f.trigger").as("trigger"),
+          // split regulations omit trigger / is-direct (RelationMention
+          // semantics) -> coalesce for a stable sample schema
+          coalesce(col("f.trigger"), lit("")).as("trigger"),
           size(col("f.arguments")).as("n_args"),
           col("f").getField("is-negated").as("is_negated"),
-          col("f").getField("is-direct").as("is_direct"))
+          coalesce(col("f").getField("is-direct"), lit(false)).as("is_direct"))
       ents.unionByName(evs)
     }
   )
@@ -1291,10 +1293,9 @@ object SparkEntry {
         |  ('g05', 0, 0, 1, 'entity-mention', 'protein', 'MEK',
         |   'uniprot:Q02750', '', 0, FALSE, FALSE),
         |  ('g05', 0, 0, 5, 'event-mention', 'positive-regulation',
-        |   'MEK does not phosphorylate ERK2', '', 'phosphorylate', 2, TRUE,
-        |   TRUE),
+        |   'MEK does not phosphorylate ERK2', '', '', 2, TRUE, FALSE),
         |  ('g05', 0, 3, 5, 'event-mention', 'phosphorylation',
-        |   'phosphorylate ERK2', '', 'phosphorylate', 1, FALSE, FALSE),
+        |   'phosphorylate ERK2', '', 'phosphorylate', 1, FALSE, TRUE),
         |  ('g05', 0, 4, 5, 'entity-mention', 'protein', 'ERK2',
         |   'uniprot:P28482', '', 0, FALSE, FALSE),
         |  ('g12', 0, 0, 1, 'entity-mention', 'simple-chemical', 'Rapamycin',

@@ -101,12 +101,27 @@ object Emit {
           .otherwise(lit("entity")).as("argument-type")))).as("arguments"))
       .withColumnRenamed("conv_id", "al_conv")
       .withColumnRenamed("mention_id", "al_id")
-    val withArgs = linked.join(argLists,
+    val withArgs0 = linked.join(argLists,
         col("conv_id") === col("al_conv") && col("mention_id") === col("al_id"),
         "left")
       .drop("al_conv", "al_id")
       .withColumn("arguments", coalesce(col("arguments"), expr(
         "CAST(array() AS array<struct<type:string,arg:bigint,`argument-type`:string>>)")))
+    // events controlled by a split regulation are the cause-split simple
+    // events — BioEventMention(isDirect = true) in splitSimpleEvents
+    // (DarpaActions.scala:319); bindings are direct per mkBinding /
+    // mkNaryBinding (:219,259)
+    val splitControlled = linked
+      .filter(col("found_by").endsWith("_split"))
+      .select(col("conv_id").as("sc_conv"), explode(col("args")).as("sa"))
+      .filter(col("sa.role") === "controlled")
+      .select(col("sc_conv"), col("sa.mention_id").as("sc_id")).distinct()
+    val withArgs = withArgs0.join(splitControlled,
+        col("conv_id") === col("sc_conv") && col("mention_id") === col("sc_id"),
+        "left")
+      .withColumn("is_direct",
+        col("labels")(0) === "Binding" || col("sc_id").isNotNull)
+      .drop("sc_conv", "sc_id")
 
     val modsT = transform(col("mods"),
       m => struct(m.getField("kind").as("kind"),
@@ -124,15 +139,20 @@ object Emit {
       modsT.as("modifications"),
       col("negated").as("is-negated"),
       col("hypothesis").as("is-hypothesis"))
+    // split regulations are BioRelationMentions in the reference — FRIES
+    // emits trigger / is-direct only for BioEventMentions
+    // (FriesOutput.scala:592-595), so those keys are NULLed here and
+    // to_json drops them
+    val isSplitReg = col("found_by").endsWith("_split")
     val evFrame = struct(
       col("turn_idx"), col("sent_idx"), col("start_tok"), col("end_tok"),
       col("mention_id").as("frame-id"),
       lit("event-mention").as("frame-type"),
       prettify(col("labels")(0)).as("subtype"),
       col("text"),
-      col("trigger_text").as("trigger"),
+      when(!isSplitReg, col("trigger_text")).as("trigger"),
       col("arguments"),
-      col("found_by").endsWith("_split").as("is-direct"),
+      when(!isSplitReg, col("is_direct")).as("is-direct"),
       modsT.as("modifications"),
       col("negated").as("is-negated"),
       col("hypothesis").as("is-hypothesis"))

@@ -111,17 +111,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(doc.contains("\"frame-type\":\"passage\""))
     assert(doc.contains("\"frame-type\":\"sentence\""))
     assert(count("\"text\":\"AKT1 phosphorylates ERK2\"") >= 2)
-    // 2 event frames with prettified subtypes and the trigger
+    // 2 event frames with prettified subtypes; trigger only on the
+    // BioEventMention (the split regulation is a RelationMention — exactly
+    // ONE trigger key, reference TestFriesOutput "have phosphorylation
+    // trigger")
     assert(doc.contains("\"subtype\":\"positive-regulation\""))
     assert(doc.contains("\"subtype\":\"phosphorylation\""))
     assert(doc.contains("\"trigger\":\"phosphorylates\""))
+    assert(count("\"trigger\":") == 1)
     // argument-type: 1 event reference (controlled) + 2 entity references
     assert(count("\"argument-type\":\"event\"") == 1)
     assert(count("\"argument-type\":\"entity\"") == 2)
     assert(count("\"type\":\"controller\"") == 1)
     assert(count("\"type\":\"controlled\"") == 1)
     assert(count("\"type\":\"theme\"") == 1)
-    // the split regulation is direct (DarpaActions splitSimpleEvents)
+    // the split SIMPLE event is direct (DarpaActions splitSimpleEvents
+    // isDirect=true); the regulation carries no is-direct at all — exactly
+    // one is-direct key, and it is true (reference "regulation marked as
+    // direct" pins frames \\ is-direct == Seq(true))
+    assert(count("\"is-direct\":") == 1)
     assert(doc.contains("\"is-direct\":true"))
     // 2 protein entity frames with uniprot db-reference xrefs
     assert(count("\"type\":\"protein\"") == 2)
