@@ -7,14 +7,18 @@ import org.apache.spark.sql.SparkSession
   * over a transcript corpus with stage checkpoints in --workdir.
   *
   * Usage:
-  *   graft.Main --workdir DIR [--convs N] [--mega N] [--seed N]
+  *   graft.Main --workdir DIR [--input PATH [--format parquet|dsv|jsonl|text]]
+  *              [--convs N] [--mega N] [--seed N]
   *              [--golden] [--no-resume] [--score]
   *
-  * --golden uses the hand-traced golden corpus; otherwise a deterministic
-  * synthetic corpus of N conversations (+ optional mega-conversation for
-  * skew) is generated distributedly. --score prints triple P/R against the
-  * corpus oracle. Re-running with the same --workdir resumes from completed
-  * stage checkpoints unless --no-resume.
+  * --input reads an existing turns table (conv_id, turn_idx, role, text,
+  * tool, ts) via the TranscriptSources adapters — the production path for a
+  * real Iceberg/parquet corpus. --golden uses the hand-traced golden corpus;
+  * otherwise a deterministic synthetic corpus of N conversations (+ optional
+  * mega-conversation for skew) is generated distributedly. --score prints
+  * triple P/R against the corpus oracle (generated/golden corpora only).
+  * Re-running with the same --workdir resumes from completed stage
+  * checkpoints unless --no-resume.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -40,10 +44,23 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val (turns, expected) =
-      if (flags.contains("--golden"))
-        (Transcripts.goldenTurns(spark), Transcripts.goldenExpected(spark))
-      else Transcripts.corpus(spark, nConvs, seed, mega)
+    val (turns, expected) = opts.get("--input") match {
+      case Some(path) =>
+        import graft.sources.TranscriptSources
+        val t = opts.getOrElse("--format", "parquet") match {
+          case "parquet" => TranscriptSources.parquet(spark, path)
+          case "dsv" => TranscriptSources.dsv(spark, path)
+          case "jsonl" => TranscriptSources.jsonl(spark, path)
+          case "text" => TranscriptSources.text(spark, path)
+          case f => sys.error(s"unknown --format $f")
+        }
+        (t, spark.emptyDataset(
+          org.apache.spark.sql.Encoders.product[graft.model.Triple]))
+      case None =>
+        if (flags.contains("--golden"))
+          (Transcripts.goldenTurns(spark), Transcripts.goldenExpected(spark))
+        else Transcripts.corpus(spark, nConvs, seed, mega)
+    }
 
     val nTurns = turns.count()
     val res = Pipeline.run(spark, turns, workDir,
