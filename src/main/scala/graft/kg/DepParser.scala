@@ -164,6 +164,7 @@ object DepParser {
     "stimulate", "trigger", "mediate", "regulate", "control", "modulate",
     "bind", "bound", "interact", "associate", "form", "move", "shuttle",
     "express", "transcribe", "require", "involve", "lead", "result",
+    "contain", "comprise",
     "contribute", "cause", "affect", "abolish", "attenuate", "impair",
     "disrupt", "restore", "rescue", "precede", "follow", "depend", "drive",
     "abrogate", "augment", "diminish", "facilitate", "accelerate",
@@ -594,6 +595,19 @@ object DepParser {
             curVerb, curVerbPassive, chainBase)
           curVerb = -1; chainBase = -1
           i += 2
+        } else if (i + 3 < n &&
+                   Set("both", "all", "each")(lc(i + 1)) &&
+                   lc(i + 2) == "of" && tags(i + 3) == "WDT") {
+          // ", both of which ..." — quantified relative on the last NP head
+          // ("two subunits, IKKalpha and IKKbeta, both of which phosphorylate
+          // IkappaB", DemoTests1): the subject paths widen over conj_and, so
+          // anchoring the relative at the list head covers every member
+          relFrom = lastNPHead
+          inRelcl = true
+          relOuter = (if (pendingSubj >= 0) pendingSubj else lastNPHead,
+            curVerb, curVerbPassive, chainBase)
+          curVerb = -1; chainBase = -1
+          i += 4
         } else if (i + 1 < n && lastNPHead >= 0 && {
           // alias apposition ", [RB] known|referred|called as X[, Y, or Z],"
           // — skip to its closing comma so the outer clause's subject
@@ -701,7 +715,12 @@ object DepParser {
           lastNPHead = h2
           i = j2
         }
-      } else if (t == "TO" && i + 1 < n && tags(i + 1).startsWith("V")) {
+      } else if (t == "TO" && {
+          // adverbs are transparent: "able to correctly phosphorylate"
+          var k = i + 1
+          while (k < n && (tags(k) == "RB" || tags(k) == "NEG")) k += 1
+          k < n && tags(k).startsWith("V")
+        }) {
         // xcomp: "fails to phosphorylate"
         val (v2, j2, pv2) = verbGroup(i + 1)
         if (v2 >= 0) {

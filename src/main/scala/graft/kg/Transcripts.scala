@@ -1552,6 +1552,17 @@ object Transcripts {
         "as is their upregulation."))(
       tri("g262", 0, "", "Phosphorylation", gidOf("ASPP2")),
       tri("g262", 0, "", "Phosphorylation", gidOf("STAT3")))
+    // DemoTests1 (IKK subunits -> lexicon proteins): a quantified relative
+    // "both of which" over an appositive list regulates through EVERY list
+    // member — and never through the matrix subject
+    conv("g263")("user" ->
+      ("MEK1 contains two catalytic subunits, ERK2 and AKT1, both of " +
+        "which are able to correctly phosphorylate STAT3."))(
+      tri("g263", 0, "", "Phosphorylation", STAT3),
+      tri("g263", 0, ERK2, "Positive_regulation",
+        s"Phosphorylation($STAT3)"),
+      tri("g263", 0, AKT1, "Positive_regulation",
+        s"Phosphorylation($STAT3)"))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
