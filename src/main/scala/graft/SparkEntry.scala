@@ -470,6 +470,14 @@ object SparkEntry {
       // default stays (32 hashes, 16 bands) — pinned by OpsSpec recall gate.
       Dedup.minhashLsh(t(dir, "documents"), 0.35, bands = 32)
     },
+    "dedup_cluster" -> { (s, dir) =>
+      // pairs -> transitive closure -> survivor selection: the keep/drop
+      // decision a curation pipeline actually ships. Pairs come from the
+      // oracle-verified contract tier of minhashLsh, so the DuckDB side can
+      // recompute them exactly and run the closure as a recursive CTE.
+      implicit val sp = s
+      Dedup.clusters(Dedup.minhashLsh(t(dir, "documents"), 0.35, bands = 32))
+    },
     "dedup_simhash" -> { (s, dir) =>
       // seeded-subset tier: deterministic inline docs -> simhash + pigeonhole
       // banding; expected hammings hand-pinned in the VALUES oracle
@@ -571,6 +579,20 @@ object SparkEntry {
       val docs = t(dir, "documents")
       TextSearch.search(TextSearch.index(docs), docs.count(),
         Seq("spark", "join", "vector"))
+    },
+    "text_redact" -> { (s, dir) =>
+      // the synthetic corpus carries no PII, so the contract query plants
+      // deterministic URLs/emails/IPs on every 7th doc (same expression in
+      // the oracle SQL) — the redaction regexes are exercised on real hits,
+      // not just proven to no-op
+      implicit val sp = s
+      val seeded = t(dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" see https://ex.org/d/"), col("doc_id"),
+          lit(" mail user"), col("doc_id"), lit("@example.com ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".9 done")))
+          .otherwise(col("text")))
+      TextAnalysis.redact(seeded)
     },
 
     // ---- multimodal plumbing --------------------------------------------
@@ -1124,6 +1146,37 @@ object SparkEntry {
         |WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
         |  AND len(list_intersect(a.s, b.s)) * 1.0 /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35""".stripMargin,
+    // the closure is a recursive CTE over the independently-recomputed exact
+    // trigram-jaccard pair set: reachability min = component id, survivor =
+    // min doc_id — checks clustering AND keep/drop, not just the pairs
+    "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
+        |    x -> x <> '')) AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION SELECT b AS u, a AS v FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT u AS n, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS n, reach.r FROM edges e
+        |  JOIN reach ON reach.n = e.v)
+        |SELECT min(r) AS cluster_id, n AS doc_id,
+        |  CAST(CASE WHEN n = min(r) THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM reach GROUP BY n""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH prep AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1191,6 +1244,32 @@ object SparkEntry {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC
          |LIMIT 10""".stripMargin
+    },
+    // the literally identical RE2-subset regexes run on both engines, over
+    // the same deterministic PII planting; counts are per-category on the
+    // previous category's redacted text (same chaining as the Spark op)
+    "text_redact" -> {
+      val (u, e, i) =
+        (TextAnalysis.urlRe, TextAnalysis.emailRe, TextAnalysis.ipv4Re)
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' see https://ex.org/d/'
+         |      || doc_id || ' mail user' || doc_id || '@example.com ip 10.0.'
+         |      || (doc_id % 256) || '.9 done'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$u', '<URL>', 'g') AS t1
+         |  FROM seeded),
+         |r2 AS (
+         |  SELECT *, regexp_replace(t1, '$e', '<EMAIL>', 'g') AS t2 FROM r)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$u')) AS n_urls,
+         |  len(regexp_extract_all(t1, '$e')) AS n_emails,
+         |  len(regexp_extract_all(t2, '$i')) AS n_ips,
+         |  regexp_replace(t2, '$i', '<IP>', 'g') AS redacted
+         |FROM r2""".stripMargin
     },
     "text_tokens" ->
       """SELECT doc_id,

@@ -145,6 +145,86 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicate clustering + survivor selection: the step after pair
+    * generation that a real curation pipeline actually ships. Near-dup pairs
+    * are an equivalence *relation* only after transitive closure — A~B and
+    * B~C must collapse to ONE kept document, not two independent drops — so
+    * the pairs go through connected components and each component keeps its
+    * minimum `doc_id` (deterministic under retries/repartitioning).
+    *
+    * Input: pairs(a: long, b: long) from any of the pair generators above.
+    * Output: (cluster_id, doc_id, keep) — one row per document that appears
+    * in at least one pair; `cluster_id` = min doc_id of the component,
+    * `keep` = 1 for the survivor. Docs in no pair are trivially kept and are
+    * not emitted (at corpus scale the pair set is orders of magnitude smaller
+    * than the corpus; the caller anti-joins `keep = 0` rows against the docs
+    * table — a broadcast anti-join when dupes are rare).
+    *
+    * Scale shape mirrors graft.kg.Canon: driver union-find below
+    * `driverThreshold` edges (near-dup graphs are small relative to the
+    * corpus), distributed min-label propagation above it — O(component
+    * diameter) rounds of (join + partial-agg groupBy), and dup components
+    * are shallow (pair generators emit cliques around a template, not long
+    * chains), so a handful of rounds converge. Non-convergence is surfaced,
+    * never silent.
+    */
+  def clusters(pairs: DataFrame, driverThreshold: Long = 100000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    val keepCol = (col("doc_id") === col("cluster_id")).cast("int").as("keep")
+    val cnt = es.count()
+    if (cnt <= driverThreshold) {
+      val edges = es.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      spark.createDataset(nodes.toSeq.map(n => (find(n), n)))
+        .toDF("cluster_id", "doc_id")
+        .select(col("cluster_id"), col("doc_id"), keepCol)
+    } else {
+      val und = es.select(col("a").as("u"), col("b").as("v"))
+        .union(es.select(col("b").as("u"), col("a").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      var labels = und.select(col("u").as("n")).distinct()
+        .select(col("n"), col("n").as("lbl")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val nbr = und.join(labels.withColumnRenamed("n", "v"), "v")
+          .select(col("u").as("n"), col("lbl"))
+        val next = labels.union(nbr).groupBy("n").agg(min("lbl").as("nl"))
+        val merged = labels.join(next, "n")
+          .select(col("n"), least(col("lbl"), col("nl")).as("lbl2"),
+            (col("nl") < col("lbl")).cast("long").as("chg"))
+          .localCheckpoint(true)
+        changed = merged.agg(sum("chg")).as[Long].head()
+        labels = merged.select(col("n"), col("lbl2").as("lbl"))
+          .localCheckpoint(true)
+        iter += 1
+      }
+      if (changed > 0)
+        System.err.println(s"[graft] WARNING: dedup cluster label " +
+          s"propagation did not converge in $iter iterations — components " +
+          s"with diameter > $iter are partially merged")
+      labels.select(col("lbl").as("cluster_id"), col("n").as("doc_id"))
+        .select(col("cluster_id"), col("doc_id"), keepCol)
+    }
+  }
+
   /** 64-bit SimHash per document: sign-sum of per-token hash bits weighted by
     * token frequency. Near-dup = Hamming distance <= k, found by pigeonhole
     * banding (4 x 16-bit chunks: hamming<=3 implies one chunk equal).

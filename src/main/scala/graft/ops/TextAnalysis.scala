@@ -82,6 +82,37 @@ object TextAnalysis {
       s.as(s"score_$l") } :+ pred.as("pred_lang")): _*)
   }
 
+  /** PII / link redaction — the scrub pass every LLM training corpus runs
+    * before tokenization. URLs, emails, and IPv4 literals are counted and
+    * replaced with stable placeholder tokens. Pure Catalyst `regexp_replace`
+    * / `regexp_extract_all` chains (whole-stage codegen, narrow projection
+    * over the scan), and every pattern is written in the RE2-compatible
+    * subset (no lookaround, no backrefs) so the DuckDB oracle runs the
+    * literally identical regexes.
+    *
+    * Order matters and is part of the contract: URLs first (an email-shaped
+    * substring inside a URL path must count as URL, not email), then emails,
+    * then bare IPv4s; each category is counted on the text AFTER the previous
+    * category's redaction so no span is double-counted.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redact(docs: DataFrame): DataFrame = {
+    def cnt(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, urlRe, "<URL>")
+    val t2 = regexp_replace(t1, emailRe, "<EMAIL>")
+    val t3 = regexp_replace(t2, ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      cnt(t0, urlRe).as("n_urls"),
+      cnt(t1, emailRe).as("n_emails"),
+      cnt(t2, ipv4Re).as("n_ips"),
+      t3.as("redacted"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): hash every k-gram of
     * tokens, take the min hash in each window of w consecutive k-grams; the
     * distinct set of selected hashes is the fingerprint.

@@ -34,6 +34,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: transitive closure, survivor = min id, paths agree") {
+    // A~B, B~C, plus an isolated pair D~E: closure must yield TWO clusters,
+    // not three pairs — {1,2,3} keep 1 and {10,11} keep 10
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val expect = Set((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 0),
+      (10L, 10L, 1), (10L, 11L, 0))
+    val driver = Dedup.clusters(pairs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(driver == expect)
+    // distributed label-prop path (threshold 0) must be bit-identical
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dist == expect)
+    // and on real data: every cluster has exactly one survivor, the min id
+    val real = Dedup.clusters(Dedup.minhashLsh(docs, 0.35, bands = 32))
+    val perCluster = real.groupBy("cluster_id")
+      .agg(sum("keep").as("nKeep"), min("doc_id").as("minId"),
+        first("cluster_id").as("cid"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perCluster.forall(c => c._2 == 1L && c._3 == c._1))
+  }
+
+  test("redaction: URL-first precedence, counts chained, placeholders stable") {
+    val d = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or see https://h.io/p?u=x@y.zz end"),
+      (2L, "server 10.0.0.1 and 192.168.255.3 but not 1.2.3.4567 digits"),
+      (3L, "plain text, no pii at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(d).as[(Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    // doc 1: the x@y.zz inside the URL is consumed by <URL>, not <EMAIL>
+    assert(r(0)._2 == 1L && r(0)._3 == 1L && r(0)._4 == 0L)
+    assert(r(0)._5 == "mail me at <EMAIL> or see <URL> end")
+    // doc 2: \b guards — 1.2.3.4567 is not an IPv4
+    assert(r(1)._2 == 0L && r(1)._3 == 0L && r(1)._4 == 2L)
+    assert(r(1)._5 == "server <IP> and <IP> but not 1.2.3.4567 digits")
+    assert(r(2)._5 == "plain text, no pii at all")
+  }
+
   test("simhash pairs are within the hamming bound and symmetric-free") {
     val p = Dedup.simhashPairs(docs, 10).collect()
     assert(p.forall(r => r.getAs[Long]("hamming") <= 10))
