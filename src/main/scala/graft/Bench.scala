@@ -77,6 +77,17 @@ object Bench {
           .count(): Unit),
       "dedup_simhash_corpus" -> (() =>
         graft.ops.Dedup.simhashPairs(docs, 10).count(): Unit),
+      // full keep/drop decision over production-banded pairs (the contract
+      // query clusters the r=1 exactness tier)
+      "dedup_cluster_prod" -> (() =>
+        graft.ops.Dedup.clusters(
+          graft.ops.Dedup.minhashLsh(docs, 0.35)).count(): Unit),
+      "decontaminate_corpus" -> (() =>
+        graft.ops.Dedup.contamination(
+          docs.filter("doc_id % 97 <> 0"),
+          docs.filter("doc_id % 97 = 0")).count(): Unit),
+      "text_redact_corpus" -> (() =>
+        graft.ops.TextAnalysis.redact(docs).count(): Unit),
       // the contract text_fingerprint query is the seeded VALUES tier; this
       // times winnowing over the full sf corpus
       "text_fingerprint_corpus" -> (() =>

@@ -478,6 +478,19 @@ object SparkEntry {
       implicit val sp = s
       Dedup.clusters(Dedup.minhashLsh(t(dir, "documents"), 0.35, bands = 32))
     },
+    "decontaminate" -> { (s, dir) =>
+      // train/test-leakage scrub with PLANTED leakage (the synthetic corpus
+      // has no natural cross-doc 8-gram overlap at sf0.01): the benchmark set
+      // is the 200-char prefix of every 83rd doc under a shifted id, so each
+      // source doc is a guaranteed hit and the containment math is exercised
+      // on real intersections at every SF — same construction in the oracle
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 83 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.contamination(docs, evalSet, ngram = 8, threshold = 0.5)
+    },
     "dedup_simhash" -> { (s, dir) =>
       // seeded-subset tier: deterministic inline docs -> simhash + pigeonhole
       // banding; expected hammings hand-pinned in the VALUES oracle
@@ -1146,6 +1159,37 @@ object SparkEntry {
         |WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
         |  AND len(list_intersect(a.s, b.s)) * 1.0 /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35""".stripMargin,
+    // independent 8-gram shingling + containment-vs-eval-doc recomputation;
+    // out-of-bounds list access is NULL and concat_ws skips NULLs, matching
+    // Spark's slice() short-shingle behavior on sub-n-token documents
+    "decontaminate" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substring(text, 1, 200) AS text
+        |  FROM documents WHERE doc_id % 83 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS t
+        |  FROM alldocs),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+        |                          t[i+4], t[i+5], t[i+6], t[i+7])),
+        |    x -> x <> '')) AS s
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh
+        |       WHERE doc_id >= 1000000 AND len(s) > 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id < 1000000)
+        |SELECT tr.doc_id, ev.eval_id,
+        |  round(len(list_intersect(tr.s, ev.es)) * 1.0 / len(ev.es), 6)
+        |    AS containment
+        |FROM tr JOIN ev ON
+        |  round(len(list_intersect(tr.s, ev.es)) * 1.0 / len(ev.es), 6)
+        |    >= 0.5""".stripMargin,
     // the closure is a recursive CTE over the independently-recomputed exact
     // trigram-jaccard pair set: reachability min = component id, survivor =
     // min doc_id — checks clustering AND keep/drop, not just the pairs

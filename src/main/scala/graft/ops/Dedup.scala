@@ -145,6 +145,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag training documents whose n-gram overlap
+    * with any eval-set document exceeds a containment threshold (the standard
+    * train/test-leakage scrub run before LLM training; containment is
+    * measured against the EVAL doc's shingle set, so a short benchmark item
+    * quoted inside a long web page still flags).
+    *
+    * Scale shape: the eval set is small (thousands of benchmark items) and
+    * its exploded shingle index is broadcast, so the training side never
+    * shuffles on text — one exchange on (doc_id, eval_id) for the partial-agg
+    * intersection count. Output: (doc_id, eval_id, containment) pairs at or
+    * above the threshold.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, ngram: Int = 8,
+                    threshold: Double = 0.5): DataFrame = {
+    def sh(d: DataFrame, idAs: String) = d.select(
+      col("doc_id").as(idAs), shingles(col("text"), ngram).as("s"))
+    val ev = sh(evalDocs, "eval_id").filter(size(col("s")) > 0)
+    val evIdx = ev.select(col("eval_id"), explode(col("s")).as("g"))
+    val evSz = ev.select(col("eval_id"), size(col("s")).as("esz"))
+    val trIdx = sh(docs, "doc_id")
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    trIdx.join(broadcast(evIdx), "g")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("common"))
+      .join(broadcast(evSz), "eval_id")
+      .withColumn("containment", round(col("common") / col("esz"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "eval_id", "containment")
+  }
+
   /** Duplicate clustering + survivor selection: the step after pair
     * generation that a real curation pipeline actually ships. Near-dup pairs
     * are an equivalence *relation* only after transitive closure — A~B and

@@ -56,6 +56,31 @@ class OpsSpec extends AnyFunSuite {
     assert(perCluster.forall(c => c._2 == 1L && c._3 == c._1))
   }
 
+  test("decontamination flags quoted eval items, spares clean docs") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // quotes the whole 8-token eval item inside a longer page
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+      // shares a 7-token prefix only — no 8-gram in common
+      (2L, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail here"),
+      (3L, "completely unrelated text with many many tokens of its own"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval, ngram = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hits == Set((1L, 100L, 1.0)))
+    // and over the sf corpus with planted leakage (the contract-query
+    // construction): every source doc of an eval prefix must flag itself
+    val evalSet = docs.filter(col("doc_id") % 83 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+    val hit2 = Dedup.contamination(docs, evalSet, ngram = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val selfHits = hit2.filter(h => h._1 + 1000000L == h._2).map(_._1).toSet
+    assert(hit2.nonEmpty && selfHits.nonEmpty)
+    assert(hit2.forall(h => h._3 >= 0.5 && h._3 <= 1.0))
+  }
+
   test("redaction: URL-first precedence, counts chained, placeholders stable") {
     val d = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or see https://h.io/p?u=x@y.zz end"),
