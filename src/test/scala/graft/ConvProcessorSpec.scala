@@ -60,6 +60,24 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(none.exists(_.obj_gid == "uniprot:P28482"))
   }
 
+  test("doc-level species fallback reaches events BEFORE the first species " +
+       "mention (TestDeterministicPolicies fallback-species invariant)") {
+    // reference: context/TestDeterministicPolicies.scala:54-61 — once a
+    // document mentions a species, EVERY event mention carries exactly one
+    // Species context value. The doc defaults are argmax over the WHOLE
+    // document (RuleBasedEngine.scala:26-37), not just preceding text, so an
+    // event in turn 0 with the species first named in turn 1 still gets it —
+    // both as the ctx_species column and as the grounding re-rank. The
+    // "no more than one context value per type" invariant (:45-52) is
+    // structural here: ctx_* are scalar columns.
+    val ts = triples(run(
+      "ERK2 was phosphorylated at T669.",
+      "We studied mouse fibroblasts."))
+    assert(ts.nonEmpty)
+    assert(ts.forall(_.ctx_species == "taxonomy:10090"), ts.map(_.ctx_species))
+    assert(ts.exists(_.obj_gid == "uniprot:P63085"))
+  }
+
   test("grounding.overrideSpecies = true ignores species context " +
        "(ReachGrounder.scala:38, the reference's shipped default)") {
     val saved = Link.overrideSpecies
