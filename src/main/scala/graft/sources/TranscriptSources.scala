@@ -36,6 +36,73 @@ object TranscriptSources {
     normalize(raw)
   }
 
+  /** Extension-sniffed delimiter (reference: DSVParser.getDelimiter:92-96 —
+    * ".tsv" -> tab, ".csv" -> comma, anything else is an error).
+    */
+  def dsvDelimiter(fileName: String): String = {
+    val dot = fileName.lastIndexOf('.')
+    val ext = if (dot < 0) "" else fileName.substring(dot + 1).toLowerCase
+    ext match {
+      case "tsv" => "\t"
+      case "csv" => ","
+      case other =>
+        throw new IllegalArgumentException(
+          s"'$other' is not a supported extension")
+    }
+  }
+
+  /** Quote-aware line split with a column limit (reference: DSVParser.CSV
+    * lookahead regex + getSplitPattern:99-103 — commas inside balanced
+    * double quotes do not split; the limit keeps embedded delimiters in the
+    * text column) followed by the surrounding-quote trim (DSVParser.trim).
+    */
+  def splitDsvLine(line: String, delimiter: String, numCols: Int): Array[String] = {
+    val pattern = delimiter match {
+      case "," => ",(?=([^\"]*\"[^\"]*\")*[^\"]*$)"
+      case "\t" => "\t"
+      case other => java.util.regex.Pattern.quote(other)
+    }
+    val quoted = "^\"(.*?)\"$".r
+    line.split(pattern, numCols).map {
+      case quoted(inside) => inside
+      case s => s
+    }
+  }
+
+  /** Positional DSV in the reference's toFriesEntries shape
+    * (DSVParser.scala:23-64): delimiter sniffed from the extension,
+    * positional (docId, chunkId[, sectionId], text) columns, quote handling
+    * equivalent to [[splitDsvLine]] (Spark's csv quote option implements the
+    * same outside-quotes split for well-formed files, keeping the scan
+    * pushdown-friendly), and the sections-to-ignore filter
+    * (`entries.filterNot(sectionsToIgnore contains _.sectionId)`).
+    */
+  def dsvEntries(spark: SparkSession, path: String,
+                 docIdColumn: Int = 0, chunkIdColumn: Int = 1,
+                 sectionIdColumn: Int = -1, textColumn: Int = 2,
+                 hasHeader: Boolean = true,
+                 sectionsToIgnore: Set[String] = Set.empty): Dataset[Turn] = {
+    import spark.implicits._
+    val raw = spark.read
+      .option("delimiter", dsvDelimiter(path))
+      .option("header", hasHeader.toString)
+      .option("quote", "\"")
+      .option("inferSchema", "false")
+      .csv(path)
+    val cols = raw.columns
+    val section =
+      if (sectionIdColumn >= 0) col(cols(sectionIdColumn)) else lit("")
+    val turns = raw.select(
+      col(cols(docIdColumn)).cast("string").as("conv_id"),
+      col(cols(chunkIdColumn)).cast("int").as("turn_idx"),
+      section.cast("string").as("role"),
+      col(cols(textColumn)).cast("string").as("text"),
+      lit(null).cast("string").as("tool"),
+      lit(null).cast("timestamp").as("ts")).as[Turn]
+    if (sectionsToIgnore.isEmpty) turns
+    else turns.filter(!col("role").isin(sectionsToIgnore.toSeq: _*))
+  }
+
   /** JSON-lines with the turn schema (tolerant of extra fields). */
   def jsonl(spark: SparkSession, path: String): Dataset[Turn] = {
     import spark.implicits._

@@ -143,6 +143,26 @@ class DepParserSpec extends AnyFunSuite {
     assert(!nbh.contains(idx("HuR")))
   }
 
+  test("TestDependencyUtils vectors: NP-with-PP head, verb dominates the " +
+       "widened span, empty interval is safe") {
+    // reference: findHeadStrict("the substrates of Shp2") == "substrates";
+    // widening over the verb makes the verb the head
+    // (TestDependencyUtils.scala:17-25)
+    val sents = Annotate.annotateText(trie, "The substrates of AKT1 bind ERK2.")
+    val s = sents(0)
+    val g = DepParser.parse(s)
+    assert(s.words(g.headOfSpan(0, 4)) == "substrates",
+      s"head of 'The substrates of AKT1' (tags ${s.words.zip(g.tags).toList})")
+    assert(s.words(g.headOfSpan(0, 5)) == "bind")
+    // an empty interval returns a clamped index without crashing (the
+    // reference returns None; callers here always pass non-empty spans)
+    assert(g.headOfSpan(2, 2) == 2)
+    // a head is never governed from inside its own span (findHeadStrict's
+    // defining property, DependencyUtils.scala:22)
+    val h = g.headOfSpan(0, 4)
+    assert(!g.incoming(h).exists { case (gov, _) => gov >= 0 && gov < 4 && gov != h })
+  }
+
   test("span head finding") {
     val sents = Annotate.annotateText(trie, "The Cyclin D1 protein binds AKT1.")
     val s = sents(0)

@@ -151,6 +151,35 @@ class LinkSpec extends AnyFunSuite {
     assert(kb.resolve("mutant-zyx-1", "Complex", "").namespace == "uaz")
   }
 
+  test("organ alternate lookups strip only trailing attributives " +
+       "(TestOrganResolutions:40-66)") {
+    // repeated suffix runs all strip; internal 'cell' words survive (the
+    // reference resolves "liver cell plate cell" through the organ KB whose
+    // key is "liver cell plate")
+    assert(Link.stripOrganPostAttributives("blood plasm cells") == Seq("blood plasm"))
+    assert(Link.stripOrganPostAttributives("liver cell plate cell") == Seq("liver cell plate"))
+    assert(Link.stripOrganPostAttributives("liver cell plate tissues") == Seq("liver cell plate"))
+    assert(Link.stripOrganPostAttributives("mesometrium tissue fluids") == Seq("mesometrium"))
+    // not-in-KB surfaces fail through every alternate form to the failsafe
+    for (suf <- Seq("", " cell", " cells", " tissue", " tissues", " fluid", " fluids"))
+      assert(kb.resolve(s"notinkb$suf", "Organ", "").namespace == "uaz")
+    // and each alternate of a real key resolves to the same entry
+    for (suf <- Seq("", " tissue", " tissues", " cells"))
+      assert(kb.resolve(s"brain$suf", "Organ", "").id == "UBERON:0000955")
+  }
+
+  test("family-tier KBs accept family transforms only " +
+       "(TestFamilyResolutions:38-65)") {
+    // "X family" / "X_human" resolve for a Family mention...
+    assert(kb.resolve("RAF family", "Family", "").namespace == "pfam")
+    assert(kb.resolve("RAF_human", "Family", "").namespace == "pfam")
+    assert(kb.resolve("RAF FAMILY", "Family", "").namespace == "pfam")
+    // ...but protein transforms are not applied to the Family label
+    // (ipPF.resolve("pthr21244 protein") / ("mutant-hk") are empty)
+    assert(kb.resolve("RAF protein", "Family", "").namespace == "uaz")
+    assert(kb.resolve("mutant-RAF", "Family", "").namespace == "uaz")
+  }
+
   test("failsafe grounding is deterministic and content-derived") {
     val f1 = kb.resolve("XYZ123", "Gene_or_gene_product", "")
     val f2 = kb.resolve("xyz123 ", "Gene_or_gene_product", "")

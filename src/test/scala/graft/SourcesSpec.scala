@@ -29,6 +29,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(eJson == eGold)
   }
 
+  test("DSV delimiter sniffing and quote-aware splitting " +
+       "(TestDSVParser vectors)") {
+    // extension -> delimiter (DSVParser.getDelimiter:92-96)
+    assert(TranscriptSources.dsvDelimiter("PMC1234335.csv") == ",")
+    assert(TranscriptSources.dsvDelimiter("paper.tsv") == "\t")
+    intercept[IllegalArgumentException] {
+      TranscriptSources.dsvDelimiter("paper.nxml")
+    }
+    // the reference's funky CSV line splits into exactly three columns, the
+    // quoted comma staying inside the text column (TestDSVParser:23-28)
+    val funky = "1,2,\"Furthermore, phosphorylated X does Y\""
+    val cols = TranscriptSources.splitDsvLine(funky, ",", 3)
+    assert(cols.length == 3)
+    assert(cols(2) == "Furthermore, phosphorylated X does Y") // quote-trimmed
+    // tabs split plainly
+    assert(TranscriptSources.splitDsvLine("a\tb\tc", "\t", 3).toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("positional DSV entries: sectionId column and sections-to-ignore " +
+       "filter (DSVParser.toFriesEntries)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kgdsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/paper.csv"),
+      """doc,chunk,section,text
+        |d1,0,abstract,"MEK1 phosphorylates ERK2."
+        |d1,1,references,"Smith et al. 2015."
+        |d1,2,body,"AKT1 binds GSK3."
+        |""".stripMargin)
+    val turns = TranscriptSources.dsvEntries(spark, s"$dir/paper.csv",
+      sectionIdColumn = 2, textColumn = 3,
+      sectionsToIgnore = Set("references"))
+    val rows = turns.orderBy("turn_idx").collect()
+    assert(rows.map(_.role).toSeq == Seq("abstract", "body"))
+    assert(rows.head.text == "MEK1 phosphorylates ERK2.")
+    assert(rows.forall(_.conv_id == "d1"))
+  }
+
   test("plain-text source: one file = one single-turn conversation") {
     val dir = java.nio.file.Files.createTempDirectory("kgtxt").toString
     java.nio.file.Files.writeString(
