@@ -207,15 +207,15 @@ object Annotate {
   // complex-context words licensing a fused entity-pair split
   private val pairCtx = Set("complex", "complexes", "heterodimer",
     "heterodimers", "dimer", "dimers", "interaction", "interactions")
-  private val pairSepRe = java.util.regex.Pattern.compile(
-    "([A-Za-z][A-Za-z0-9]*)([-/–])([A-Za-z][A-Za-z0-9]*)")
-
-  /** Split a fused entity-pair token ("Ku70/Ku80 complex", "heterodimer
-    * AKT1-GSK3", "the RAS-ASPP2 interaction") into A, sep, B when BOTH
-    * halves are single-token lexicon entities and an adjacent token is a
-    * complex/dimer/interaction word — the reference's complex_entity
-    * relation rules read exactly these shapes. Elsewhere fused pairs stay
-    * one token, as the reference keeps e.g. "RAS-GTP" a single entity.
+  /** Split a fused entity-chain token ("Ku70/Ku80 complex", "heterodimer
+    * AKT1-GSK3", "the MEK1-ERK2-AKT1 complex") into alternating entity and
+    * separator tokens when EVERY part is a single-token lexicon entity and
+    * an adjacent token is a complex/dimer/interaction word — the reference's
+    * complex_entity relation rules read exactly these shapes (pairs) and
+    * its n-mer complex tokens flatten to a Complex with one theme per part
+    * (TestOutputDegrader sent6: "The Mek-Ras-Akt1 complex" -> 3 themes).
+    * Elsewhere fused chains stay one token, as the reference keeps e.g.
+    * "RAS-GTP" a single entity.
     */
   private def splitPairToks(trie: Trie,
                             toks: Array[(String, Int)]): Array[(String, Int)] = {
@@ -227,15 +227,22 @@ object Annotate {
     var i = 0
     while (i < toks.length) {
       val (w, st) = toks(i)
-      val m = pairSepRe.matcher(w)
       val ctx =
         (i > 0 && pairCtx.contains(toks(i - 1)._1.toLowerCase)) ||
         (i + 1 < toks.length && pairCtx.contains(toks(i + 1)._1.toLowerCase))
-      if (ctx && m.matches() && isEntity(m.group(1)) && isEntity(m.group(3))) {
-        val a = m.group(1)
-        out += ((a, st))
-        out += ((m.group(2), st + a.length))
-        out += ((m.group(3), st + a.length + 1))
+      // alternating [entity, sep, entity, sep, ...] with >=2 entity parts
+      val parts =
+        if (ctx && w.exists(c => c == '-' || c == '/' || c == '–'))
+          w.split("(?=[-/–])|(?<=[-/–])")
+        else Array.empty[String]
+      val isChain = parts.length >= 3 && parts.length % 2 == 1 &&
+        parts.zipWithIndex.forall { case (p, k) =>
+          if (k % 2 == 0) p.nonEmpty && !p.exists(c => c == '-' || c == '/' || c == '–') && isEntity(p)
+          else p.length == 1
+        }
+      if (isChain) {
+        var off = st
+        parts.foreach { p => out += ((p, off)); off += p.length }
       } else out += ((w, st))
       i += 1
     }

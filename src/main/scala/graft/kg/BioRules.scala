@@ -656,11 +656,16 @@ object BioRules {
     // "That Ku70/Ku80 complex", "the RAS-ASPP interaction" (sent10/21-24 —
     // the reference's complex_entity relation rules); the pair token is
     // split by the Annotate complex-context probe
+    // the chain captures 2..N hyphen/slash-separated entities into ONE
+    // "theme" list \u2014 an n-mer complex token is a single Binding with one
+    // theme per part (reference complex_entity rules + the Complex
+    // conversion in TestOutputDegrader sent6: "The Mek-Ras-Akt1 complex"
+    // has three themes)
     Rule("bind_pair_pre", 8, BindingK,
       List(W("heterodimer|dimer|complex"), OptG(W("of")), M("theme", ENT),
-        W("[-/\u2013]"), M("theme2", ENT))),
+        W("[-/\u2013]"), ML("theme", ENT, conj = "[-/\u2013]"))),
     Rule("bind_pair_post", 8, BindingK,
-      List(M("theme", ENT), W("[-/\u2013]"), M("theme2", ENT),
+      List(M("theme", ENT), W("[-/\u2013]"), ML("theme", ENT, conj = "[-/\u2013]"),
         T("complex|heterodimer|dimer|interaction"))),
     // bare prenominal binding nominal with no linked object ("as is their
     // binding" — TestCoreference sent3/sent18): a single plural generic theme
@@ -1870,6 +1875,41 @@ object BioRules {
             case Seq(g) if g.labels.head == "Generic_entity" =>
               Seq(mkEvent(conv, turn, sent.sent_idx, words, deps, "Binding",
                 b.trigger, Seq("theme" -> g), rule.name))
+            case chain0 if chain0.length >= 2 && rule.name.startsWith("bind_pair") =>
+              // fused entity-chain complex token: ONE Binding carrying every
+              // chain part as a theme (the reference's complex_entity
+              // relation flattens to a Complex with n themes —
+              // TestOutputDegrader sent6). The 2-mer case reproduces the old
+              // pairwise semantics exactly (text-sorted themes, ubiquitin
+              // conversion, EventSite promotion).
+              val ds = chain0.distinctBy(_.text).sortBy(_.text)
+              if (ds.length < 2) Nil
+              else {
+                val ubiqOther =
+                  if (ds.length == 2) {
+                    if (ds(0).text.equalsIgnoreCase("ubiquitin")) Some(ds(1))
+                    else if (ds(1).text.equalsIgnoreCase("ubiquitin")) Some(ds(0))
+                    else None
+                  } else None
+                ubiqOther match {
+                  case Some(other) =>
+                    Seq(mkEvent(conv, turn, sent.sent_idx, words, deps,
+                      "Ubiquitination", b.trigger, Seq("theme" -> other),
+                      rule.name))
+                  case None =>
+                    val sniffed = ds.flatMap(_.mods.toSeq)
+                      .filter(_.kind == "EventSite")
+                      .flatMap(s => state.byId(s.site_id)).distinct
+                    val siteOpts: Seq[Option[MentionRow]] =
+                      if (sniffed.isEmpty) Seq(None) else sniffed.map(Some(_))
+                    siteOpts.map { siteOpt =>
+                      mkEvent(conv, turn, sent.sent_idx, words, deps,
+                        "Binding", b.trigger,
+                        ds.map("theme" -> _) ++ siteOpt.map("site" -> _),
+                        rule.name)
+                    }
+                }
+              }
             case _ => Nil
           }
         else

@@ -37,7 +37,12 @@ final case class PreTriple(
     sent_idx: Int = 0,
     trig_start: Int = -1,
     intra_cue: String = "",
-    tense: String = ""
+    tense: String = "",
+    // themes 3..n of an n-mer complex Binding, "&"-joined (the 2-slot
+    // obj_gid/obj_gid2 pair keeps its exact legacy shape; the tail shares
+    // the complex-controller path's canonization parity — chain parts are
+    // lexicon entities, never uaz failsafe ids)
+    obj_rest: String = ""
 )
 
 final case class AliasEdge(a: String, b: String, conv_id: String)
@@ -647,13 +652,13 @@ object ConvProcessor {
         e.args.find(_.role == role).flatMap(a => byId.get(a.mention_id))
       val siteText = argM("site").map(_.text).getOrElse("")
       def pt(subj: String, obj: String, obj2: String, objPred: String,
-             site: String): PreTriple =
+             site: String, objRest: String = ""): PreTriple =
         PreTriple(subj, head, obj, obj2, objPred, site, e.negated,
           e.hypothesis, convId, e.turn_idx, e.text, e.found_by,
           e.trigger_text,
           ctxGid("Species", e.turn_idx), ctxGid("Organ", e.turn_idx),
           ctxGid("CellLine", e.turn_idx), ctxGid("CellType", e.turn_idx),
-          e.cue, e.sent_idx, e.trig_start, e.intra_cue, e.tense)
+          e.cue, e.sent_idx, e.trig_start, e.intra_cue, e.tense, objRest)
       val tri: Option[PreTriple] =
         if (e.labels.contains("Regulation")) {
           val ctl = e.args.find(_.role == "controller")
@@ -678,7 +683,8 @@ object ConvProcessor {
           val themes = e.args.filter(_.role == "theme")
             .map(a => descend(a.mention_id)._1).filter(_.nonEmpty).sorted
           if (themes.length >= 2)
-            Some(pt("", themes(0), themes(1), "", siteText))
+            Some(pt("", themes(0), themes(1), "", siteText,
+              themes.drop(2).mkString("&")))
           else None
         } else {
           // simple events: theme(+site); Translocation carries the location

@@ -221,7 +221,10 @@ object Pipeline {
             when(col("site") =!= "", concat(lit("@"), col("site"))).otherwise(lit("")),
             lit(")")))
         .when(col("obj_gid2") =!= "",
-          concat_ws("&", array_sort(array(col("obj_gid"), col("obj_gid2")))))
+          concat_ws("&", array_sort(concat(
+            array(col("obj_gid"), col("obj_gid2")),
+            when(col("obj_rest") =!= "", split(col("obj_rest"), "&"))
+              .otherwise(array().cast("array<string>"))))))
         .otherwise(col("obj_gid")))
       .select(
         col("subj_gid").as("subj"), col("pred"), col("obj"), col("site"),

@@ -1563,6 +1563,15 @@ object Transcripts {
         s"Phosphorylation($STAT3)"),
       tri("g263", 0, AKT1, "Positive_regulation",
         s"Phosphorylation($STAT3)"))
+    // TestOutputDegrader sent6: an n-mer complex token ("The Mek-Ras-Akt1
+    // complex activates ASPP1") is ONE complex with one theme per chain
+    // part — the activation's controller carries all three participants
+    conv("g264")("user" ->
+      "The MEK1-ERK2-AKT1 complex activates GSK3.")(
+      tri("g264", 0, "", "Binding",
+        Seq(MEK1, ERK2, AKT1).sorted.mkString("&")),
+      tri("g264", 0, Seq(MEK1, ERK2, AKT1).sorted.mkString("&"),
+        "Positive_activation", GSK3))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
