@@ -1572,6 +1572,13 @@ object Transcripts {
         Seq(MEK1, ERK2, AKT1).sorted.mkString("&")),
       tri("g264", 0, Seq(MEK1, ERK2, AKT1).sorted.mkString("&"),
         "Positive_activation", GSK3))
+    // TestOutputDegrader sent8: the same n-mer complex token with NO
+    // downstream event stays exactly one Binding (no conversion, no
+    // spurious activation from "is not well-studied")
+    conv("g265")("user" ->
+      "The MEK1-ERK2-AKT1 complex is not well-studied.")(
+      tri("g265", 0, "", "Binding",
+        Seq(MEK1, ERK2, AKT1).sorted.mkString("&")))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
