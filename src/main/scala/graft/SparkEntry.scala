@@ -593,6 +593,22 @@ object SparkEntry {
       TextSearch.search(TextSearch.index(docs), docs.count(),
         Seq("spark", "join", "vector"))
     },
+    "text_repetition" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.repetition(t(dir, "documents"))
+    },
+    "text_ngram_topk" -> { (s, dir) =>
+      implicit val sp = s
+      TextAnalysis.ngramTopK(t(dir, "documents"), n = 5, k = 20)
+    },
+    "text_sample_stratified" -> { (s, dir) =>
+      // lighter keep-rate for the dominant language, denser for the rest —
+      // the language-rebalancing shape every multilingual corpus runs
+      implicit val sp = s
+      TextAnalysis.sampleStratified(t(dir, "documents"), "lang",
+        Map("en" -> 10, "zh" -> 3), defaultEvery = 5)
+        .select(col("doc_id"), col("lang"))
+    },
     "text_redact" -> { (s, dir) =>
       // the synthetic corpus carries no PII, so the contract query plants
       // deterministic URLs/emails/IPs on every 7th doc (same expression in
@@ -1356,6 +1372,60 @@ object SparkEntry {
          | $pred AS pred_lang
          |FROM (SELECT doc_id, $scoreExprs FROM documents)""".stripMargin
     },
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, ts,
+        |    CAST(length(array_to_string(ts, ' ')) AS BIGINT) AS norm_chars
+        |  FROM b),
+        |g AS (
+        |  SELECT doc_id, norm_chars, n,
+        |    unnest(list_transform(generate_series(1, greatest(len(ts)-n+1, 0)),
+        |      i -> array_to_string(ts[i:i+n-1], ' '))) AS gram
+        |  FROM d, (VALUES (2),(3),(4),(5),(10)) AS ns(n)),
+        |c AS (
+        |  SELECT doc_id, norm_chars, n, gram, count(*) AS cnt
+        |  FROM g GROUP BY 1,2,3,4),
+        |p AS (
+        |  SELECT doc_id, norm_chars,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(gram) END),0) AS BIGINT) AS top2_cov,
+        |    CAST(coalesce(max(CASE WHEN n=3 THEN cnt*length(gram) END),0) AS BIGINT) AS top3_cov,
+        |    CAST(coalesce(max(CASE WHEN n=4 THEN cnt*length(gram) END),0) AS BIGINT) AS top4_cov,
+        |    CAST(coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN cnt*length(gram) ELSE 0 END),0) AS BIGINT) AS dup5_cov,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN cnt*length(gram) ELSE 0 END),0) AS BIGINT) AS dup10_cov
+        |  FROM c GROUP BY 1,2)
+        |SELECT d.doc_id, d.norm_chars,
+        |  coalesce(top2_cov, 0) AS top2_cov,
+        |  coalesce(top3_cov, 0) AS top3_cov,
+        |  coalesce(top4_cov, 0) AS top4_cov,
+        |  coalesce(dup5_cov, 0) AS dup5_cov,
+        |  coalesce(dup10_cov, 0) AS dup10_cov,
+        |  (coalesce(top2_cov,0) * 5 <= d.norm_chars AND
+        |   coalesce(top3_cov,0) * 50 <= d.norm_chars * 9 AND
+        |   coalesce(top4_cov,0) * 25 <= d.norm_chars * 4 AND
+        |   coalesce(dup5_cov,0) * 20 <= d.norm_chars * 3 AND
+        |   coalesce(dup10_cov,0) * 10 <= d.norm_chars) AS gopher_pass
+        |FROM d LEFT JOIN p USING (doc_id, norm_chars)""".stripMargin,
+    "text_ngram_topk" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ts)-4, 0)),
+        |      i -> array_to_string(ts[i:i+4], ' '))) AS gram
+        |  FROM b WHERE len(ts) >= 5)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1
+        |ORDER BY occurrences DESC, n_docs DESC, gram ASC
+        |LIMIT 20""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % (CASE lang WHEN 'zh' THEN 3 WHEN 'en' THEN 10
+        |                ELSE 5 END) = 0""".stripMargin,
     "mm_attach" ->
       """SELECT doc_id,
         | CAST((doc_id * 37 + length(text)) % 1280 + 32 AS INT) AS width,

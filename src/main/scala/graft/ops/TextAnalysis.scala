@@ -113,6 +113,103 @@ object TextAnalysis {
       t3.as("redacted"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", table A1): per document, the character coverage of the most
+    * frequent word n-gram (n=2,3,4) and of all duplicated word n-grams
+    * (n=5,10), plus a pass/fail against the published thresholds. All
+    * outputs are INTEGER character covers (numerators) over `norm_chars`
+    * (denominator) — no floating division anywhere, so the DuckDB oracle and
+    * the threshold booleans are exact (`top2*5 <= denom` ⇔ top2/denom ≤ 0.20).
+    *
+    * Scale shape: generate (n, gram) structs row-locally, explode, then two
+    * keyed aggregations — groupBy (doc, n, gram) with map-side partial
+    * aggregation (repeated grams collapse before the exchange), then a
+    * conditional-agg rollup to one row per doc. Both shuffles key on doc_id
+    * prefixes, so AQE coalesces them; no window sort, no driver state. A
+    * sentinel (n=0) gram per doc keeps docs shorter than every n in the
+    * aggregation, so no restore-join (which at 100 TB would be a second
+    * full-size scan joined to a non-broadcastable one-row-per-doc side).
+    */
+  def repetition(docs: DataFrame,
+                 topNs: Seq[Int] = Seq(2, 3, 4),
+                 dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val toks = ws(lower(trim(col("text"))))
+    val base = docs.select(col("doc_id"), toks.as("ts"))
+      .withColumn("norm_chars",
+        length(concat_ws(" ", col("ts"))).cast("long"))
+    val sentinel = array(struct(lit(0).as("n"), lit("").as("gram")))
+    val gramStructs = flatten(array(sentinel +: ns.map { n =>
+      when(size(col("ts")) >= n,
+        transform(sequence(lit(0), greatest(size(col("ts")) - n, lit(0))),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("ts"), i + 1, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }: _*))
+    val counts = base
+      .select(col("doc_id"), col("norm_chars"), explode(gramStructs).as("g"))
+      .groupBy(col("doc_id"), col("norm_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val cover = col("cnt") * length(col("gram")).cast("long")
+    val aggs =
+      topNs.map(n => max(when(col("n") === n, cover)).as(s"top${n}_cov")) ++
+        dupNs.map(n => sum(when(col("n") === n && col("cnt") > 1, cover)
+          .otherwise(lit(0L))).as(s"dup${n}_cov"))
+    val out = counts
+      .groupBy("doc_id", "norm_chars")
+      .agg(aggs.head, aggs.tail: _*)
+    val z = (c: String) => coalesce(col(c), lit(0L))
+    out.select(
+      (col("doc_id") +: col("norm_chars") +:
+        (topNs.map(n => z(s"top${n}_cov").as(s"top${n}_cov")) ++
+          dupNs.map(n => z(s"dup${n}_cov").as(s"dup${n}_cov")))): _*)
+      // exact integer forms of Gopher's 0.20 / 0.18 / 0.16 / 0.15 / 0.10
+      .withColumn("gopher_pass",
+        z("top2_cov") * 5 <= col("norm_chars") &&
+          z("top3_cov") * 50 <= col("norm_chars") * 9 &&
+          z("top4_cov") * 25 <= col("norm_chars") * 4 &&
+          z("dup5_cov") * 20 <= col("norm_chars") * 3 &&
+          z("dup10_cov") * 10 <= col("norm_chars"))
+  }
+
+  /** Corpus-level n-gram heavy hitters — the boilerplate detector: top-k
+    * word n-grams by total occurrences with the count of distinct documents
+    * containing each. One explode + one partially-aggregated shuffle +
+    * TakeOrderedAndProject; deterministic order (count desc, doc count desc,
+    * gram asc). At 100 TB the map-side combine collapses the long tail
+    * before the exchange and top-k never materializes the full gram table.
+    */
+  def ngramTopK(docs: DataFrame, n: Int = 5, k: Int = 20): DataFrame = {
+    val toks = ws(lower(trim(col("text"))))
+    val grams = docs.select(col("doc_id"), toks.as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("ts")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))).as("gram"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("n_docs").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Stratified systematic subsample: keep every `every(stratum)`-th
+    * document by `doc_id % every == 0` within its stratum column. No RNG, no
+    * per-stratum window sort (a row_number over a mega-stratum would be a
+    * single-partition sort at 100 TB) — a pure narrow filter over the scan,
+    * reproducible bit-for-bit by any SQL engine. Strata missing from the
+    * map fall back to `defaultEvery`.
+    */
+  def sampleStratified(docs: DataFrame, stratum: String,
+                       every: Map[String, Int],
+                       defaultEvery: Int = 10): DataFrame = {
+    val k = every.foldLeft(lit(defaultEvery)) { case (acc, (s, e)) =>
+      when(col(stratum) === s, lit(e)).otherwise(acc)
+    }
+    docs.where(pmod(col("doc_id"), k) === 0)
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): hash every k-gram of
     * tokens, take the min hash in each window of w consecutive k-grams; the
     * distinct set of selected hashes is the fingerprint.

@@ -196,4 +196,62 @@ class OpsSpec extends AnyFunSuite {
     // stopwords and 1-char tokens never enter the index
     assert(idx.filter(col("term").isin(TextSearch.stopwords: _*)).count() == 0)
   }
+
+  test("repetition: hand-traced Gopher covers on a crafted doc; pass gates") {
+    // "a b a b a b c": top-2gram "a b" x3 -> 9 chars; dup-2: "a b"(9)+"b a"(6)
+    // -> norm_chars=13; no 5-gram repeats (7 toks, all 5-grams distinct)
+    val d = Seq((1L, "a b a b a b c"),
+                (2L, "w x y z q r s t u v"),        // no repetition at all
+                (3L, "ab"),                          // shorter than every n
+                (4L, ("p q r s t u v w x y " * 4).trim)) // whole-seq repeats
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(5), x.getBoolean(7))).toSeq
+    // (doc_id, norm_chars, top2_cov, dup5_cov, gopher_pass)
+    assert(r(0) == ((1L, 13L, 9L, 0L, false)))      // 9/13 > 0.20 -> fail
+    // unique grams, but one 5-char 3-gram is 5/19 > 0.18 of a doc this
+    // short: the absolute thresholds inherently reject tiny docs
+    assert(r(1) == ((2L, 19L, 3L, 0L, false)))
+    assert(r(2) == ((3L, 2L, 0L, 0L, true)))        // short doc: zero covers
+    val d4 = r(3)
+    // 40 tokens of a 10-token cycle: every 5-gram occurs 4x (or 3x at the
+    // tail) -> dup5 coverage is the whole doc repeated; must fail the gate
+    assert(d4._2 == 79L && !d4._5 && d4._4 > d4._2)
+    // determinism under repartition (scale shape: order-independent aggs)
+    val r2 = TextAnalysis.repetition(d.repartition(7)).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(r2 == TextAnalysis.repetition(d).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("ngram top-k finds the planted boilerplate with doc counts") {
+    val boiler = "all rights reserved click here now"
+    val d = (1L to 30L).map { i =>
+      if (i % 3 == 0) (i, s"doc body $i unique words here $boiler tail $i")
+      else (i, s"doc body $i entirely different content stream $i")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.ngramTopK(d, n = 6, k = 3).collect()
+    assert(top.head.getString(0) == boiler)
+    assert(top.head.getAs[Long]("occurrences") == 10L)
+    assert(top.head.getAs[Long]("n_docs") == 10L)
+  }
+
+  test("stratified sampling: per-stratum modulo rates, narrow plan") {
+    val s = TextAnalysis.sampleStratified(docs, "lang",
+      Map("en" -> 10, "zh" -> 3), defaultEvery = 5)
+    val got = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val base = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en thinned ~10x, zh ~3x, rest ~5x (exact counts depend on id layout,
+    // but every kept id must satisfy its stratum's modulo rule)
+    val bad = s.filter(
+      !(col("lang") === "en" && col("doc_id") % 10 === 0) &&
+        !(col("lang") === "zh" && col("doc_id") % 3 === 0) &&
+        !(!col("lang").isin("en", "zh") && col("doc_id") % 5 === 0)).count()
+    assert(bad == 0)
+    assert(got("en") * 5 <= base("en") && got("zh") * 2 <= base("zh"))
+    // scale shape: a pure filter over the scan — no exchange in the plan
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "sampling must stay narrow")
+  }
 }
