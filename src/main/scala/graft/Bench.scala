@@ -15,7 +15,8 @@ object Bench {
     "q_topk", "q_setops", "kg_turns", "kg_mentions", "kg_context_window",
     "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "text_tokens", "text_quality",
-    "text_langid", "text_fingerprint", "text_search", "mm_attach",
+    "text_langid", "text_fingerprint", "text_search", "text_repetition",
+    "text_ngram_topk", "text_sample_stratified", "mm_attach",
     "mm_resize", "mm_features")
 
   def main(args: Array[String]): Unit = {

@@ -634,6 +634,10 @@ object SparkEntry {
       implicit val sp = s
       Multimodal.resizeMeta(Multimodal.attachMedia(t(dir, "documents")), 224, 224)
     },
+    "mm_frames" -> { (s, dir) =>
+      implicit val sp = s
+      Multimodal.sampleFrames(Multimodal.attachMedia(t(dir, "documents")))
+    },
     "mm_features" -> { (s, dir) =>
       implicit val sp = s
       // cast to double BEFORE rounding so the column compares exactly
@@ -1506,6 +1510,21 @@ object SparkEntry {
         |   'go:GO:0005634', '', 0, FALSE, FALSE)
         |) AS t(conv_id, turn_idx, start_tok, end_tok, frame_type, type,
         |       text, xref, trigger, n_args, is_negated, is_direct)""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    CAST((doc_id * 17 + length(text)) % 240 + 8 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_bytes, n_frames,
+        |    unnest(list_distinct(list_transform(generate_series(0, 3),
+        |      i -> (i * n_frames) // 4))) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, n_frames, frame_idx,
+        |  CAST((frame_idx * 1000) // 24 AS BIGINT) AS frame_ts_ms,
+        |  CAST((frame_idx * n_bytes) // n_frames AS BIGINT) AS byte_off,
+        |  CAST(n_bytes // n_frames AS BIGINT) AS byte_len
+        |FROM s""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, width, height,
         | CAST(floor(width * s) AS INT) AS out_width,

@@ -81,6 +81,34 @@ object Multimodal {
     feats.map(_ / n)
   }
 
+  /** Frame sampling for video-like media: uniform-k frame selection over a
+    * per-doc frame count, one output row per sampled frame carrying byte-range
+    * POINTERS into the payload (offset + length), never the bytes themselves —
+    * at 100 TB the frame extractor seeks into the original blob storage, so
+    * the shuffle moves a few integers per frame, not video. All integer
+    * arithmetic (truncating long division in both engines), so the DuckDB
+    * oracle is bit-exact. The frame count itself is metadata the container
+    * header would provide; the stand-in derives it deterministically, the
+    * same contract as [[attachMedia]].
+    */
+  def sampleFrames(media: DataFrame, k: Int = 4, fps: Int = 24): DataFrame = {
+    val nFrames = (pmod(col("doc_id") * 17 + col("n_bytes"), lit(240)) + 8)
+      .cast("long")
+    // truncating division via floor(): inputs are non-negative and far below
+    // 2^53, so the double intermediate is exact and matches DuckDB's `//`
+    val idxs = array_distinct(transform(sequence(lit(0), lit(k - 1)),
+      i => floor(i.cast("long") * nFrames / k).cast("long")))
+    media
+      .select(col("doc_id"), col("n_bytes"), nFrames.as("n_frames"),
+        explode(idxs).as("frame_idx"))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        floor(col("frame_idx") * 1000 / fps).cast("long").as("frame_ts_ms"),
+        floor(col("frame_idx") * col("n_bytes") / col("n_frames"))
+          .cast("long").as("byte_off"),
+        floor(col("n_bytes") / col("n_frames")).cast("long").as("byte_len"))
+  }
+
   /** Resize stage: recompute metadata for a target box, keeping aspect ratio;
     * payload untouched (stub — a real resize would transform bytes).
     * Expression-only → oracle-checkable.

@@ -237,6 +237,27 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("n_docs") == 10L)
   }
 
+  test("frame sampling: uniform-k indices, in-range byte pointers, narrow") {
+    val f = Multimodal.sampleFrames(Multimodal.attachMedia(docs))
+    // every frame index within [0, n_frames), every byte range inside the
+    // payload, and ≤ k rows per doc (distinct collapse for tiny clips)
+    assert(f.filter(col("frame_idx") < 0 ||
+      col("frame_idx") >= col("n_frames")).count() == 0)
+    val withB = f.join(Multimodal.attachMedia(docs)
+      .select(col("doc_id"), col("n_bytes")), "doc_id")
+    assert(withB.filter(col("byte_off") < 0 ||
+      col("byte_off") + col("byte_len") > col("n_bytes")).count() == 0)
+    val per = f.groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(per.forall(_._2 <= 4) && per.forall(_._2 >= 1))
+    // hand-trace: doc with n_frames = 13 samples frames 0,3,6,9
+    val d = f.filter(col("n_frames") === 13).orderBy("doc_id", "frame_idx")
+      .select("frame_idx").as[Long].collect().take(4).toSeq
+    if (d.nonEmpty) assert(d == Seq(0L, 3L, 6L, 9L))
+    // scale shape: pointers only, no exchange
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frame sampling must stay narrow")
+  }
+
   test("stratified sampling: per-stratum modulo rates, narrow plan") {
     val s = TextAnalysis.sampleStratified(docs, "lang",
       Map("en" -> 10, "zh" -> 3), defaultEvery = 5)
