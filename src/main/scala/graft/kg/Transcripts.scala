@@ -1579,6 +1579,38 @@ object Transcripts {
       "The MEK1-ERK2-AKT1 complex is not well-studied.")(
       tri("g265", 0, "", "Binding",
         Seq(MEK1, ERK2, AKT1).sorted.mkString("&")))
+    // -- TestCoreference pronoun negative controls (sent6/7) ----------------
+    // sent6: a subject pronoun with NO antecedent still licenses the inner
+    // event but never a regulation (no hallucinated controller)
+    conv("g266")("user" -> "It phosphorylates ERK2.")(
+      tri("g266", 0, "", "Phosphorylation", ERK2))
+    // sent7: the controller cannot be antecedent to its own controlled's
+    // argument — an unresolvable object pronoun kills the event entirely
+    conv("g267")("user" -> "MEK1 phosphorylates it.")()
+    // sent8: clause-mate pronouns resolve across "it is well known" filler
+    conv("g268")("user" ->
+      "ASPP2 is common, it is well known, and MEK1 sumoylates it.")(
+      tri("g268", 0, "", "Sumoylation", ASPP2),
+      tri("g268", 0, MEK1, "Positive_regulation", s"Sumoylation($ASPP2)"))
+    // sent9: cross-sentence antecedent; the expletive "It is known that"
+    // pronoun is ignored — ONE binding, no regulation
+    conv("g269")("user" ->
+      "Much work has been done on ASPP2. It is known that MEK1 binds it.")(
+      tri("g269", 0, "", "Binding",
+        Seq(MEK1, ASPP2).sorted.mkString("&")))
+    // sent10/11: number-sensitive plural resolution distributes over BOTH
+    // conjuncts, as cause controllers and as cause controlleds
+    conv("g270")("user" ->
+      "MEK1 and ERK2 are in proximity, and they phosphorylate STAT3.")(
+      tri("g270", 0, "", "Phosphorylation", STAT3),
+      tri("g270", 0, MEK1, "Positive_regulation", s"Phosphorylation($STAT3)"),
+      tri("g270", 0, ERK2, "Positive_regulation", s"Phosphorylation($STAT3)"))
+    conv("g271")("user" ->
+      "MEK1 and ERK2 are in proximity, and STAT3 phosphorylates them.")(
+      tri("g271", 0, "", "Phosphorylation", MEK1),
+      tri("g271", 0, "", "Phosphorylation", ERK2),
+      tri("g271", 0, STAT3, "Positive_regulation", s"Phosphorylation($MEK1)"),
+      tri("g271", 0, STAT3, "Positive_regulation", s"Phosphorylation($ERK2)"))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
