@@ -1611,6 +1611,32 @@ object Transcripts {
       tri("g271", 0, "", "Phosphorylation", ERK2),
       tri("g271", 0, STAT3, "Positive_regulation", s"Phosphorylation($MEK1)"),
       tri("g271", 0, STAT3, "Positive_regulation", s"Phosphorylation($ERK2)"))
+    // sent12/13: activation pronouns resolve in both argument positions —
+    // one activation, nothing else
+    conv("g272")("user" -> "MEK1 is in proximity, and it activates ASPP2.")(
+      tri("g272", 0, MEK1, "Positive_activation", ASPP2))
+    conv("g273")("user" -> "MEK is in proximity, and ASPP2 activates it.")(
+      tri("g273", 0, ASPP2, "Positive_activation", MEK1))
+    // sent14/14b: definite "this protein" resolves to a prior protein; with
+    // NO antecedent the partially-resolved binding is filtered out entirely
+    conv("g274")("user" ->
+      "ASPP1 is common, and this protein binds RAS.")(
+      tri("g274", 0, "", "Binding",
+        Seq(gidOf("ASPP1"), gidOf("Ras", "Family")).sorted.mkString("&")))
+    conv("g275")("user" -> "This protein binds RAS.")()
+    // sent15: an NP that cannot carry a BioChemicalEntity antecedent
+    // ("a mouse") never resolves — no events at all
+    conv("g276")("user" -> "MEK1 is common, and a mouse binds RAS.")()
+    // sent16: antecedent search stops beyond the previous sentence — an
+    // intervening sentence kills the pronoun resolution and the event
+    conv("g277")("user" ->
+      "MEK1 is common. This is an intervening sentence. It binds ERK2.")()
+    // sent17: the nearest compatible antecedent wins — the binding pairs
+    // with the in-sentence subject, never the prior-clause mention
+    conv("g278")("user" ->
+      "ASPP2 is common, and MEK1 binds the ERK2 protein.")(
+      tri("g278", 0, "", "Binding",
+        Seq(MEK1, ERK2).sorted.mkString("&")))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
