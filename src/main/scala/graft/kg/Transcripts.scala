@@ -1637,6 +1637,18 @@ object Transcripts {
       "ASPP2 is common, and MEK1 binds the ERK2 protein.")(
       tri("g278", 0, "", "Binding",
         Seq(MEK1, ERK2).sorted.mkString("&")))
+    // sent18: a SINGULAR event anaphor ("its binding") over two candidate
+    // antecedents has an invalid antecedent count — no event survives
+    conv("g279")("user" ->
+      "ASPP2 and MEK1 are common, as is its binding.")()
+    // sent19: a resolved pronoun subject distributes over a coordinated
+    // theme — two bindings, nothing else
+    conv("g280")("user" ->
+      "ASPP1 is common, and it binds MEK and ERK2")(
+      tri("g280", 0, "", "Binding",
+        Seq(gidOf("ASPP1"), MEK1).sorted.mkString("&")),
+      tri("g280", 0, "", "Binding",
+        Seq(gidOf("ASPP1"), ERK2).sorted.mkString("&")))
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)
