@@ -593,6 +593,13 @@ object SparkEntry {
       TextSearch.search(TextSearch.index(docs), docs.count(),
         Seq("spark", "join", "vector"))
     },
+    "text_search_phrase" -> { (s, dir) =>
+      // positional-postings phrase query (Lucene QueryParser phrase analogue):
+      // consecutive raw-token adjacency, score = occurrence count
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      TextSearch.searchPhrase(TextSearch.index(docs), Seq("hash", "join"))
+    },
     "text_repetition" -> { (s, dir) =>
       implicit val sp = s
       TextAnalysis.repetition(t(dir, "documents"))
@@ -1309,6 +1316,24 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id ASC
          |LIMIT 10""".stripMargin
     },
+    // phrase adjacency over RAW token positions: both engines split the text
+    // the same way and compare consecutive subscripts — the same semantics as
+    // the Spark side's positional posting lists
+    "text_search_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    generate_subscripts(l, 1) AS pos FROM t)
+        |SELECT a.doc_id, count(*) AS score
+        |FROM toks a JOIN toks b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'hash' AND b.tok = 'join'
+        |GROUP BY a.doc_id
+        |ORDER BY score DESC, a.doc_id ASC
+        |LIMIT 10""".stripMargin,
     // the literally identical RE2-subset regexes run on both engines, over
     // the same deterministic PII planting; counts are per-category on the
     // previous category's redacted text (same chaining as the Spark op)

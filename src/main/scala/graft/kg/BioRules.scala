@@ -230,6 +230,32 @@ object BioRules {
 
   final case class Rule(name: String, priority: Int, kind: Kind, pattern: List[PE])
 
+  /** A complete rule grammar: surface token-pattern rules + dependency-
+    * pattern rules, with the per-priority dispatch tables precomputed. The
+    * built-in grammar is [[BioRules.default]]; additional or replacement
+    * grammars load from data via [[RuleDsl]] (the reference's grammar is
+    * YAML loaded at startup and re-loadable per request —
+    * RuleReader.scala:43-51, export ApiRuler) and reach executors through
+    * [[Broadcasts.grammar]].
+    */
+  final case class Grammar(rules: List[Rule], depRules: List[DepRule]) {
+    @transient lazy val priorities: List[Int] =
+      (rules.map(_.priority) ++ depRules.map(_.priority)).distinct.sorted
+    @transient lazy val rulesByPriority: Map[Int, List[Rule]] =
+      rules.groupBy(_.priority).withDefaultValue(Nil)
+    @transient lazy val depRulesByPriority: Map[Int, List[DepRule]] =
+      depRules.groupBy(_.priority).withDefaultValue(Nil)
+    // the entity/event staging boundary (ReachSystem.scala:157-232): entity
+    // rules run at p<=5, event rules after the modification pass
+    @transient lazy val entityPriorities: List[Int] = priorities.filter(_ <= 5)
+    @transient lazy val eventPriorities: List[Int] = priorities.filter(_ > 5)
+
+    /** Extension: the built-in grammar plus extra data-defined rules. */
+    def withRules(extraRules: Seq[Rule],
+                  extraDepRules: Seq[DepRule] = Nil): Grammar =
+      Grammar(rules ++ extraRules, depRules ++ extraDepRules)
+  }
+
   private val ENT = "BioChemicalEntity"
   private val filler = OptG(W("protein|proteins|kinase|gene|enzyme|receptor|complex"))
   private val quant = OptG(W("one|two|three|four|five|several|many|multiple|all|both|\\d+"))
@@ -946,8 +972,6 @@ object BioRules {
   )
 
   val priorities: List[Int] = rules.map(_.priority).distinct.sorted
-  private val rulesByPriority: Map[Int, List[Rule]] =
-    rules.groupBy(_.priority)
 
   // ---- dependency-pattern rules (F8) ------------------------------------
   // Graph-pattern re-expression of the reference's *_syntax_* grammar rules
@@ -1097,8 +1121,8 @@ object BioRules {
         DepArg("controller", "PossibleController",
           Seq(List(O("prep_by")), List(O("nn")))))))
 
-  private val depRulesByPriority: Map[Int, List[DepRule]] =
-    depRules.groupBy(_.priority).withDefaultValue(Nil)
+  /** The built-in grammar (every rule above). */
+  val default: Grammar = Grammar(rules, depRules)
 
   private def follow(deps: DepGraph, from: Int, path: List[Hop]): List[Int] =
     path.foldLeft(List(from)) { (acc, hop) =>
@@ -1170,9 +1194,9 @@ object BioRules {
        state.all.exists(m => !m.is_event && m.start_tok == t + 2 &&
          m.labels.head == "Site")))
 
-  private def runDepRules(prio: Int, conv: String, turn: Int, sent: Sent,
-                          deps: DepGraph, state: State): Unit = {
-    val rs = depRulesByPriority(prio)
+  private def runDepRules(g: Grammar, prio: Int, conv: String, turn: Int,
+                          sent: Sent, deps: DepGraph, state: State): Unit = {
+    val rs = g.depRulesByPriority(prio)
     if (rs.isEmpty) return
     val words = sent.words
     val newMentions = mutable.ArrayBuffer.empty[MentionRow]
@@ -2466,15 +2490,12 @@ object BioRules {
     }
   }
 
-  private val entityPriorities = priorities.filter(_ <= 5)
-  private val eventPriorities = priorities.filter(_ > 5)
-
-  private def runPriority(prio: Int, conv: String, turn: Int, sent: Sent,
-                          deps: DepGraph,
+  private def runPriority(g: Grammar, prio: Int, conv: String, turn: Int,
+                          sent: Sent, deps: DepGraph,
                           state: State): Unit = {
     val n = sent.words.length
     val newMentions = mutable.ArrayBuffer.empty[MentionRow]
-    rulesByPriority(prio).foreach { rule =>
+    g.rulesByPriority(prio).foreach { rule =>
       var pos = 0
       while (pos < n) {
         val p = pos
@@ -2575,18 +2596,20 @@ object BioRules {
     * then the modification pass, then event rules over the modified entities.
     */
   def extractSentence(conv: String, turn: Int, sent: Sent,
-                      aliases: Seq[(String, String)] = Nil): Seq[MentionRow] = {
+                      aliases: Seq[(String, String)] = Nil,
+                      grammar: Grammar = default): Seq[MentionRow] = {
     val state = new State
     val deps = DepParser.parse(sent)
     decodeIob(conv, turn, sent).foreach(state.add)
     injectAliasSurfaces(conv, turn, sent, aliases, state)
-    entityPriorities.foreach(runPriority(_, conv, turn, sent, deps, state))
+    grammar.entityPriorities.foreach(
+      runPriority(grammar, _, conv, turn, sent, deps, state))
     unpackMultiSites(conv, turn, sent, state)
     val state2 = new State
     attachMods(conv, turn, sent, state.all.toSeq).foreach(state2.add)
-    eventPriorities.foreach { p =>
-      runPriority(p, conv, turn, sent, deps, state2)
-      runDepRules(p, conv, turn, sent, deps, state2)
+    grammar.eventPriorities.foreach { p =>
+      runPriority(grammar, p, conv, turn, sent, deps, state2)
+      runDepRules(grammar, p, conv, turn, sent, deps, state2)
     }
     mostComplete(state2.all.toSeq)
   }
@@ -2595,8 +2618,12 @@ object BioRules {
 
   def extractTurn(at: AnnotatedTurn,
                   aliases: Seq[(String, String)]): Seq[MentionRow] =
+    extractTurn(at, aliases, default)
+
+  def extractTurn(at: AnnotatedTurn, aliases: Seq[(String, String)],
+                  grammar: Grammar): Seq[MentionRow] =
     at.sents.toSeq.flatMap(s =>
-      extractSentence(at.conv_id, at.turn_idx, s, aliases))
+      extractSentence(at.conv_id, at.turn_idx, s, aliases, grammar))
 
   /** Phase-A alias-definition scan (J3): entity rules + alias rules only,
     * returning (surface, label) pairs for unknown-surface aliases. Runs as a
@@ -2604,14 +2631,18 @@ object BioRules {
     * for the full extraction pass.
     */
   def aliasDefsTurn(at: AnnotatedTurn): Seq[(String, String, String)] =
+    aliasDefsTurn(at, default)
+
+  def aliasDefsTurn(at: AnnotatedTurn,
+                    grammar: Grammar): Seq[(String, String, String)] =
     at.sents.toSeq.flatMap { sent =>
       val state = new State
       val deps = DepParser.parse(sent)
       decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
-      entityPriorities.foreach(runPriority(_, at.conv_id, at.turn_idx, sent,
-        deps, state))
+      grammar.entityPriorities.foreach(runPriority(grammar, _, at.conv_id,
+        at.turn_idx, sent, deps, state))
       val before = state.all.size
-      runPriority(10, at.conv_id, at.turn_idx, sent, deps, state)
+      runPriority(grammar, 10, at.conv_id, at.turn_idx, sent, deps, state)
       state.all.drop(before)
         .filter(_.found_by == "alias_unknown_b")
         .map(b => (at.conv_id, b.text, b.labels.head))

@@ -66,11 +66,26 @@ final case class StageBRow(
   * Scale: per-conv state is O(mentions in conversation). Mega-conversations
   * are handled by chunked processing ([[maxChunk]]) mirroring the reference's
   * standoff grouping (ReachSystem.scala:143-145); context/coref never look
-  * forward, so chunk boundaries only truncate lookback windows.
+  * forward under the default policy, so chunk boundaries only truncate
+  * lookback windows (under [[PolicyBidirectional]] the 3-turn forward half
+  * is truncated at a chunk edge the same way — bounded loss, no cross-chunk
+  * state).
   */
 object ConvProcessor {
 
   val contextBound = 3 // turns of species-context lookback (Policies.scala:8-64 bound)
+
+  /** Context window policies (reference: context/Policies.scala).
+    * [[PolicyBackward]] = bounded backward window `[i-bound, i]`
+    * (Policy2/3, the reference default and ours); [[PolicyBidirectional]] =
+    * Policy4's `[i-bound, i+bound]` (Policies.scala:94-98): when no context
+    * mention precedes within the bound, the nearest FOLLOWING one within the
+    * bound fills the slot before falling back to conversation defaults.
+    * Backward hits always win, so the default policy's assignments are a
+    * strict subset — enabling Policy4 never changes an already-filled slot.
+    */
+  val PolicyBackward = "backward"
+  val PolicyBidirectional = "bidirectional"
   val pronounGap = 1 // sentence gap for pronominal anaphora (DarpaLinks.scala:210)
   val npGap = 3 // sentence gap for definite-NP anaphora
   val maxChunk = 200000 // mentions per chunk for mega-conversations
@@ -83,8 +98,10 @@ object ConvProcessor {
   def gidOf(g: Grounding): String = g.namespace + ":" + g.id
 
   def process(convId: String, mentionsIn: Seq[MentionRow],
-              kb: Link.KbIndex): Seq[StageBRow] = {
-    if (mentionsIn.size <= maxChunk) processChunk(convId, mentionsIn, kb)
+              kb: Link.KbIndex,
+              contextPolicy: String = PolicyBackward): Seq[StageBRow] = {
+    if (mentionsIn.size <= maxChunk)
+      processChunk(convId, mentionsIn, kb, contextPolicy)
     else {
       // chunk on turn boundaries, preserving order
       val sorted = sortMentions(mentionsIn)
@@ -98,7 +115,7 @@ object ConvProcessor {
         cur += m; lastTurn = m.turn_idx
       }
       if (cur.nonEmpty) chunks += cur.toSeq
-      chunks.flatMap(c => processChunk(convId, c, kb)).toSeq
+      chunks.flatMap(c => processChunk(convId, c, kb, contextPolicy)).toSeq
     }
   }
 
@@ -106,7 +123,8 @@ object ConvProcessor {
     ms.sortBy(m => (m.turn_idx, m.sent_idx, m.start_tok, m.end_tok, m.mention_id))
 
   private def processChunk(convId: String, mentionsIn: Seq[MentionRow],
-                           kb: Link.KbIndex): Seq[StageBRow] = {
+                           kb: Link.KbIndex,
+                           contextPolicy: String): Seq[StageBRow] = {
     val mentions = sortMentions(mentionsIn)
     val byId = mutable.Map.empty[Long, MentionRow]
     mentions.foreach(m => byId(m.mention_id) = m)
@@ -142,6 +160,15 @@ object ConvProcessor {
       ctxByType(tpe).foreach { m =>
         if (m.turn_idx <= turn && turn - m.turn_idx <= contextBound &&
             (best == null || m.turn_idx >= best.turn_idx)) best = m
+      }
+      if (best == null && contextPolicy == PolicyBidirectional) {
+        // Policy4 forward half (Policies.scala:94-98): nearest following
+        // turn within the bound; within it, the FIRST mention in document
+        // order (the reference's forward scan takes the first value)
+        ctxByType(tpe).foreach { m =>
+          if (m.turn_idx > turn && m.turn_idx - turn <= contextBound &&
+              (best == null || m.turn_idx < best.turn_idx)) best = m
+        }
       }
       Option(best).orElse(ctxDefault(tpe))
     }

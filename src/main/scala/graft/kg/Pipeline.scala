@@ -34,6 +34,25 @@ object Pipeline {
 
   def sessionKb(): Link.KbIndex = new Link.KbIndex(Lexicon.kb)
 
+  /** Reload the extraction grammar from DSL text (the reference's
+    * RuleReader.reload / ApiRuler analogue): parse, rebuild the broadcast
+    * matcher tables, and match every subsequently planned job with the new
+    * grammar. `extend = true` (default) adds the data rules on top of the
+    * built-in grammar; `false` replaces it wholesale.
+    */
+  def reloadRules(spark: SparkSession, dslText: String,
+                  extend: Boolean = true): Unit = {
+    val parsed = RuleDsl.parse(dslText)
+    val g =
+      if (extend) BioRules.default.withRules(parsed.rules, parsed.depRules)
+      else parsed
+    Broadcasts.reloadGrammar(spark.sparkContext, g)
+  }
+
+  /** Restore the built-in grammar. */
+  def resetRules(spark: SparkSession): Unit =
+    Broadcasts.reloadGrammar(spark.sparkContext, BioRules.default)
+
   /** Thread-local rows_in counter. The stage transform (flatMap /
     * flatMapGroups) and the [[instrument]] wrapper are pipelined into the SAME
     * task (no exchange between them), so a counter bumped by the transform and
@@ -107,18 +126,21 @@ object Pipeline {
                   turns: Dataset[Turn]): Dataset[(String, String, String)] = {
     import spark.implicits._
     val (bTrie, _) = Broadcasts.get(spark.sparkContext)
+    val bG = Broadcasts.grammar(spark.sparkContext)
     // cheap candidate pre-filter: the alias patterns all carry a parenthesis
     // or "known as" — the pre-pass annotates only those turns, so the extra
     // scan reads text once and tokenizes almost nothing
     val cands = turns.filter(t => t.text != null &&
       (t.text.contains("(") || t.text.contains("known as")))
-    Annotate(spark, cands, bTrie).flatMap(BioRules.aliasDefsTurn _).distinct()
+    Annotate(spark, cands, bTrie)
+      .flatMap(at => BioRules.aliasDefsTurn(at, bG.value)).distinct()
   }
 
   def stageMentions(spark: SparkSession, turns: Dataset[Turn],
                     runId: String, acc: CollectionAccumulator[Lineage]): Dataset[MentionRow] = {
     import spark.implicits._
     val (bTrie, _) = Broadcasts.get(spark.sparkContext)
+    val bG = Broadcasts.grammar(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
     val defs = aliasDefsDs(spark, turns)
     val thr = aliasJoinThreshold
@@ -138,7 +160,7 @@ object Pipeline {
         val bPool = spark.sparkContext.broadcast(pooled)
         annotated.flatMap { at =>
           InCount.inc()
-          BioRules.extractTurn(at, bPool.value)
+          BioRules.extractTurn(at, bPool.value, bG.value)
         }
       } else if (!useJoin) {
         // broadcast path: surfaces sorted per conv so injection order (which
@@ -150,7 +172,8 @@ object Pipeline {
         val bAliases = spark.sparkContext.broadcast(aliasMap)
         annotated.flatMap { at =>
           InCount.inc()
-          BioRules.extractTurn(at, bAliases.value.getOrElse(at.conv_id, Nil))
+          BioRules.extractTurn(at, bAliases.value.getOrElse(at.conv_id, Nil),
+            bG.value)
         }
       } else {
         val defsByConv = defs.groupByKey(_._1).mapGroups { (conv, it) =>
@@ -161,16 +184,25 @@ object Pipeline {
             "left_outer")
           .flatMap { case (at, d) =>
             InCount.inc()
-            BioRules.extractTurn(at, if (d == null) Nil else d._2)
+            BioRules.extractTurn(at, if (d == null) Nil else d._2, bG.value)
           }
       }
     instrument(extracted, "mentions", runId, acc)
   }
 
+  /** Context window policy for the fold stage —
+    * [[ConvProcessor.PolicyBackward]] (default, Policy2/3 semantics) or
+    * [[ConvProcessor.PolicyBidirectional]] (Policy4). Captured into the task
+    * closure at plan-build time, so it is cluster-correct (never read from
+    * the singleton on executors).
+    */
+  @volatile var contextPolicy: String = ConvProcessor.PolicyBackward
+
   def stageB(spark: SparkSession, mentions: Dataset[MentionRow],
              runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
     import spark.implicits._
     val (_, bKb) = Broadcasts.get(spark.sparkContext)
+    val policy = contextPolicy // driver-side capture, ships with the closure
     // the label closure is a pure function of the head label
     // (Lexicon.labelClosure) — shipping 5-7 closure strings per mention
     // through the conv_id exchange made the fold stage shuffle-bandwidth
@@ -184,7 +216,7 @@ object Pipeline {
           InCount.inc()
           m.copy(labels = Lexicon.labelClosure(m.labels.head))
         }.toSeq
-        ConvProcessor.process(key._1, ms, bKb.value).iterator
+        ConvProcessor.process(key._1, ms, bKb.value, policy).iterator
       }
     instrument(grouped, "link_coref_emit", runId, acc)
   }

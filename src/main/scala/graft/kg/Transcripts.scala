@@ -1649,6 +1649,132 @@ object Transcripts {
         Seq(gidOf("ASPP1"), MEK1).sorted.mkString("&")),
       tri("g280", 0, "", "Binding",
         Seq(gidOf("ASPP1"), ERK2).sorted.mkString("&")))
+
+    // ---- round-4 batch: the TestCoreference sent20-57 untraced remainder --
+    // (direct pins; entity names adapted to this lexicon where the
+    // reference's test KB carries fakes — BEF/LMTK2/HSP20/Akta)
+    // sent20: the siRNA-loss chain must NOT produce an activation of and by
+    // the same entity; the amount reduction keeps its nn-widened controller
+    // ("LMTK2 siRNAs ... reduced LMTK2 levels" — the reference's controller
+    // path lands on "siRNAs" and widens over nn to the GGP)
+    conv("g281")(
+      "user" -> ("We also monitored how siRNA-induced loss of MEK1 " +
+        "influenced phosphorylation of ERK2."),
+      "user" -> ("Four different MEK1 siRNAs all markedly reduced MEK1 " +
+        "levels and this led to a corresponding decrease in ERK2 " +
+        "phosphorylation."))(
+      tri("g281", 0, "", "DecreaseAmount", MEK1),
+      tri("g281", 0, "", "Phosphorylation", ERK2),
+      tri("g281", 1, "", "Amount", MEK1),
+      tri("g281", 1, MEK1, "Negative_regulation", s"Amount($MEK1)"),
+      tri("g281", 1, "", "Phosphorylation", ERK2))
+    // sent21: the aka-colon alias list must not produce a requirement error
+    // from Anaphoric.antecedent, and no generic mention survives to output
+    conv("g282")(
+      "user" -> ("Inhibition of mTOR kinase is feasible with the macrolide " +
+        "natural product rapamycin (aka: sirolimus, RAPA, Rapamune, " +
+        "AY-22989, and NSC-226080)."),
+      "user" -> ("Rapamycin is an FDA-approved agent used as " +
+        "immunosuppressive therapy post organ transplant ."))()
+    // sent22: no activation may take an ACTIVATION as its controlled; the
+    // only event surviving this tangle is the loss-of amount
+    conv("g283")(
+      "user" -> ("Second, STAT3 accumulates and shows nuclear localization " +
+        "in the cartilage of TD-affected human fetuses as well as in mice " +
+        "carrying the K644E-EGFR mutation (homologous to human K650E)" +
+        "     ,     ."),
+      "user" -> ("Finally, two experimental studies show that the loss of " +
+        "STAT3 partially rescues the growth-inhibitory action of EGF " +
+        "signaling in chondrocytes     ,     , both suggesting the role of " +
+        "STAT3 in the growth-inhibitory EGFR action in cartilage."))(
+      tri("g283", 1, "", "DecreaseAmount", STAT3))
+    // sent23: "negatively regulated by this interaction" must produce NO
+    // Regulation — the generic subject of the object relative never
+    // resolves, so no event survives
+    conv("g284")(
+      "user" -> ("Most efforts at understanding Ras mediated transformation " +
+        "have centered on identifying those targets that bind Ras-GTP ."),
+      "user" -> ("However , our data raise the possibility that there is a " +
+        "class of proteins , such as PI3K , that bind nucleotide-free Ras " +
+        "and are negatively regulated by this interaction ."))()
+    // sent25: multiple definite anaphors onto the same antecedent ("this
+    // protein" twice + "it") must not error; no event fixture here
+    conv("g285")(
+      "user" -> "Another example can be given with mutated p53.",
+      "user" -> ("The pivotal role of p53 as a tumor suppressor is " +
+        "illustrated by the fact that this protein is found mutated in " +
+        "50% of human cancers."),
+      "user" -> ("In most cases, mutations in p53 greatly increase the " +
+        "otherwise short half life of this protein and cause it to " +
+        "accumulate in tumor cells."))()
+    // sent26: plural possessive over coordinated antecedents must not error
+    conv("g286")(
+      "user" -> ("Many RTKs interact directly with Grb2, some rely on Shc " +
+        "family adaptors to recruit Grb2, and others do both    ."),
+      "user" -> ("While direct Grb2/RTK interactions involve binding of " +
+        "the Grb2 SH2 domain to pYXNX motifs, Shc proteins interact with " +
+        "RTKs primarily through the binding of their N-terminal PTB domain " +
+        "to NPXpY motifs."))()
+    // sent31a/31b: "this mutant ASPP1" binds through the SAME-protein
+    // antecedent (adopting its K341L) or stays generic-mutated when the
+    // prior mutant is a DIFFERENT protein — the binding emits either way,
+    // and never onto ASPP2
+    conv("g287")("user" ->
+      "ASPP1 K341L is common, and this mutant ASPP1 binds GTP.")(
+      tri("g287", 0, "", "Binding",
+        Seq(ASPP1g, GTPc).sorted.mkString("&")))
+    conv("g288")("user" ->
+      "ASPP2 K341L is common, and this mutant ASPP1 binds GTP.")(
+      tri("g288", 0, "", "Binding",
+        Seq(ASPP1g, GTPc).sorted.mkString("&")))
+    // sent32a positive control (the sent32b mismatch negative is pinned in
+    // ConvProcessorSpec): the K341L mutant anaphor takes the matching-code
+    // antecedent
+    conv("g289")("user" ->
+      "ASPP1 K341L is common, and the K341L mutant binds GTP.")(
+      tri("g289", 0, "", "Binding",
+        Seq(ASPP1g, GTPc).sorted.mkString("&")))
+    // sent47/48: mixed generic + specific mutation mentions across clauses
+    // must not error; no extraction fixture
+    conv("g290")(
+      "user" -> ("We analyzed sporadic CRCs in Omani (of African origin, " +
+        "N = 61), Iranian (of Caucasian origin, N = 53) and African " +
+        "American (N = 95) patients for microsatellite instability, " +
+        "expression status of mismatched repair genes (hMLH1, hMSH2) and " +
+        "presence of the BRAF (V600E) mutation."),
+      "user" -> ("In the Omani group, all tumors with BRAF mutations were " +
+        "located in the left side of the colon, and for African Americans, " +
+        "88% of tumors with BRAF mutations were found in the right side of " +
+        "the colon."))()
+    conv("g291")(
+      "user" -> ("Since EGFR mutation is known to be associated with " +
+        "sensitivity to erlotinib, and KRAS mutations are associated with " +
+        "resistance, we focused on the group of wild-type EGFR/KRAS cell " +
+        "lines."),
+      "user" -> ("We found that the half maximal inhibitory concentration " +
+        "(IC50) for erlotinib was significantly higher in cell lines that " +
+        "segregated to clusters with methylated SRAMs compared to those " +
+        "that segregated to clusters with unmethylated SRAMs"))()
+    // sent56a: the pronoun subject must take the NEAREST non-co-argument
+    // antecedent — "It" is a co-argument of the phosphorylation whose theme
+    // is AKT1, so it resolves to GSK3, never AKT1
+    conv("g292")(
+      "user" -> "AKT1 and GSK3 are common.",
+      "user" -> "It phosphorylates AKT1.")(
+      tri("g292", 1, "", "Phosphorylation", AKT1),
+      tri("g292", 1, GSK3, "Positive_regulation", s"Phosphorylation($AKT1)"))
+    // sent57: the plural possessive "their" takes BOTH prior proteins as
+    // antecedents — the interaction nominal becomes their joint binding
+    conv("g293")(
+      "user" -> ("It is possible that the effects of GSK3 on AKT might " +
+        "differ between normal cardiomyocytes or mesenchymal stem cells " +
+        "and HCC cells."),
+      "user" -> ("The binding partner(s) of GSK3 and their interaction(s) " +
+        "might be dependent on the cell types."))(
+      tri("g293", 1, "", "Binding",
+        Seq(AKT1, GSK3).sorted.mkString("&")))
+    // sent46: a mention-free conversation flows through every stage
+    conv("g294")("user" -> "This sentence has no mentions.")()
     // -- TestActivationEvents breadth ---------------------------------------
     // sent8: premod binding-activity nominal is a Binding, never an
     // activation or regulation (the fused "-binding" token splits)

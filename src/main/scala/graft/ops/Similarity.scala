@@ -68,6 +68,72 @@ object Similarity {
     (java.lang.Math.floorMod(splitmix64(plane.toLong * 1000003L + dim),
       2000000L).toDouble / 1000000.0) - 1.0
 
+  /** Deterministic k-means++ seeding over a sampled set of unit vectors:
+    * the first seed is the sample's first element (the sample arrives sorted
+    * by its pseudo-random key); each further seed is drawn D²-weighted —
+    * d² = (1 - max cosine to the chosen set)², cumulated over the sample in
+    * order, with the "random" draw replaced by a splitmix64 sequence keyed
+    * on the round index. This is k-means++'s actual distribution (farthest-
+    * point alone chases outliers on uniform corpora and starves the mass;
+    * D² weighting spreads seeds across clusters on clustered corpora while
+    * staying near the mass on uniform ones), made reproducible: no RNG
+    * state, same seeds on every run and partitioning. Driver-side over a
+    * bounded sample.
+    */
+  private[ops] def seedCentroids(sample: Array[(Long, Array[Double])],
+                                 nlist: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.empty
+    val n = math.min(nlist, sample.length)
+    val chosen = new scala.collection.mutable.ArrayBuffer[Int](n)
+    chosen += 0
+    val maxSim = Array.fill(sample.length)(Double.MinValue)
+    while (chosen.size < n) {
+      val last = sample(chosen.last)._2
+      var i = 0
+      while (i < sample.length) {
+        var s = 0.0; var d = 0
+        val v = sample(i)._2
+        while (d < v.length) { s += v(d) * last(d); d += 1 }
+        if (s > maxSim(i)) maxSim(i) = s
+        i += 1
+      }
+      val w = new Array[Double](sample.length)
+      var total = 0.0
+      i = 0
+      while (i < sample.length) {
+        if (!chosen.contains(i)) {
+          val d2 = math.max(0.0, 1.0 - maxSim(i))
+          w(i) = d2 * d2
+          total += w(i)
+        }
+        i += 1
+      }
+      if (total <= 0.0) {
+        // every remaining point coincides with a seed: take smallest ids
+        var j = 0
+        while (chosen.size < n && j < sample.length) {
+          if (!chosen.contains(j)) chosen += j
+          j += 1
+        }
+      } else {
+        val u = (java.lang.Math.floorMod(
+          splitmix64(0x51ed2701L * chosen.size + 7L), 1000000L)
+          .toDouble / 1000000.0) * total
+        var acc = 0.0
+        var pick = -1
+        i = 0
+        while (i < sample.length && pick < 0) {
+          acc += w(i)
+          if (acc > u && w(i) > 0.0) pick = i
+          i += 1
+        }
+        if (pick < 0) pick = sample.indices.findLast(w(_) > 0.0).get
+        chosen += pick
+      }
+    }
+    chosen.take(n).map(i => sample(i)._2).toArray
+  }
+
   /** Sign-bit buckets under `tables` x `bits` hyperplanes — JIT'd Scala
     * kernel (interpreted Catalyst HOFs cost ~tables*bits*dim allocations per
     * row; the kernel is plain ALU work).
@@ -91,12 +157,14 @@ object Similarity {
     }
 
   /** IVF-partitioned ANN (the inverted-file shape): a deterministic
-    * spherical k-means coarse quantizer — centroids seeded from the `nlist`
-    * smallest vec_ids, a fixed number of Lloyd iterations, centroid
-    * components rounded to 6dp each iteration so cross-partition float
-    * summation jitter cannot make runs diverge — then corpus vectors grouped
-    * by nearest centroid (the inverted lists); a query probes its `nprobe`
-    * nearest centroids and ranks those lists' vectors by exact cosine.
+    * spherical k-means coarse quantizer — centroids seeded by a
+    * k-means++-style farthest-point sweep over a bounded pseudo-random
+    * sample (see [[seedCentroids]]), a fixed number of Lloyd iterations,
+    * centroid components rounded to 6dp each iteration so cross-partition
+    * float summation jitter cannot make runs diverge — then corpus vectors
+    * grouped by nearest centroid (the inverted lists); a query probes its
+    * `nprobe` nearest centroids and ranks those lists' vectors by exact
+    * cosine.
     *
     * 100 TB shape: centroids are broadcast both ways (nlist x dim is KBs),
     * assignment is a narrow map, candidates come from ONE shuffle joining on
@@ -104,7 +172,8 @@ object Similarity {
     * nprobe (contrast with lshTopK, whose recall is tuned by tables/bits).
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
+              assign: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     def unit(v: Array[Float]): Array[Double] = {
@@ -129,8 +198,16 @@ object Similarity {
     }
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    var centroids: Array[Array[Double]] =
-      corpus.sort("vec_id").limit(nlist).collect().map(x => unit(x._2))
+    // seed sample: the sampleN smallest splitmix64(vec_id) keys — a uniform
+    // pseudo-random draw with no RNG state, order-free under repartitioning,
+    // fetched by global top-k (TakeOrderedAndProject, bounded rows collected)
+    val sampleN = math.max(nlist * 8, 256)
+    val sample = corpus
+      .map { case (id, v) => (splitmix64(id), id, v) }
+      .toDF("k", "id", "v").orderBy("k", "id").limit(sampleN)
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (_, id, v) => (id, unit(v)) }
+    var centroids: Array[Array[Double]] = seedCentroids(sample, nlist)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val next = corpus
@@ -156,8 +233,13 @@ object Similarity {
       centroids = updated
     }
     val bc = spark.sparkContext.broadcast(centroids)
-    val lists = corpus.map { case (id, v) =>
-      (id, topCents(bc.value, unit(v), 1)(0)) }.toDF("neighbor_id", "list")
+    // multiple assignment (IVF "spilling"): each corpus vector enters its
+    // `assign` nearest lists — index grows assign-fold, recall at fixed
+    // nprobe rises because a vector near a cell boundary is findable from
+    // both sides. Candidates stay deduped, so ranking cost is unchanged.
+    val lists = corpus.flatMap { case (id, v) =>
+      topCents(bc.value, unit(v), assign).map(l => (id, l))
+    }.toDF("neighbor_id", "list")
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>

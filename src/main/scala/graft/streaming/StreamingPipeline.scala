@@ -47,6 +47,7 @@ object StreamingPipeline {
               idleTimeout: Option[String] = None): Dataset[PreTriple] = {
     import spark.implicits._
     val (bTrie, bKb) = Broadcasts.get(spark.sparkContext)
+    val bG = Broadcasts.grammar(spark.sparkContext)
 
     // stage 1 (stateless, streaming-safe): annotate per turn. Rule matching
     // moves into the stateful fold so FORWARD alias uses (definition in an
@@ -75,10 +76,11 @@ object StreamingPipeline {
             var defs = state.getOption.map(_.aliasDefs).getOrElse(Seq.empty)
             val newMentions = incoming.flatMap { at =>
               if (mayDefineAlias(at)) {
-                val d = BioRules.aliasDefsTurn(at).map(x => (x._2, x._3))
+                val d = BioRules.aliasDefsTurn(at, bG.value)
+                  .map(x => (x._2, x._3))
                 if (d.nonEmpty) defs = (defs ++ d).distinct.sorted
               }
-              BioRules.extractTurn(at, defs)
+              BioRules.extractTurn(at, defs, bG.value)
             }
             val newMinTurn =
               if (incoming.isEmpty) Int.MaxValue

@@ -11,12 +11,15 @@ class ConvProcessorSpec extends AnyFunSuite {
   private lazy val trie = Annotate.buildTrie(Lexicon.nerLexicon)
   private lazy val kb = new Link.KbIndex(Lexicon.kb)
 
-  private def run(texts: String*): Seq[StageBRow] = {
+  private def run(texts: String*): Seq[StageBRow] =
+    runPolicy(ConvProcessor.PolicyBackward, texts: _*)
+
+  private def runPolicy(policy: String, texts: String*): Seq[StageBRow] = {
     val mentions = texts.zipWithIndex.flatMap { case (t, i) =>
       BioRules.extractTurn(AnnotatedTurn("c", i, "user",
         Annotate.annotateText(trie, t)))
     }
-    ConvProcessor.process("c", mentions, kb)
+    ConvProcessor.process("c", mentions, kb, policy)
   }
   private def triples(rows: Seq[StageBRow]): Seq[PreTriple] =
     rows.filter(_.kind == "triple").flatMap(_.triple)
@@ -76,6 +79,42 @@ class ConvProcessorSpec extends AnyFunSuite {
     assert(ts.nonEmpty)
     assert(ts.forall(_.ctx_species == "taxonomy:10090"), ts.map(_.ctx_species))
     assert(ts.exists(_.obj_gid == "uniprot:P63085"))
+  }
+
+  test("Policy4 bidirectional window: a species one turn AFTER the event " +
+       "fills ctx_species; the default policy falls back to the doc default " +
+       "(context/Policies.scala:94-98)") {
+    // mouse follows the event within the 3-turn forward bound; rat appears
+    // twice later, so the conversation-default argmax is RAT — the two
+    // policies are observably different on the same conversation
+    val texts = Seq(
+      "ERK2 was phosphorylated at T669.",
+      "We studied mouse fibroblasts.",
+      "Data handling followed standard procedures.",
+      "Additional runs were recorded for completeness.",
+      "Additional controls were included for validation.",
+      "The rat tissue was prepared first.",
+      "The rat samples were then analyzed.")
+    val backward = triples(runPolicy(ConvProcessor.PolicyBackward, texts: _*))
+      .filter(_.pred == "Phosphorylation")
+    assert(backward.nonEmpty)
+    assert(backward.forall(_.ctx_species == "taxonomy:10116"),
+      backward.map(_.ctx_species)) // doc default: rat (argmax 2 > 1)
+    val bidi = triples(runPolicy(ConvProcessor.PolicyBidirectional, texts: _*))
+      .filter(_.pred == "Phosphorylation")
+    assert(bidi.nonEmpty)
+    assert(bidi.forall(_.ctx_species == "taxonomy:10090"),
+      bidi.map(_.ctx_species)) // Policy4: nearest following = mouse
+    // a backward hit always wins under BOTH policies — Policy4 only adds
+    // assignments, never changes one
+    val both = Seq("We studied mouse fibroblasts.",
+      "ERK2 was phosphorylated at T669.",
+      "The rat tissue was prepared first.")
+    val b1 = triples(runPolicy(ConvProcessor.PolicyBackward, both: _*))
+      .filter(_.pred == "Phosphorylation").map(_.ctx_species)
+    val b2 = triples(runPolicy(ConvProcessor.PolicyBidirectional, both: _*))
+      .filter(_.pred == "Phosphorylation").map(_.ctx_species)
+    assert(b1 == b2 && b1.forall(_ == "taxonomy:10090"))
   }
 
   test("grounding.overrideSpecies = true ignores species context " +
