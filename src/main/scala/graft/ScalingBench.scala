@@ -27,9 +27,52 @@ object ScalingBench {
       turns.write.mode("overwrite").parquet(s"$dir/turns")
       println(s"""{"generated":"$dir/turns"}""")
       s.stop()
+    case "gendense" :: dir :: nConvs :: mega :: density :: Nil =>
+      // adversarial skew corpus: the normal Zipf corpus PLUS a
+      // mega-conversation whose every turn fuses `density` independent
+      // sentence-local template sentences — `density`x the mention count
+      // per fold chunk. The scaling corpus's mega-conv is long but
+      // mention-SPARSE; this one stresses the per-chunk fold state
+      // (mentions per chunk, not turns per chunk).
+      val s = session(32)
+      import s.implicits._
+      val slice = Pipeline.chunkTurns
+      val megaN = mega.toInt
+      val d = density.toInt
+      val (base, _) = Transcripts.corpus(s, nConvs.toInt, seed = 42)
+      val nSlices = (megaN + slice - 1) / slice
+      val dense = s.range(nSlices.toLong).flatMap { sl =>
+        val len = math.min(slice, megaN - sl.toInt * slice)
+        val streams = (0 until d).map(k =>
+          Transcripts.genConv(42L * 31 + sl * 131L + k * 7919L, 999999L,
+            len, withCoref = false)._1)
+        (0 until len).map { t =>
+          val text = streams.map(st => st(t).text).mkString(" ")
+          streams.head(t).copy(conv_id = "mega",
+            turn_idx = sl.toInt * slice + t, text = text)
+        }
+      }
+      base.union(dense).write.mode("overwrite").parquet(s"$dir/turns")
+      println(s"""{"generated":"$dir/turns","density":$d,"megaTurns":$megaN}""")
+      s.stop()
     case "run" :: dir :: cpus :: Nil =>
       val s = session(cpus.toInt)
       import s.implicits._
+      // task-level ON-CPU time: flat N->4N proves the extra wall at low
+      // parallelism is queueing, not extra work (same criterion as the
+      // multi-executor `cluster` mode)
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      var peakMem = 0L
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+              val m = t.taskMetrics.peakExecutionMemory
+              if (m > peakMem) peakMem = m
+            }
+        })
       def gcMs: Long = {
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -45,6 +88,7 @@ object ScalingBench {
       s.sharedState.cacheManager.clearCache()
       val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
       s.sparkContext.register(acc)
+      cpuNs.set(0L); peakMem = 0L
       val gc0 = gcMs
       // measured pass, stage by stage (same stage functions as extract)
       val (mentions, mSec) = timed {
@@ -70,7 +114,7 @@ object ScalingBench {
         val ws = ls.map(_.wall_ms)
         f""""$st":{"parts":${ls.size},"sum_task_ms":${ws.sum},"max_task_ms":${ws.max}}"""
       }.mkString(",")
-      println(f"""{"cpus":$cpus,"turns":$n,"edges":$edges,"mentions_sec":$mSec%.1f,"fold_sec":$bSec%.1f,"canon_sec":$cSec%.1f,"mat_sec":$eSec%.1f,"sec":$fullSec%.1f,"turns_per_sec":$thr%.1f,"gc_sec":$gcSec%.1f,"stages":{$stageStats}}""")
+      println(f"""{"cpus":$cpus,"turns":$n,"edges":$edges,"mentions_sec":$mSec%.1f,"fold_sec":$bSec%.1f,"canon_sec":$cSec%.1f,"mat_sec":$eSec%.1f,"sec":$fullSec%.1f,"turns_per_sec":$thr%.1f,"gc_sec":$gcSec%.1f,"task_cpu_sec":${cpuNs.get / 1e9}%.1f,"peak_task_mem_mb":${peakMem / 1048576},"heap_max_mb":${Runtime.getRuntime.maxMemory / 1048576},"stages":{$stageStats}}""")
       s.stop()
     case "cluster" :: dir :: reps :: Nil =>
       // REAL multi-executor evidence: submitted via spark-submit against a
