@@ -11,9 +11,9 @@ object PlanAudit {
   private val audited = Seq(
     "q1_agg", "q_join_broadcast", "q_window_running", "kg_mentions",
     "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "ann_brute", "ann_ivf",
-    "text_quality", "text_search", "kg_precedence", "kg_emit_assembly",
-    "kg_emit_serial", "kg_emit_indexcard", "text_repetition",
-    "text_ngram_topk", "text_sample_stratified")
+    "text_quality", "text_search", "text_search_phrase", "kg_precedence",
+    "kg_emit_assembly", "kg_emit_serial", "kg_emit_indexcard",
+    "text_repetition", "text_ngram_topk", "text_sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
