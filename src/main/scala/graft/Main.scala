@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main --workdir DIR [--input PATH [--format parquet|dsv|jsonl|text]]
   *              [--convs N] [--mega N] [--seed N]
+  *              [--rules FILE [--replace-rules]]
+  *              [--context-policy backward|bidirectional]
   *              [--golden] [--no-resume] [--score]
   *
   * --input reads an existing turns table (conv_id, turn_idx, role, text,
@@ -19,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   * triple P/R against the corpus oracle (generated/golden corpora only).
   * Re-running with the same --workdir resumes from completed stage
   * checkpoints unless --no-resume.
+  *
+  * --rules loads a RuleDsl grammar file on top of the built-in grammar
+  * (--replace-rules swaps it wholesale) — the spark-submit face of the
+  * reference's reloadable YAML grammar (RuleReader.reload / ApiRuler).
+  * --context-policy bidirectional enables the Policy4 context window.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -42,6 +49,25 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("--rules").foreach { path =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Pipeline.reloadRules(spark, text,
+        extend = !flags.contains("--replace-rules"))
+      val g = RuleDsl.parse(text)
+      println(s"[graft] loaded ${g.rules.size} rules + " +
+        s"${g.depRules.size} dep rules from $path" +
+        (if (flags.contains("--replace-rules")) " (replacing built-ins)"
+         else " (extending built-ins)"))
+    }
+    opts.get("--context-policy").foreach {
+      case p @ (ConvProcessor.PolicyBackward |
+                ConvProcessor.PolicyBidirectional) =>
+        Pipeline.contextPolicy = p
+      case p => sys.error(s"unknown --context-policy $p")
+    }
 
     val t0 = System.nanoTime()
     val (turns, expected) = opts.get("--input") match {

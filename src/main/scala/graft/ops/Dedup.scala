@@ -145,6 +145,34 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Distinct word n-gram shingles, JIT-compiled kernel form — gram-for-gram
+    * identical to [[shingles]] (same normalization, windowing, emptiness
+    * filter, distinctness) but ~an order of magnitude cheaper per document:
+    * the Catalyst HOF pipeline (transform∘sequence∘slice∘concat_ws∘
+    * array_distinct) is interpreted per element, and decontamination
+    * evaluates it over every token of the training corpus.
+    */
+  def shinglesKernel(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val nSh = toks.length - n + 1
+    if (nSh <= 0) {
+      // mirror shingles(): greatest(size-n, 0) keeps one window of all toks
+      val g = toks.mkString(" ")
+      if (g.isEmpty) Array.empty else Array(g)
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < nSh) { // windows 0..size-n (sequence bound is inclusive)
+        val g = toks.slice(i, i + n).mkString(" ")
+        if (g.nonEmpty) seen.add(g)
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toArray
+    }
+  }
+
   /** Benchmark decontamination: flag training documents whose n-gram overlap
     * with any eval-set document exceeds a containment threshold (the standard
     * train/test-leakage scrub run before LLM training; containment is
@@ -155,18 +183,20 @@ object Dedup {
     * its exploded shingle index is broadcast, so the training side never
     * shuffles on text — one exchange on (doc_id, eval_id) for the partial-agg
     * intersection count. Output: (doc_id, eval_id, containment) pairs at or
-    * above the threshold.
+    * above the threshold. Shingling runs in the [[shinglesKernel]] flatMap
+    * (the training-side scan is the whole cost at corpus scale).
     */
   def contamination(docs: DataFrame, evalDocs: DataFrame, ngram: Int = 8,
                     threshold: Double = 0.5): DataFrame = {
-    def sh(d: DataFrame, idAs: String) = d.select(
-      col("doc_id").as(idAs), shingles(col("text"), ngram).as("s"))
-    val ev = sh(evalDocs, "eval_id").filter(size(col("s")) > 0)
-    val evIdx = ev.select(col("eval_id"), explode(col("s")).as("g"))
-    val evSz = ev.select(col("eval_id"), size(col("s")).as("esz"))
-    val trIdx = sh(docs, "doc_id")
-      .select(col("doc_id"), explode(col("s")).as("g"))
-    trIdx.join(broadcast(evIdx), "g")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def idx(d: DataFrame, idAs: String) =
+      d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) => shinglesKernel(t, ngram).map((id, _)) }
+        .toDF(idAs, "g")
+    val evSz = idx(evalDocs, "eval_id")
+      .groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    idx(docs, "doc_id").join(broadcast(idx(evalDocs, "eval_id")), "g")
       .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("common"))
       .join(broadcast(evSz), "eval_id")
       .withColumn("containment", round(col("common") / col("esz"), 6))
@@ -200,11 +230,18 @@ object Dedup {
   def clusters(pairs: DataFrame, driverThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // the edge set is consumed at least twice (threshold count, then either
+    // the driver collect or the propagation loop's base); without a persist
+    // an expensive upstream pair generator (minhash + verify) runs once per
+    // consumption — at any scale, pairs are orders of magnitude smaller than
+    // the corpus, so materializing them is the cheap side of that trade
     val es = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .persist()
     val keepCol = (col("doc_id") === col("cluster_id")).cast("int").as("keep")
     val cnt = es.count()
     if (cnt <= driverThreshold) {
       val edges = es.as[(Long, Long)].collect()
+      es.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -228,6 +265,7 @@ object Dedup {
         .union(es.select(col("b").as("u"), col("a").as("v")))
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
+      es.unpersist(blocking = false)
       var labels = und.select(col("u").as("n")).distinct()
         .select(col("n"), col("n").as("lbl")).localCheckpoint(true)
       var changed = 1L

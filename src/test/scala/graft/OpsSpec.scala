@@ -81,6 +81,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hit2.forall(h => h._3 >= 0.5 && h._3 <= 1.0))
   }
 
+  test("shinglesKernel is gram-for-gram identical to the Catalyst shingles") {
+    for (n <- Seq(3, 8)) {
+      val fromSql = docs
+        .select(col("doc_id"), Dedup.shingles(col("text"), n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val fromKernel = docs.select("doc_id", "text").as[(Long, String)]
+        .collect()
+        .map { case (id, t) => id -> Dedup.shinglesKernel(t, n).toSeq }.toMap
+      assert(fromSql == fromKernel, s"n=$n")
+    }
+    // short-doc window: fewer tokens than n -> one all-tokens gram
+    assert(Dedup.shinglesKernel("a b", 8).toSeq == Seq("a b"))
+    assert(Dedup.shinglesKernel("", 8).isEmpty)
+  }
+
   test("redaction: URL-first precedence, counts chained, placeholders stable") {
     val d = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or see https://h.io/p?u=x@y.zz end"),

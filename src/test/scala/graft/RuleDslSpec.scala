@@ -103,6 +103,94 @@ class RuleDslSpec extends AnyFunSuite {
       "rule r2\n  priority: 2\n  kind: entity Site\n  pattern: /a\n"))
   }
 
+  test("a NEW dependency rule defined as data extracts from a construction " +
+       "the surface rules cannot reach") {
+    val dsl =
+      """deprule dsl_hyperphos_pass
+        |  priority: 7
+        |  kind: simplemod
+        |  trigger: /hyper-?phosphorylat\w+/ verbal
+        |  arg: theme BioChemicalEntity expand:/conj_.*|cc|nn/ paths: >/nsubjpass/
+        |  arg: cause BioChemicalEntity optional expand:/conj_.*|cc|appos|nn/ paths: >/agent|prep_by/
+        |""".stripMargin
+    val parsed = RuleDsl.parse(dsl)
+    assert(parsed.rules.isEmpty && parsed.depRules.size == 1)
+    val g = BioRules.default.withRules(Nil, parsed.depRules)
+    val sent = Annotate.annotateText(trie, "ERK2 is hyperphosphorylated by MEK1.")
+    val builtin = sent.flatMap(s => BioRules.extractSentence("c", 0, s))
+    assert(!builtin.exists(_.is_event))
+    val withDsl = sent.flatMap(s =>
+      BioRules.extractSentence("c", 0, s, Nil, g))
+    assert(withDsl.exists(m => m.is_event &&
+      m.labels.head == "Phosphorylation"), withDsl.map(_.labels.head))
+    assert(withDsl.exists(m => m.is_event &&
+      m.labels.head == "Positive_regulation"))
+    // and the deprule round-trips through render like everything else
+    assert(RuleDsl.parse(RuleDsl.render(g)) == g)
+  }
+
+  test("seeded fuzz: 300 random grammars round-trip exactly") {
+    import graft.kg.BioRules._
+    val rnd = new scala.util.Random(20260820L)
+    val reChars = "abcdefghijklmnopqrstuvwxyz0123456789|/-."
+    def ident(): String =
+      "id" + (1 + rnd.nextInt(8)).toString +
+        Seq.fill(3 + rnd.nextInt(5))(
+          ('a' + rnd.nextInt(26)).toChar).mkString
+    def safeRe(): String =
+      Seq.fill(1 + rnd.nextInt(10))(
+        reChars.charAt(rnd.nextInt(reChars.length))).mkString
+    def kind(): Kind = rnd.nextInt(10) match {
+      case 0 => EntityK(ident())
+      case 1 => GenericMutantK
+      case 2 => GenericEventK
+      case 3 => SimpleModK
+      case 4 => AutoModK
+      case 5 => FixedEventK(ident(), if (rnd.nextBoolean()) "theme" else ident())
+      case 6 => BindingK
+      case 7 => RegulationK
+      case 8 => ActivationK
+      case _ => if (rnd.nextBoolean()) AliasK else AliasUnknownK
+    }
+    def pe(depth: Int): PE = rnd.nextInt(if (depth > 1) 9 else 11) match {
+      case 0 => W(safeRe())
+      case 1 => T(safeRe())
+      case 2 => TL(safeRe(), 1 + rnd.nextInt(5))
+      case 3 => M(ident(), ident())
+      case 4 => ML(ident(), ident(), rnd.nextBoolean(),
+        if (rnd.nextBoolean()) "and|or|&" else safeRe())
+      case 5 => X(rnd.nextInt(9))
+      case 6 => NotNext(safeRe())
+      case 7 => NotNextM(ident())
+      case 8 => AtStart
+      case 9 => OptG(Seq.fill(1 + rnd.nextInt(3))(pe(depth + 1)): _*)
+      case _ => AltG(Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(3))(pe(depth + 1))): _*)
+    }
+    def hop(): Hop = Hop(safeRe(), rnd.nextBoolean())
+    def depArg(): DepArg = DepArg(ident(), ident(),
+      Seq.fill(1 + rnd.nextInt(3))(List.fill(1 + rnd.nextInt(3))(hop())),
+      if (rnd.nextBoolean()) "conj_.*|cc|appos|nn" else safeRe(),
+      rnd.nextBoolean(), rnd.nextBoolean())
+    (1 to 300).foreach { i =>
+      val rules = (0 until rnd.nextInt(4)).map(k =>
+        Rule(s"r${i}_$k", 1 + rnd.nextInt(20), kind(),
+          List.fill(1 + rnd.nextInt(5))(pe(0)))).toList
+      val depRules = (0 until rnd.nextInt(3)).map(k =>
+        DepRule(s"d${i}_$k", 1 + rnd.nextInt(20), kind(), safeRe(),
+          rnd.nextBoolean(), Seq.fill(1 + rnd.nextInt(3))(depArg()),
+          if (rnd.nextBoolean()) "" else safeRe())).toList
+      val g = Grammar(rules, depRules)
+      val rendered = RuleDsl.render(g)
+      val parsed =
+        try RuleDsl.parse(rendered)
+        catch { case e: Throwable =>
+          fail(s"grammar $i failed to parse: ${e.getMessage}\n$rendered")
+        }
+      assert(parsed == g, s"grammar $i did not round-trip:\n$rendered")
+    }
+  }
+
   test("slash escaping round-trips regexes containing literal slashes") {
     val g = Grammar(List(Rule("slashy", 7, SimpleModK,
       List(W("a/b|c"), T("x"), M("theme", "BioChemicalEntity")))), Nil)
