@@ -132,9 +132,11 @@ object Dedup {
       .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify candidates with exact n-gram jaccard
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text"), ngram).as("sh"))
+    // verify candidates with exact n-gram jaccard (kernel shingling — same
+    // grams as the Catalyst form, OpsSpec-pinned, ~10x cheaper per doc)
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shinglesKernel(t, ngram)) }
+      .toDF("doc_id", "sh")
     cand
       .join(sh.toDF("a", "sha"), "a")
       .join(sh.toDF("b", "shb"), "b")
