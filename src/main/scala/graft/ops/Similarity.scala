@@ -134,20 +134,35 @@ object Similarity {
     chosen.take(n).map(i => sample(i)._2).toArray
   }
 
+  /** Hyperplane components for (tables x bits) planes over `dim` dimensions,
+    * memoized per executor: [[planeComponent]] is deterministic, so the
+    * splitmix evaluation per (plane, dim) pair needs to run once per JVM,
+    * not once per ROW — at 60k x 32-table x 8-bit x 64-dim that is ~1e9
+    * avoided mixes per pass. Tiny (tables*bits*dim doubles).
+    */
+  private val planeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  private def planesFor(tables: Int, bits: Int,
+                        dim: Int): Array[Array[Double]] =
+    planeMemo.computeIfAbsent((tables, bits, dim), _ =>
+      Array.tabulate(tables * bits, dim)((p, d) =>
+        planeComponent((p / bits) * 64 + (p % bits), d)))
+
   /** Sign-bit buckets under `tables` x `bits` hyperplanes — JIT'd Scala
     * kernel (interpreted Catalyst HOFs cost ~tables*bits*dim allocations per
-    * row; the kernel is plain ALU work).
+    * row; the kernel is plain ALU work over memoized plane vectors).
     */
-  def lshBuckets(vec: Array[Float], tables: Int, bits: Int): Array[Long] =
+  def lshBuckets(vec: Array[Float], tables: Int, bits: Int): Array[Long] = {
+    val planes = planesFor(tables, bits, vec.length)
     Array.tabulate(tables) { t =>
       var bucket = 0L
       var b = 0
       while (b < bits) {
-        val plane = t * 64 + b
+        val pv = planes(t * bits + b)
         var proj = 0.0
         var d = 0
         while (d < vec.length) {
-          proj += vec(d) * planeComponent(plane, d)
+          proj += vec(d) * pv(d)
           d += 1
         }
         if (proj >= 0) bucket |= (1L << b)
@@ -155,6 +170,7 @@ object Similarity {
       }
       bucket
     }
+  }
 
   /** IVF-partitioned ANN (the inverted-file shape): a deterministic
     * spherical k-means coarse quantizer — centroids seeded by a
