@@ -133,23 +133,36 @@ object TextAnalysis {
   def repetition(docs: DataFrame,
                  topNs: Seq[Int] = Seq(2, 3, 4),
                  dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val ns = (topNs ++ dupNs).distinct.sorted
-    val toks = ws(lower(trim(col("text"))))
-    val base = docs.select(col("doc_id"), toks.as("ts"))
-      .withColumn("norm_chars",
-        length(concat_ws(" ", col("ts"))).cast("long"))
-    val sentinel = array(struct(lit(0).as("n"), lit("").as("gram")))
-    val gramStructs = flatten(array(sentinel +: ns.map { n =>
-      when(size(col("ts")) >= n,
-        transform(sequence(lit(0), greatest(size(col("ts")) - n, lit(0))),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("ts"), i + 1, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    }: _*))
-    val counts = base
-      .select(col("doc_id"), col("norm_chars"), explode(gramStructs).as("g"))
-      .groupBy(col("doc_id"), col("norm_chars"),
-        col("g.n").as("n"), col("g.gram").as("gram"))
+    // gram generation in a JIT'd kernel flatMap — one pass over the tokens
+    // for all window sizes, replacing |ns| interpreted Catalyst
+    // transform∘sequence∘slice∘concat_ws pipelines per document (same
+    // windowing: full n-windows only when the doc has >= n tokens, plus the
+    // n=0 sentinel keeping short docs in the aggregation)
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks =
+          if (text == null) Array.empty[String]
+          else text.trim.toLowerCase.split("\\s+")
+        val normChars = toks.mkString(" ").length.toLong
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, Long, Int, String)]
+        out += ((id, normChars, 0, ""))
+        ns.foreach { n =>
+          var i = 0
+          val nSh = toks.length - n + 1
+          while (i < nSh) {
+            out += ((id, normChars, n, toks.slice(i, i + n).mkString(" ")))
+            i += 1
+          }
+        }
+        out
+      }
+      .toDF("doc_id", "norm_chars", "n", "gram")
+    val counts = rows
+      .groupBy(col("doc_id"), col("norm_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val cover = col("cnt") * length(col("gram")).cast("long")
     val aggs =
@@ -181,12 +194,18 @@ object TextAnalysis {
     * before the exchange and top-k never materializes the full gram table.
     */
   def ngramTopK(docs: DataFrame, n: Int = 5, k: Int = 20): DataFrame = {
-    val toks = ws(lower(trim(col("text"))))
-    val grams = docs.select(col("doc_id"), toks.as("ts"))
-      .where(size(col("ts")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), greatest(size(col("ts")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))).as("gram"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // kernel gram windows (same rationale and windowing as repetition)
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks =
+          if (text == null) Array.empty[String]
+          else text.trim.toLowerCase.split("\\s+")
+        (0 until toks.length - n + 1).iterator
+          .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+      }
+      .toDF("doc_id", "gram")
     grams.groupBy("gram")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
