@@ -364,18 +364,37 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine >= threshold (dot/(|a||b|) in double —
-    * same formula and accumulation order as the SQL oracle).
+    * same formula and accumulation order as the SQL oracle). The dot
+    * products run in a JIT'd kernel with the same left-to-right double
+    * accumulation as the `aggregate∘zip_with` Catalyst form (bit-identical
+    * raw cosines); the 4dp rounding stays in Catalyst `round` so the
+    * oracle-facing value is produced by the same function as before. This
+    * is the brute ORACLE tier — O(n²) by design, paired with
+    * [[embeddingPairsLsh]] as the scale path — but there is no reason for
+    * the reference computation to also be interpreted.
     */
   def embeddingPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    def prep(idAs: String, vecAs: String, nAs: String) = {
-      val d = transform(col("embedding"), x => x.cast("double"))
-      embeddings.select(col("vec_id").as(idAs), d.as(vecAs),
-        sqrt(Similarity.dot(d, d)).as(nAs))
-    }
-    prep("a", "va", "na").crossJoin(prep("b", "vb", "nb"))
-      .filter(col("a") < col("b"))
-      .withColumn("cosine",
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val prep = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        var s = 0.0
+        while (i < v.length) { d(i) = v(i).toDouble; s += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(s))
+      }
+    val raw = prep.joinWith(prep, lit(true), "cross")
+      .filter(p => p._1._1 < p._2._1)
+      .map { case ((a, va, na), (b, vb, nb)) =>
+        var s = 0.0
+        var i = 0
+        while (i < va.length) { s += va(i) * vb(i); i += 1 }
+        (a, b, s / (na * nb))
+      }
+      .toDF("a", "b", "c")
+    raw.withColumn("cosine", round(col("c"), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
