@@ -133,16 +133,27 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     // verify candidates with exact n-gram jaccard (kernel shingling — same
-    // grams as the Catalyst form, OpsSpec-pinned, ~10x cheaper per doc)
+    // grams as the Catalyst form, OpsSpec-pinned, ~10x cheaper per doc; the
+    // set intersection runs in a kernel map while the jaccard division +
+    // rounding stay in Catalyst, so the oracle-facing value is computed by
+    // the same functions as before)
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shinglesKernel(t, ngram)) }
       .toDF("doc_id", "sh")
     cand
       .join(sh.toDF("a", "sha"), "a")
       .join(sh.toDF("b", "shb"), "b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .select("a", "b", "sha", "shb") // joins put the key column first
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (a, b, sa, sb) =>
+        val set = sa.toSet
+        var common = 0
+        sb.foreach(g => if (set.contains(g)) common += 1)
+        (a, b, common, sa.size, sb.size)
+      }
+      .toDF("a", "b", "common", "sza", "szb")
       .withColumn("jaccard", col("common") /
-        (size(col("sha")) + size(col("shb")) - col("common")))
+        (col("sza") + col("szb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
