@@ -357,11 +357,22 @@ object RuleDsl {
         props.collectFirst { case (`k`, v, _) => v }
       def req(k: String): String = prop(k).getOrElse(
         throw DslError(s"$blockKind '$name' missing '$k:'", nameLine))
+      // rule/deprule constructors compile their Patterns eagerly — surface
+      // a bad regex as a DslError with the block's line, not a bare
+      // PatternSyntaxException
+      def guarded[T](f: => T): T =
+        try f
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            throw DslError(
+              s"invalid regex in $blockKind '$name': ${e.getMessage}",
+              nameLine)
+        }
       val priority = req("priority").trim.toInt
       val kind = parseKind(req("kind"), nameLine)
       if (blockKind == "rule") {
         val pToks = new Toks(lex(req("pattern"), nameLine), nameLine)
-        val pattern = parseSeq(pToks)
+        val pattern = guarded(parseSeq(pToks))
         if (!pToks.isEmpty)
           throw DslError(s"trailing tokens in pattern of '$name'", nameLine)
         if (pattern.isEmpty)
@@ -393,11 +404,12 @@ object RuleDsl {
           case other =>
             throw DslError(s"unexpected trigger tail '$other'", nameLine)
         }
-        val args = props.collect { case ("arg", v, ln) => parseDepArg(v, ln) }
+        val args = guarded(
+          props.collect { case ("arg", v, ln) => parseDepArg(v, ln) })
         if (args.isEmpty)
           throw DslError(s"deprule '$name' has no args", nameLine)
-        depRules += DepRule(name, priority, kind, trigRe, verbal,
-          args.toSeq, notOut)
+        depRules += guarded(DepRule(name, priority, kind, trigRe, verbal,
+          args.toSeq, notOut))
       }
       blockKind = null; name = null; props.clear()
     }

@@ -101,6 +101,17 @@ class RuleDslSpec extends AnyFunSuite {
     // unterminated regex
     intercept[RuleDsl.DslError](RuleDsl.parse(
       "rule r2\n  priority: 2\n  kind: entity Site\n  pattern: /a\n"))
+    // a NON-COMPILING regex surfaces as a DslError naming the rule, not a
+    // bare PatternSyntaxException
+    val bad2 = intercept[RuleDsl.DslError](RuleDsl.parse(
+      "rule r3\n  priority: 2\n  kind: entity Site\n  pattern: /a(b/\n"))
+    assert(bad2.getMessage.contains("invalid regex") &&
+      bad2.getMessage.contains("r3"))
+    val bad3 = intercept[RuleDsl.DslError](RuleDsl.parse(
+      "deprule d1\n  priority: 2\n  kind: binding\n" +
+        "  trigger: /x(/ verbal\n" +
+        "  arg: theme BioChemicalEntity paths: >/dobj/\n"))
+    assert(bad3.getMessage.contains("invalid regex"))
   }
 
   test("a NEW dependency rule defined as data extracts from a construction " +
