@@ -63,6 +63,30 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("the full conversation fold is total and deterministic over " +
+       "arbitrary multi-turn conversations") {
+    // the fold carries the most state (context engine, coref sieves, alias
+    // maps, co-argument exclusion) — run it over adversarial conversations
+    // end-to-end: extractTurn feeds ConvProcessor.process exactly as the
+    // pipeline's stage-b does
+    val kb = new Link.KbIndex(Lexicon.kb)
+    val convGen = Gen.listOfN(4, textGen)
+    samples(convGen, 120).foreach { texts =>
+      val mentions = texts.zipWithIndex.flatMap { case (t, i) =>
+        BioRules.extractTurn(graft.model.AnnotatedTurn("f", i, "user",
+          Annotate.annotateText(trie, t)))
+      }
+      val r1 = ConvProcessor.process("f", mentions, kb) // must not throw
+      val r2 = ConvProcessor.process("f",
+        scala.util.Random.shuffle(mentions.toList), kb)
+      assert(r1.flatMap(_.triple).toSet == r2.flatMap(_.triple).toSet,
+        s"order-sensitive fold on: ${texts.mkString(" || ")}")
+      // Policy4 must be total on the same inputs
+      ConvProcessor.process("f", mentions, kb,
+        ConvProcessor.PolicyBidirectional)
+    }
+  }
+
   test("edge cases: empty, whitespace, punctuation-only, giant token") {
     for (t <- Seq("", " ", "\n\t ", "...", "(((((", ")))", ",,,,",
         "a" * 5000, ". . . .", "( MEK1", "MEK1 )", "which which which",
