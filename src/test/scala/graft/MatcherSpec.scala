@@ -24,6 +24,25 @@ class MatcherSpec extends AnyFunSuite {
       "known", "as", "X", ")", ".", "Y63", ","))
   }
 
+  test("NER stop list: common-word case variants never become entities " +
+       "(TestNERStopList — every stop-list entry yields no mention)") {
+    // each stop-list entry alone must produce NO mentions, the reference
+    // suite's exact per-entry assertion
+    Lexicon.nerStopList.foreach { entry =>
+      assert(extract(entry).isEmpty, s"stop-list entry '$entry' matched")
+      assert(extract(entry.capitalize).isEmpty,
+        s"title-case stop-list entry '$entry' matched")
+    }
+    // "Bad" the word stays a word; "BAD" the registered symbol stays the
+    // protein (ner_stoplist.txt semantics encoded in the trie case rules)
+    assert(extract("Bad weather is common.").isEmpty)
+    val bad = Annotate.annotateText(trie, "BAD binds AKT1.")(0)
+    assert(bad.ner(0) == "B-Gene_or_gene_product")
+    // non-stop-listed symbols DO accept their title-case variant
+    val akt = Annotate.annotateText(trie, "Akt binds GSK3.")(0)
+    assert(akt.ner(0) == "B-Gene_or_gene_product")
+  }
+
   test("trie NER: longest match and case handling") {
     val s = Annotate.annotateText(trie, "The cyclin D1 protein and AKT1 bind.")(0)
     assert(s.ner.toSeq.count(_.startsWith("B-")) == 2)
