@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main --workdir DIR [--input PATH [--format parquet|dsv|jsonl|text]]
   *              [--convs N] [--mega N] [--seed N]
-  *              [--rules FILE [--replace-rules]]
+  *              [--rules FILE [--replace-rules]] [--kb DIR [--replace-kb]]
   *              [--context-policy backward|bidirectional]
   *              [--golden] [--no-resume] [--score]
   *
@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   * --rules loads a RuleDsl grammar file on top of the built-in grammar
   * (--replace-rules swaps it wholesale) — the spark-submit face of the
   * reference's reloadable YAML grammar (RuleReader.reload / ApiRuler).
+  * --kb loads a KbLoader bundle directory (lexicon.tsv / kb.tsv /
+  * stoplist.txt / taxonomy.yml) on top of the built-in entity knowledge
+  * (--replace-kb swaps each present file's component wholesale) — the
+  * spark-submit face of the reference's runtime-loaded TSV KBs.
   * --context-policy bidirectional enables the Policy4 context window.
   */
 object Main {
@@ -54,12 +58,22 @@ object Main {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      Pipeline.reloadRules(spark, text,
-        extend = !flags.contains("--replace-rules"))
       val g = RuleDsl.parse(text)
+      Pipeline.reloadRules(spark, g,
+        extend = !flags.contains("--replace-rules"))
       println(s"[graft] loaded ${g.rules.size} rules + " +
         s"${g.depRules.size} dep rules from $path" +
         (if (flags.contains("--replace-rules")) " (replacing built-ins)"
+         else " (extending built-ins)"))
+    }
+    opts.get("--kb").foreach { dir =>
+      val data = Pipeline.reloadKb(spark, dir,
+        extend = !flags.contains("--replace-kb"))
+      println(s"[graft] loaded KB bundle from $dir: " +
+        s"${data.lexicon.size} lexicon surfaces, ${data.kb.size} KB " +
+        s"entries, ${data.stopList.size} stop words, " +
+        s"${data.taxonomyParents.size} taxonomy edges" +
+        (if (flags.contains("--replace-kb")) " (replacing built-ins)"
          else " (extending built-ins)"))
     }
     opts.get("--context-policy").foreach {

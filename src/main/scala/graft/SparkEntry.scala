@@ -159,7 +159,20 @@ object SparkEntry {
     ("p18", 0, "MEK1 is ubiquitinated due to the phosphorylation of ERK2."),
     ("p19", 0, "The ubiquitination of ERK2 is a result of the phosphorylation of MEK1."),
     ("p20", 0, "MEK1 ubiquitination results from ERK2 phosphorylation."),
-    ("p21", 0, "MEK1 is ubiquitinated, resulting in the phosphorylation of ERK2."))
+    ("p21", 0, "MEK1 is ubiquitinated, resulting in the phosphorylation of ERK2."),
+    // feature-based sieve (shared-args gating, Sieves.scala:302-322): no
+    // discourse cue, no tense contrast — only the classifier sieve can pair
+    // these, and only because BAD (uniprot:Q92934) is shared input
+    ("p22", 0, "AKT1 phosphorylates BAD."),
+    ("p22", 1, "BAD binds BCL2."),
+    // negative control: adjacent events share NO participant -> no pair
+    ("p23", 0, "AKT1 phosphorylates BAD."),
+    ("p23", 1, "ERK2 binds STAT3."),
+    // negative control: shared participant but outside kWindow=1 -> no pair
+    ("p24", 0, "AKT1 phosphorylates BAD."),
+    ("p24", 1, "The samples were prepared."),
+    ("p24", 2, "We then analyzed the data."),
+    ("p24", 3, "BAD binds BCL2."))
 
   /** MITRE-filter fixture (reference: ExportFilters.MITREfilter:105-122).
     * Each block exercises one requirement: the phosphorylation is seen 3x
@@ -1143,6 +1156,12 @@ object SparkEntry {
         |  ('p20', 'Phosphorylation', 'uniprot:P28482', 0,
         |   'Ubiquitination', 'uniprot:Q02750', 0,
         |   'intra-sentential-rb:results_from'),
+        |  ('p22', 'Phosphorylation', 'uniprot:Q92934', 0,
+        |   'Binding', 'uniprot:P10415&uniprot:Q92934', 1,
+        |   'feature-based-classifier:narrative-order-default'),
+        |  ('p22', 'Positive_regulation', 'Phosphorylation(uniprot:Q92934)', 0,
+        |   'Binding', 'uniprot:P10415&uniprot:Q92934', 1,
+        |   'feature-based-classifier:narrative-order-default'),
         |  ('p21', 'Ubiquitination', 'uniprot:Q02750', 0,
         |   'Phosphorylation', 'uniprot:P28482', 0,
         |   'intra-sentential-rb:results_in')

@@ -20,7 +20,8 @@ object Annotate {
     * lower-cased token. The reference analogue is the HashTrie rescan used for
     * aliases (coref/InstanceFinder.scala:9-34); here it drives primary NER.
     */
-  final class Trie extends Serializable {
+  final class Trie(stopList: Set[String] = Lexicon.nerStopList)
+      extends Serializable {
     final class Node extends Serializable {
       var children: Map[String, Node] = Map.empty
       var label: String = null // non-null => phrase ends here
@@ -54,7 +55,7 @@ object Annotate {
         // dictionaries carry these case variants; TestModifications
         // mutantTest9-14 use all-caps "RAS") unless the lowercase form is a
         // stop-listed common word ("Bad" stays a word — ner_stoplist.txt)
-        if (!Lexicon.nerStopList.contains(phrase.toLowerCase)) {
+        if (!stopList.contains(phrase.toLowerCase)) {
           val title = phrase.toLowerCase.capitalize
           if (title != phrase) cur.surfaces += title
           val upper = phrase.toUpperCase
@@ -195,8 +196,9 @@ object Annotate {
     else w
   }
 
-  def buildTrie(lexicon: Seq[(String, String)]): Trie = {
-    val t = new Trie
+  def buildTrie(lexicon: Seq[(String, String)],
+                stopList: Set[String] = Lexicon.nerStopList): Trie = {
+    val t = new Trie(stopList)
     lexicon.foreach { case (p, l) => t.add(p, l) }
     t
   }

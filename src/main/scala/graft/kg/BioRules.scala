@@ -238,7 +238,8 @@ object BioRules {
     * RuleReader.scala:43-51, export ApiRuler) and reach executors through
     * [[Broadcasts.grammar]].
     */
-  final case class Grammar(rules: List[Rule], depRules: List[DepRule]) {
+  final case class Grammar(rules: List[Rule], depRules: List[DepRule],
+                           taxonomy: Taxonomy = Lexicon.builtinTaxonomy) {
     @transient lazy val priorities: List[Int] =
       (rules.map(_.priority) ++ depRules.map(_.priority)).distinct.sorted
     @transient lazy val rulesByPriority: Map[Int, List[Rule]] =
@@ -253,7 +254,21 @@ object BioRules {
     /** Extension: the built-in grammar plus extra data-defined rules. */
     def withRules(extraRules: Seq[Rule],
                   extraDepRules: Seq[DepRule] = Nil): Grammar =
-      Grammar(rules ++ extraRules, depRules ++ extraDepRules)
+      Grammar(rules ++ extraRules, depRules ++ extraDepRules, taxonomy)
+
+    /** Swap the strict-head generic-anaphor rule's head alternation — the
+      * one rule whose pattern is derived from the NER lexicon
+      * ([[Lexicon.multiwordHeadsOf]]); a KB reload with new multi-word
+      * surfaces rebuilds it so data-added entities get anaphora support.
+      */
+    def withLexiconHeads(heads: Set[String]): Grammar = {
+      val re = if (heads.isEmpty) "(?!)" else heads.toSeq.sorted.mkString("|")
+      copy(rules = rules.map {
+        case r @ Rule("generic_head_np", _, _, List(det, W(_))) =>
+          r.copy(pattern = List(det, W(re)))
+        case r => r
+      })
+    }
   }
 
   private val ENT = "BioChemicalEntity"
@@ -2622,8 +2637,12 @@ object BioRules {
 
   def extractTurn(at: AnnotatedTurn, aliases: Seq[(String, String)],
                   grammar: Grammar): Seq[MentionRow] =
-    at.sents.toSeq.flatMap(s =>
-      extractSentence(at.conv_id, at.turn_idx, s, aliases, grammar))
+    // install the grammar's taxonomy for the mention-construction call
+    // sites (labelClosure) — the taxonomy travels on the grammar broadcast
+    Lexicon.withTaxonomy(grammar.taxonomy) {
+      at.sents.toSeq.flatMap(s =>
+        extractSentence(at.conv_id, at.turn_idx, s, aliases, grammar))
+    }
 
   /** Phase-A alias-definition scan (J3): entity rules + alias rules only,
     * returning (surface, label) pairs for unknown-surface aliases. Runs as a
@@ -2635,7 +2654,7 @@ object BioRules {
 
   def aliasDefsTurn(at: AnnotatedTurn,
                     grammar: Grammar): Seq[(String, String, String)] =
-    at.sents.toSeq.flatMap { sent =>
+    Lexicon.withTaxonomy(grammar.taxonomy) { at.sents.toSeq.flatMap { sent =>
       val state = new State
       val deps = DepParser.parse(sent)
       decodeIob(at.conv_id, at.turn_idx, sent).foreach(state.add)
@@ -2646,5 +2665,5 @@ object BioRules {
       state.all.drop(before)
         .filter(_.found_by == "alias_unknown_b")
         .map(b => (at.conv_id, b.text, b.labels.head))
-    }
+    } }
 }

@@ -21,15 +21,27 @@ object Broadcasts {
   private var trie: Broadcast[Annotate.Trie] = _
   private var kb: Broadcast[Link.KbIndex] = _
   private var gram: Broadcast[BioRules.Grammar] = _
-  // survives a SparkContext swap: the reloaded grammar is re-broadcast on
-  // the new context, matching the singleton-KB re-init semantics
+  // survive a SparkContext swap: the reloaded grammar/KB bundle is
+  // re-broadcast on the new context, matching singleton-KB re-init semantics
   private var pendingGrammar: BioRules.Grammar = BioRules.default
+  private var pendingKb: KbData = KbData.builtin
+
+  /** The grammar actually broadcast: the pending rules with the pending KB
+    * bundle's taxonomy and lexicon-derived strict-head alternation applied.
+    * With the built-in bundle this is value-identical to [[pendingGrammar]]
+    * (same taxonomy map, same rendered head regex), so behavior is
+    * unchanged until a KB reload happens.
+    */
+  private def effectiveGrammar: BioRules.Grammar =
+    pendingGrammar.copy(taxonomy = Taxonomy(pendingKb.taxonomyParents))
+      .withLexiconHeads(Lexicon.multiwordHeadsOf(pendingKb.lexicon))
 
   private def ensure(sc: SparkContext): Unit = {
     if (!ctxId.contains(sc.applicationId) || trie == null) {
-      trie = sc.broadcast(Annotate.buildTrie(Lexicon.nerLexicon))
-      kb = sc.broadcast(new Link.KbIndex(Lexicon.kb))
-      gram = sc.broadcast(pendingGrammar)
+      trie = sc.broadcast(
+        Annotate.buildTrie(pendingKb.lexicon, pendingKb.stopList))
+      kb = sc.broadcast(new Link.KbIndex(pendingKb.kb))
+      gram = sc.broadcast(effectiveGrammar)
       ctxId = Some(sc.applicationId)
     }
   }
@@ -56,8 +68,26 @@ object Broadcasts {
       ensure(sc)
       pendingGrammar = g
       val old = gram
-      gram = sc.broadcast(g)
+      gram = sc.broadcast(effectiveGrammar)
       // release the old blocks lazily; never blocks running tasks
       if (old != null) old.unpersist(blocking = false)
+    }
+
+  /** Rebuild the NER trie, grounding index, and grammar-carried taxonomy/
+    * head-alternation from a (data-loaded) KB bundle — the KB face of
+    * [[reloadGrammar]] (the reference's TSV KBs are runtime-loaded
+    * singletons; this is their broadcast-rebuild analogue). In-flight jobs
+    * keep the broadcasts they captured at plan time.
+    */
+  def reloadKb(sc: SparkContext, data: KbData): Unit =
+    synchronized {
+      ensure(sc)
+      pendingKb = data
+      val oldT = trie; val oldK = kb; val oldG = gram
+      trie = sc.broadcast(Annotate.buildTrie(data.lexicon, data.stopList))
+      kb = sc.broadcast(new Link.KbIndex(data.kb))
+      gram = sc.broadcast(effectiveGrammar)
+      Seq(oldT, oldK, oldG).foreach(b =>
+        if (b != null) b.unpersist(blocking = false))
     }
 }

@@ -100,27 +100,35 @@ object Lexicon {
     "Event" -> "PossibleController"
   )
 
-  private def computeClosure(head: String): Array[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer(head)
-    var cur = head
-    while (taxonomyParents.contains(cur)) {
-      cur = taxonomyParents(cur)
-      buf += cur
-    }
-    buf.toArray
+  /** The built-in taxonomy as a [[Taxonomy]] value (the default carried by
+    * every [[BioRules.Grammar]]).
+    */
+  lazy val builtinTaxonomy: Taxonomy = Taxonomy(taxonomyParents)
+
+  /** Active-taxonomy override for the current thread. The taxonomy rides the
+    * grammar broadcast ([[BioRules.Grammar.taxonomy]] — the reference keeps
+    * taxonomy.yml IN the grammar directory and loads it with the rules,
+    * reach/package.scala:10-22); the extraction entry points install it here
+    * for the duration of one turn/group so the deep mention-construction
+    * call sites keep their zero-argument [[labelClosure]] signature while
+    * remaining cluster-correct (the value always comes from a broadcast
+    * captured at plan time, never from driver-side singletons).
+    */
+  private val tlTax = new ThreadLocal[Taxonomy]
+  def withTaxonomy[T](t: Taxonomy)(f: => T): T = {
+    val prev = tlTax.get
+    tlTax.set(t)
+    try f
+    finally tlTax.set(prev)
   }
 
-  /** Full hypernym closure for a head label, head first. The taxonomy is
-    * finite, so every closure is precomputed into an immutable map at class
-    * init — zero allocation and zero cross-thread contention on the
-    * extraction/fold hot paths; the shared arrays are treated as immutable
-    * everywhere.
+  /** Full hypernym closure for a head label, head first — from the
+    * thread-installed taxonomy when one is active, else the built-in.
     */
-  private val closures: Map[String, Array[String]] =
-    (taxonomyParents.keySet ++ taxonomyParents.values)
-      .map(l => l -> computeClosure(l)).toMap
-  def labelClosure(head: String): Array[String] =
-    closures.getOrElse(head, computeClosure(head))
+  def labelClosure(head: String): Array[String] = {
+    val t = tlTax.get
+    (if (t == null) builtinTaxonomy else t).closure(head)
+  }
 
   private def g(names: String*): Seq[(String, String)] =
     names.map(_ -> "Gene_or_gene_product")
@@ -132,10 +140,16 @@ object Lexicon {
     * Only alphabetic tokens of length >= 4 qualify (residue/number suffixes
     * like "D1" would be spurious heads).
     */
-  lazy val multiwordHeads: Set[String] = {
+  lazy val multiwordHeads: Set[String] = multiwordHeadsOf(nerLexicon)
+
+  /** Same computation over an arbitrary (possibly data-loaded) lexicon —
+    * [[KbLoader]] rebuilds the strict-head generic rule from the merged
+    * lexicon so a data-added multi-word surface gets anaphora support too.
+    */
+  def multiwordHeadsOf(lexicon: Seq[(String, String)]): Set[String] = {
     val bioLabels = Set("Gene_or_gene_product", "Family", "Complex",
       "Simple_chemical")
-    nerLexicon.iterator
+    lexicon.iterator
       .filter { case (surface, label) =>
         bioLabels.contains(label) && surface.contains(" ") }
       .flatMap(_._1.split(" "))

@@ -41,8 +41,14 @@ object Pipeline {
     * built-in grammar; `false` replaces it wholesale.
     */
   def reloadRules(spark: SparkSession, dslText: String,
-                  extend: Boolean = true): Unit = {
-    val parsed = RuleDsl.parse(dslText)
+                  extend: Boolean = true): Unit =
+    reloadRules(spark, RuleDsl.parse(dslText), extend)
+
+  /** Pre-parsed variant (callers that also inspect the grammar parse once
+    * and pass it here, so logged counts always match what was loaded).
+    */
+  def reloadRules(spark: SparkSession, parsed: BioRules.Grammar,
+                  extend: Boolean): Unit = {
     val g =
       if (extend) BioRules.default.withRules(parsed.rules, parsed.depRules)
       else parsed
@@ -52,6 +58,25 @@ object Pipeline {
   /** Restore the built-in grammar. */
   def resetRules(spark: SparkSession): Unit =
     Broadcasts.reloadGrammar(spark.sparkContext, BioRules.default)
+
+  /** Load a KB bundle directory ([[KbLoader]] format: lexicon.tsv, kb.tsv,
+    * stoplist.txt, taxonomy.yml — the reference's TsvIMKBFactory /
+    * ner_stoplist.txt / taxonomy.yml analogue) and rebuild the session
+    * broadcasts with it. `extend = true` (default) layers the files on top
+    * of the built-in bundle; `false` replaces each present component
+    * wholesale. Returns the effective bundle (for logging).
+    */
+  def reloadKb(spark: SparkSession, dir: String,
+               extend: Boolean = true): KbData = {
+    val data = KbLoader.merge(KbData.builtin, KbLoader.load(dir),
+      replace = !extend)
+    Broadcasts.reloadKb(spark.sparkContext, data)
+    data
+  }
+
+  /** Restore the built-in KB bundle. */
+  def resetKb(spark: SparkSession): Unit =
+    Broadcasts.reloadKb(spark.sparkContext, KbData.builtin)
 
   /** Thread-local rows_in counter. The stage transform (flatMap /
     * flatMapGroups) and the [[instrument]] wrapper are pipelined into the SAME
@@ -202,6 +227,7 @@ object Pipeline {
              runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
     import spark.implicits._
     val (_, bKb) = Broadcasts.get(spark.sparkContext)
+    val bG = Broadcasts.grammar(spark.sparkContext) // taxonomy for closures
     val policy = contextPolicy // driver-side capture, ships with the closure
     // the label closure is a pure function of the head label
     // (Lexicon.labelClosure) — shipping 5-7 closure strings per mention
@@ -212,11 +238,13 @@ object Pipeline {
     val grouped = compact
       .groupByKey(m => (m.conv_id, m.turn_idx / chunkTurns))
       .flatMapGroups { (key, it) =>
-        val ms = it.map { m =>
-          InCount.inc()
-          m.copy(labels = Lexicon.labelClosure(m.labels.head))
-        }.toSeq
-        ConvProcessor.process(key._1, ms, bKb.value, policy).iterator
+        Lexicon.withTaxonomy(bG.value.taxonomy) {
+          val ms = it.map { m =>
+            InCount.inc()
+            m.copy(labels = Lexicon.labelClosure(m.labels.head))
+          }.toSeq
+          ConvProcessor.process(key._1, ms, bKb.value, policy).iterator
+        }
       }
     instrument(grouped, "link_coref_emit", runId, acc)
   }

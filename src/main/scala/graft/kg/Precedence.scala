@@ -104,7 +104,146 @@ object Precedence {
       !(aPred.contains("activation") && bPred.contains("activation") &&
         aObj === bObj)
 
-  def precedence(edges: DataFrame, lookback: Int = 3): DataFrame = {
+  // ---- sieve 4: feature-based classifier (shared-args variant) -----------
+
+  /** Classifier labels (reference: AssemblyRelationClassifier.scala label
+    * set; Sieves.classifyCausalPrecedencePairs:486-511 keeps non-NEG).
+    */
+  val E1PrecedesE2 = "E1PrecedesE2"
+  val E2PrecedesE1 = "E2PrecedesE1"
+  val NEG = "NEG"
+
+  /** Pluggable causal-precedence pair classifier — the reproducible face of
+    * the reference's `featureBasedClassifierWithSharedArgs` sieve
+    * (Sieves.scala:302-322). The trained model it loads (`fbc.model`,
+    * named at assembly reference.conf:44) is NOT vendored in the reference
+    * tree, so what is reproducible from public content is: the candidate
+    * gating (withinWindow ∘ shareArg ∘ isValidRelationPair,
+    * Constraints.scala:43-160), the feature columns, and this interface —
+    * with a deterministic default standing in for the absent model.
+    * `classify` must add `label` (E1PrecedesE2 / E2PrecedesE1 / NEG) and
+    * `score` columns to the gated candidate-pair frame; implementations
+    * stay in Catalyst columns so the sieve remains UDF-free and codegen'd.
+    */
+  trait PairClassifier extends Serializable {
+    def name: String
+    def classify(pairs: DataFrame): DataFrame
+  }
+
+  /** Deterministic default: a gated pair (within window, sharing an input
+    * participant, constraint-valid) is labeled in narrative order —
+    * E1PrecedesE2 with a flat 0.5 score. Narrative order as the prior for
+    * shared-participant event pairs is the assembly literature's baseline
+    * intuition, and it is exactly reproducible by any SQL engine (the
+    * oracle requirement); swap in a real model via [[PairClassifier]].
+    */
+  object NarrativeOrderClassifier extends PairClassifier {
+    val name = "narrative-order-default"
+    def classify(pairs: DataFrame): DataFrame =
+      pairs.withColumn("label", lit(E1PrecedesE2))
+        .withColumn("score", lit(0.5))
+  }
+
+  /** Input-participant grounding ids of an edge (the reference's
+    * `getInput`/EntityEventRepresentation.I, Constraints.scala:45-54): the
+    * theme/controlled participants packed in `obj` ("a&b" n-mers; a
+    * regulation's composite "Pred(inner@site)" contributes its inner id)
+    * plus the controller in `subj`.
+    */
+  private def inputIds(subj: Column, obj: Column): Column = {
+    val inner = when(obj.contains("("),
+      regexp_extract(obj, "\\(([^@)]+)", 1)).otherwise(obj)
+    array_distinct(filter(concat(split(inner, "&"), array(subj)),
+      x => length(x) > 0))
+  }
+
+  /** Gated candidate pairs + feature columns. Gating =
+    * `meetsRequirements` (Sieves.scala:304-310): within the sentential
+    * window (reference kWindow default 1, reference.conf:24 — interpreted
+    * over the (turn_idx, sent_idx) lattice: same turn and |Δsent| <=
+    * kWindow, or Δturn <= kWindow, since transcripts make the turn the
+    * sentence group), sharing an input participant by grounding id
+    * (Constraints.shareArg:43-67 fuzzyIntersects), and
+    * isValidRelationPair. Pairs are oriented textually (e1 strictly before
+    * e2), so every unordered pair appears once and classification is
+    * deterministic. Features are the subset of FeatureExtractor.mkFeatures
+    * computable exactly from the edge table (label pair, cross-sentence
+    * flag, turn/sentence/trigger distances, tense pair, the shared ids);
+    * token-level surface features (interceding n-grams, syntactic paths)
+    * would ride the edge table as extra columns if a trained model needed
+    * them — the edge table deliberately does not carry sentence text.
+    *
+    * Scale shape: one conv_id-keyed self-join with the window bound in the
+    * join condition (bounded fan-out per event), constraints as pure
+    * column expressions.
+    */
+  def featureCandidates(edges: DataFrame, kWindow: Int = 1): DataFrame = {
+    require(kWindow >= 0, "window size must be >= 0")
+    def sideF(p: String): DataFrame = edges.select(
+      col("conv_id").as(p + "_conv"), col("turn_idx").as(p + "_turn"),
+      col("sent_idx").as(p + "_sent"), col("trig_start").as(p + "_trig"),
+      col("subj").as(p + "_subj"), col("pred").as(p + "_pred"),
+      col("obj").as(p + "_obj"), col("site").as(p + "_site"),
+      col("tense").as(p + "_tense"))
+    val a = sideF("a")
+    val b = sideF("b")
+    val textuallyOrdered =
+      col("a_turn") < col("b_turn") ||
+        (col("a_turn") === col("b_turn") &&
+          (col("a_sent") < col("b_sent") ||
+            (col("a_sent") === col("b_sent") &&
+              col("a_trig") < col("b_trig"))))
+    val withinWindow =
+      (col("a_turn") === col("b_turn") &&
+        abs(col("a_sent") - col("b_sent")) <= kWindow) ||
+        (col("b_turn") - col("a_turn")).between(1, kWindow)
+    a.join(b, col("a_conv") === col("b_conv") && textuallyOrdered &&
+        withinWindow)
+      .filter(validPair(col("a_pred"), col("a_obj"), col("a_site"),
+        col("b_pred"), col("b_obj"), col("b_site")))
+      .withColumn("f_shared_ids", array_intersect(
+        inputIds(col("a_subj"), col("a_obj")),
+        inputIds(col("b_subj"), col("b_obj"))))
+      .filter(size(col("f_shared_ids")) > 0) // Constraints.shareArg
+      .withColumn("f_label_pair", concat_ws("|", col("a_pred"), col("b_pred")))
+      .withColumn("f_cross_sent",
+        col("a_turn") =!= col("b_turn") || col("a_sent") =!= col("b_sent"))
+      .withColumn("f_turn_dist", col("b_turn") - col("a_turn"))
+      .withColumn("f_sent_dist", when(col("a_turn") === col("b_turn"),
+        col("b_sent") - col("a_sent")).otherwise(lit(-1)))
+      .withColumn("f_trig_dist", when(!col("f_cross_sent"),
+        col("b_trig") - col("a_trig")).otherwise(lit(-1)))
+      .withColumn("f_tense_pair",
+        concat_ws("|", col("a_tense"), col("b_tense")))
+      .withColumnRenamed("a_conv", "conv_id").drop("b_conv")
+  }
+
+  /** The feature-based sieve: gate, classify, keep non-NEG, orient by the
+    * label (classifyCausalPrecedencePairs:486-511 shape; the
+    * noExistingPrecedence guard is the cross-sieve dedup in
+    * [[precedence]]).
+    */
+  def featureBased(edges: DataFrame,
+                   clf: PairClassifier = NarrativeOrderClassifier,
+                   kWindow: Int = 1): DataFrame = {
+    val classified = clf.classify(featureCandidates(edges, kWindow))
+      .filter(col("label") =!= NEG)
+    val e1First = col("label") === E1PrecedesE2
+    classified.select(
+      col("conv_id"),
+      when(e1First, col("a_pred")).otherwise(col("b_pred")).as("before_pred"),
+      when(e1First, col("a_obj")).otherwise(col("b_obj")).as("before_obj"),
+      when(e1First, col("a_turn")).otherwise(col("b_turn")).as("before_turn"),
+      when(e1First, col("b_pred")).otherwise(col("a_pred")).as("after_pred"),
+      when(e1First, col("b_obj")).otherwise(col("a_obj")).as("after_obj"),
+      when(e1First, col("b_turn")).otherwise(col("a_turn")).as("after_turn"),
+      concat(lit("feature-based-classifier:"), lit(clf.name)).as("sieve"),
+      col("score"))
+  }
+
+  def precedence(edges: DataFrame, lookback: Int = 3,
+                 clf: PairClassifier = NarrativeOrderClassifier,
+                 kWindow: Int = 1): DataFrame = {
     def side(prefix: String, extra: (String, String)*): DataFrame =
       edges.select(
         Seq(col("conv_id"), col("turn_idx").as(prefix + "_turn"),
@@ -225,9 +364,17 @@ object Precedence {
       lit("reichenbach-tense").as("sieve"),
       lit(3).as("sieve_rank"))
 
+    // ---- sieve 4: feature-based classifier (shared-args gating) ----------
+    // runs after the rule-based sieves, exactly as the reference's
+    // applySieves order ends with the classifier sieve (Assembler.scala:
+    // 137-152); the cross-sieve dedup below is its noExistingPrecedence
+    val featRows = featureBased(edges, clf, kWindow)
+      .drop("score").withColumn("sieve_rank", lit(4))
+
     // earlier sieves win on duplicate pairs in EITHER direction (the
     // reference's noExistingPrecedence checks both)
     val unioned = cueRows.unionByName(intraRows).unionByName(tenseRows)
+      .unionByName(featRows)
     val beforeKey = concat_ws("|", col("before_pred"), col("before_obj"),
       col("before_turn"))
     val afterKey = concat_ws("|", col("after_pred"), col("after_obj"),

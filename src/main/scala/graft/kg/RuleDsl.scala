@@ -45,7 +45,14 @@ import scala.collection.mutable
   *   notnextm:Label    negative mention lookahead     -> NotNextM
   *   start             sentence-start anchor          -> AtStart
   * }}}
-  * Regex literals escape an internal slash as `\/`.
+  * Regex literals escape an internal slash as `\/` and an internal
+  * backslash as `\\` (the lexer unescapes both symmetrically; any other
+  * backslash pair is preserved verbatim, so hand-written `\w`/`\b` regexes
+  * read naturally). Dep rules must carry `priority > 5`: the sentence
+  * extractor stages dep rules over the event priorities only
+  * (BioRules.Grammar.eventPriorities filters `> 5` — entity priorities 1-5
+  * run token rules only), so a lower priority would load but never execute;
+  * parse rejects it with a line-numbered error instead (ADVICE r4).
   */
 object RuleDsl {
 
@@ -54,7 +61,8 @@ object RuleDsl {
 
   // ---- rendering ---------------------------------------------------------
 
-  private def esc(re: String): String = re.replace("/", "\\/")
+  private def esc(re: String): String =
+    re.replace("\\", "\\\\").replace("/", "\\/")
 
   private def renderPe(p: PE): String = p match {
     case W(re) => s"/${esc(re)}/"
@@ -144,7 +152,9 @@ object RuleDsl {
         while (i < n && !closed) {
           val ch = s.charAt(i)
           if (ch == '\\' && i + 1 < n) {
+            // \/ -> /, \\ -> \ (esc's inverses); any other pair is verbatim
             if (s.charAt(i + 1) == '/') cur.append('/')
+            else if (s.charAt(i + 1) == '\\') cur.append('\\')
             else { cur.append(ch); cur.append(s.charAt(i + 1)) }
             i += 2
           } else if (ch == '/') { cur.append('/'); closed = true; i += 1 }
@@ -379,6 +389,13 @@ object RuleDsl {
           throw DslError(s"empty pattern in '$name'", nameLine)
         rules += Rule(name, priority, kind, pattern)
       } else {
+        // dep rules only execute over eventPriorities (> 5); a lower
+        // priority would load silently dead (ADVICE r4)
+        if (priority <= 5)
+          throw DslError(
+            s"deprule '$name' has priority $priority, but dep rules run " +
+              "only at event priorities (> 5); entity priorities 1-5 are " +
+              "token-rule stages", nameLine)
         val trig = lex(req("trigger"), nameLine)
         val (trigRe, trigMode, trigRest) = trig match {
           case re :: mode :: rest if re.startsWith("/") =>

@@ -15,6 +15,25 @@ object Dedup {
   private def norm(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Kernel mirror of the Catalyst token chain `split(norm(text), " ")`:
+    * spaces-only trim (Spark/DuckDB `trim` strips 0x20 only — Java
+    * `String.trim` would also strip \t\n\r and diverge), locale-free
+    * lowercase (Locale.ROOT — a Turkish default JVM locale would map I->ı),
+    * `\s+` collapse, and a split that keeps leading/trailing empty tokens
+    * exactly as Spark's `split(..., -1)` does. Every JIT'd kernel in this
+    * package tokenizes through here so kernel output is token-for-token
+    * identical to the pinned Catalyst/DuckDB oracle semantics (ADVICE r4).
+    */
+  private[ops] def normTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    var s = 0
+    var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1)
+  }
+
   /** Exact dedup: keep the min-id document per distinct normalized text.
     * Classic hash-groupBy; at 100 TB this is one shuffle on xxhash64(text)
     * with map-side partial aggregation.
@@ -87,7 +106,7 @@ object Dedup {
     */
   def minhashBands(text: String, ngram: Int, numHashes: Int,
                    bands: Int): Array[Long] = {
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = normTokens(text)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val nSh = math.max(0, toks.length - ngram + 1)
@@ -167,7 +186,7 @@ object Dedup {
     */
   def shinglesKernel(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = normTokens(text)
     val nSh = toks.length - n + 1
     if (nSh <= 0) {
       // mirror shingles(): greatest(size-n, 0) keeps one window of all toks

@@ -143,9 +143,7 @@ object TextAnalysis {
     // n=0 sentinel keeping short docs in the aggregation)
     val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks =
-          if (text == null) Array.empty[String]
-          else text.trim.toLowerCase.split("\\s+")
+        val toks = Dedup.normTokens(text)
         val normChars = toks.mkString(" ").length.toLong
         val out = scala.collection.mutable.ArrayBuffer.empty[
           (Long, Long, Int, String)]
@@ -199,9 +197,7 @@ object TextAnalysis {
     // kernel gram windows (same rationale and windowing as repetition)
     val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks =
-          if (text == null) Array.empty[String]
-          else text.trim.toLowerCase.split("\\s+")
+        val toks = Dedup.normTokens(text)
         (0 until toks.length - n + 1).iterator
           .map(i => (id, toks.slice(i, i + n).mkString(" ")))
       }

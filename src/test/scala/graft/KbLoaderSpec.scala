@@ -1,0 +1,136 @@
+package graft
+
+import graft.kg._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KB-bundle-as-data specs: the built-in bundle round-trips through
+  * render+load exactly, the taxonomy tree parser and its validations work,
+  * and — the extensibility contract — a brand-new entity surface + KB entry
+  * added purely as data files grounds a triple through the FULL pipeline
+  * with no recompilation (the reference's runtime-TSV-KB behavior,
+  * TsvIMKBFactory.scala:32-51 / ReachKBConstants.scala:46-97).
+  */
+class KbLoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def write(dir: String, name: String, text: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("built-in bundle round-trips through render + load exactly") {
+    val dir = tmpDir("kbrt")
+    KbLoader.render(KbData.builtin, dir)
+    val delta = KbLoader.load(dir)
+    assert(delta.lexicon.isDefined && delta.kb.isDefined &&
+      delta.stopList.isDefined && delta.taxonomyParents.isDefined)
+    val back = KbLoader.merge(KbData.builtin, delta, replace = true)
+    assert(back.lexicon == KbData.builtin.lexicon)
+    assert(back.kb == KbData.builtin.kb)
+    assert(back.stopList == KbData.builtin.stopList)
+    assert(back.taxonomyParents == KbData.builtin.taxonomyParents)
+  }
+
+  test("taxonomy tree parser: nesting, ':' stripping, validations") {
+    def parse(t: String) = KbLoader.parseTaxonomy(
+      t.linesIterator.zipWithIndex.map { case (l, i) => (l, i + 1) }
+        .filter(x => x._1.trim.nonEmpty && !x._1.trim.startsWith("#"))
+        .toSeq, "taxonomy.yml")
+    val p = parse(
+      """# comment
+        |Entity:
+        |  Context:
+        |    Species
+        |    CellLine
+        |  Site
+        |Thing
+        |  SubThing""".stripMargin)
+    assert(p == Map("Context" -> "Entity", "Species" -> "Context",
+      "CellLine" -> "Context", "Site" -> "Entity", "SubThing" -> "Thing"))
+    // tabs rejected with a line number
+    val e1 = intercept[KbLoader.KbFileError](parse("A\n\tB"))
+    assert(e1.getMessage.contains("taxonomy.yml:2"))
+    // conflicting second parent rejected (single inheritance)
+    val e2 = intercept[KbLoader.KbFileError](parse("A\n  C\nB\n  C"))
+    assert(e2.getMessage.contains("single inheritance"))
+    // a cycle fails at merge (closure precompute) time
+    intercept[IllegalArgumentException] {
+      KbLoader.merge(KbData.builtin,
+        KbLoader.KbDelta(None, None, None,
+          Some(Map("A" -> "B", "B" -> "A"))), replace = false)
+    }
+  }
+
+  test("kb.tsv / lexicon.tsv errors carry file and line") {
+    val dir = tmpDir("kberr")
+    write(dir, "kb.tsv", "# header\nGOODPROT\tP00001\n\tmissing-text")
+    val e = intercept[KbLoader.KbFileError](KbLoader.load(dir))
+    assert(e.getMessage.startsWith("kb.tsv:3"))
+    val dir2 = tmpDir("kberr2")
+    write(dir2, "lexicon.tsv", "FOXO3\tGGP\textra\tfields")
+    val e2 = intercept[KbLoader.KbFileError](KbLoader.load(dir2))
+    assert(e2.getMessage.startsWith("lexicon.tsv:1"))
+  }
+
+  test("a data-added surface + KB entry grounds a triple through the full " +
+       "pipeline; a data-added stop word and taxonomy label take effect") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val turns = spark.createDataset(Seq(
+      Transcripts.mkTurn("kb1", 0, "user", "AKT1 phosphorylates FOXO3.")))
+
+    // before the reload: FOXO3 is not a known surface -> no grounded object
+    val before = Pipeline.extract(spark, turns).edges
+      .where(col("pred") === "Phosphorylation").collect()
+    assert(!before.exists(_.getAs[String]("obj") == "uniprot:O43524"),
+      "FOXO3 must be unknown before the KB reload")
+
+    val dir = tmpDir("kbdata")
+    write(dir, "lexicon.tsv",
+      "FOXO3\tGene_or_gene_product\nHOPE\tGene_or_gene_product\n")
+    write(dir, "kb.tsv",
+      "FOXO3\tO43524\thuman\tuniprot\t0\tGene_or_gene_product\ttrue\tfalse\n")
+    write(dir, "stoplist.txt", "hope\n")
+    write(dir, "taxonomy.yml", "AddModification:\n  Palmitoylation:\n")
+    try {
+      val data = Pipeline.reloadKb(spark, dir) // extend built-ins
+      assert(data.lexicon.size == KbData.builtin.lexicon.size + 2)
+
+      // the new surface grounds through the normal first-hit path and the
+      // triples come out of the FULL pipeline run: "A phosphorylates B"
+      // decomposes into a subject-less Phosphorylation of B plus A's
+      // Positive_regulation of it (the reference's transitive-verb shape)
+      val after = Pipeline.extract(spark, turns).edges.collect()
+      def row(p: String) = after.filter(_.getAs[String]("pred") == p)
+      assert(row("Phosphorylation")
+        .exists(_.getAs[String]("obj") == "uniprot:O43524"),
+        s"expected Phosphorylation of FOXO3(uniprot:O43524), got " +
+          after.map(r => (r.getAs[String]("subj"), r.getAs[String]("pred"),
+            r.getAs[String]("obj"))).mkString(", "))
+      assert(row("Positive_regulation").exists(r =>
+        r.getAs[String]("subj") == "uniprot:P31749" &&
+          r.getAs[String]("obj").contains("uniprot:O43524")),
+        "expected AKT1(uniprot:P31749) positively regulating the " +
+          "phosphorylation of the data-added FOXO3")
+
+      // stop-list-as-data: "HOPE" matches case-sensitively, but the stop
+      // word blocks the auto title-case variant ("Hope" stays a word)
+      val trie = Broadcasts.get(sc)._1.value
+      assert(trie.scan(Array("HOPE")).nonEmpty)
+      assert(trie.scan(Array("Hope")).isEmpty)
+
+      // taxonomy-as-data rides the grammar broadcast: the new label's
+      // closure reaches Event through the data-added parent edge
+      val tax = Broadcasts.grammar(sc).value.taxonomy
+      assert(tax.closure("Palmitoylation").contains("Event"))
+    } finally Pipeline.resetKb(spark)
+
+    // after reset, built-in behavior is restored
+    val reset = Pipeline.extract(spark, turns).edges
+      .where(col("pred") === "Phosphorylation").collect()
+    assert(!reset.exists(_.getAs[String]("obj") == "uniprot:O43524"))
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import graft.kg._
 import graft.model._
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Modifications subsystem (PTM / Mutant / EventSite — reference:
@@ -325,6 +326,68 @@ class ModsSpec extends AnyFunSuite {
     assert(prec.forall(_.getAs[Int]("after_turn") == 1))
     assert(prec.exists(r => r.getAs[String]("before_pred") == "Phosphorylation"
       && r.getAs[String]("after_pred") == "Positive_activation"))
+  }
+
+  test("feature-based precedence sieve: shared-args gating, window bound, " +
+       "cross-sieve dedup, pluggable classifier") {
+    import spark.implicits._
+    val turns = spark.createDataset(Seq(
+      // fires: BAD (uniprot:Q92934) is shared input, adjacent turns, no
+      // cue/tense signal for the rule sieves
+      Transcripts.mkTurn("f1", 0, "user", "AKT1 phosphorylates BAD."),
+      Transcripts.mkTurn("f1", 1, "assistant", "BAD binds BCL2."),
+      // silent: no shared participant
+      Transcripts.mkTurn("f2", 0, "user", "AKT1 phosphorylates BAD."),
+      Transcripts.mkTurn("f2", 1, "assistant", "ERK2 binds STAT3."),
+      // silent: shared participant but outside kWindow=1
+      Transcripts.mkTurn("f3", 0, "user", "AKT1 phosphorylates BAD."),
+      Transcripts.mkTurn("f3", 1, "assistant", "The samples were prepared."),
+      Transcripts.mkTurn("f3", 2, "user", "We analyzed the data."),
+      Transcripts.mkTurn("f3", 3, "assistant", "BAD binds BCL2."),
+      // rule-sieve duplicate: the cue pair must stay sieve-1 (dedup)
+      Transcripts.mkTurn("f4", 0, "user", "MEK1 phosphorylates ERK2."),
+      Transcripts.mkTurn("f4", 1, "assistant",
+        "As a result, ERK2 activates STAT3.")))
+    val edges = Pipeline.extract(spark, turns).edges
+
+    // gated candidates carry the feature columns
+    val cands = Precedence.featureCandidates(edges).collect()
+    assert(cands.forall(_.getAs[Seq[String]]("f_shared_ids").nonEmpty))
+    assert(!cands.exists(_.getAs[String]("conv_id") == "f2"), "no shared arg")
+    assert(!cands.exists(_.getAs[String]("conv_id") == "f3"), "outside window")
+    val f1 = cands.filter(r => r.getAs[String]("conv_id") == "f1" &&
+      r.getAs[String]("a_pred") == "Phosphorylation")
+    assert(f1.nonEmpty &&
+      f1.forall(_.getAs[Seq[String]]("f_shared_ids") == Seq("uniprot:Q92934")))
+    assert(f1.forall(r => r.getAs[Boolean]("f_cross_sent") &&
+      r.getAs[Int]("f_turn_dist") == 1))
+
+    val prec = Precedence.precedence(edges).collect()
+    // f1 fires through the default narrative-order classifier
+    assert(prec.exists(r => r.getAs[String]("conv_id") == "f1" &&
+      r.getAs[String]("before_pred") == "Phosphorylation" &&
+      r.getAs[String]("after_pred") == "Binding" &&
+      r.getAs[String]("sieve") ==
+        "feature-based-classifier:narrative-order-default"))
+    assert(!prec.exists(r => r.getAs[String]("conv_id") == "f2"))
+    assert(!prec.exists(r => r.getAs[String]("conv_id") == "f3"))
+    // the f4 cue pair keeps its rule sieve; no feature-based duplicate
+    val f4 = prec.filter(_.getAs[String]("conv_id") == "f4")
+    assert(f4.nonEmpty &&
+      f4.forall(_.getAs[String]("sieve").startsWith("inter-sentential-rb")))
+
+    // pluggable classifier: an E2PrecedesE1 rule reverses the orientation
+    object Reversed extends Precedence.PairClassifier {
+      val name = "reversed"
+      def classify(pairs: org.apache.spark.sql.DataFrame) =
+        pairs.withColumn("label", lit(Precedence.E2PrecedesE1))
+          .withColumn("score", lit(0.9))
+    }
+    val rev = Precedence.featureBased(edges, Reversed).collect()
+    assert(rev.nonEmpty && rev.forall(r =>
+      r.getAs[Int]("before_turn") >= r.getAs[Int]("after_turn") &&
+        r.getAs[String]("sieve") == "feature-based-classifier:reversed" &&
+        r.getAs[Double]("score") == 0.9))
   }
 
   test("context columns: window assignment and conversation-default fill") {

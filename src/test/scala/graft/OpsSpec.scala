@@ -94,6 +94,23 @@ class OpsSpec extends AnyFunSuite {
     // short-doc window: fewer tokens than n -> one all-tokens gram
     assert(Dedup.shinglesKernel("a b", 8).toSeq == Seq("a b"))
     assert(Dedup.shinglesKernel("", 8).isEmpty)
+    // whitespace-edge parity (ADVICE r4): Spark/DuckDB trim strips SPACES
+    // only, so leading \n\t survives into an empty leading token — Java
+    // String.trim would silently drop it and diverge from the oracle
+    // semantics. Locale pin: lowercase must be Locale.ROOT.
+    val tricky = Seq(
+      (1L, "\n\tHello WORLD again\t"),
+      (2L, "  plain spaced doc  "),
+      (3L, "mid\t\ntab separated words"),
+      (4L, "İstanbul I TITLE case")).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val sql = tricky
+        .select(col("doc_id"), Dedup.shingles(col("text"), n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val kern = tricky.select("doc_id", "text").as[(Long, String)].collect()
+        .map { case (id, t) => id -> Dedup.shinglesKernel(t, n).toSeq }.toMap
+      assert(sql == kern, s"whitespace-edge parity n=$n")
+    }
   }
 
   test("redaction: URL-first precedence, counts chained, placeholders stable") {

@@ -108,10 +108,18 @@ class RuleDslSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("invalid regex") &&
       bad2.getMessage.contains("r3"))
     val bad3 = intercept[RuleDsl.DslError](RuleDsl.parse(
-      "deprule d1\n  priority: 2\n  kind: binding\n" +
+      "deprule d1\n  priority: 7\n  kind: binding\n" +
         "  trigger: /x(/ verbal\n" +
         "  arg: theme BioChemicalEntity paths: >/dobj/\n"))
     assert(bad3.getMessage.contains("invalid regex"))
+    // a deprule at an entity priority (<= 5) would never execute
+    // (extractSentence stages dep rules over eventPriorities only) — the
+    // parser rejects it instead of loading it silently dead (ADVICE r4)
+    val bad4 = intercept[RuleDsl.DslError](RuleDsl.parse(
+      "deprule d2\n  priority: 2\n  kind: binding\n" +
+        "  trigger: /x/ verbal\n" +
+        "  arg: theme BioChemicalEntity paths: >/dobj/\n"))
+    assert(bad4.getMessage.contains("priority"))
   }
 
   test("a NEW dependency rule defined as data extracts from a construction " +
@@ -148,9 +156,14 @@ class RuleDslSpec extends AnyFunSuite {
       "id" + (1 + rnd.nextInt(8)).toString +
         Seq.fill(3 + rnd.nextInt(5))(
           ('a' + rnd.nextInt(26)).toChar).mkString
+    // single chars plus backslash escapes — \w, \d, \/ (regex-escaped
+    // slash), \\ (regex-escaped backslash) — which pin the esc/lex
+    // backslash symmetry (ADVICE r4: `\/` in a pattern source used to
+    // render as `\\/` and fail to re-parse)
+    val reAtoms = reChars.map(_.toString) ++ Seq("\\w", "\\d", "\\/", "\\\\")
     def safeRe(): String =
       Seq.fill(1 + rnd.nextInt(10))(
-        reChars.charAt(rnd.nextInt(reChars.length))).mkString
+        reAtoms(rnd.nextInt(reAtoms.length))).mkString
     def kind(): Kind = rnd.nextInt(10) match {
       case 0 => EntityK(ident())
       case 1 => GenericMutantK
@@ -187,8 +200,9 @@ class RuleDslSpec extends AnyFunSuite {
       val rules = (0 until rnd.nextInt(4)).map(k =>
         Rule(s"r${i}_$k", 1 + rnd.nextInt(20), kind(),
           List.fill(1 + rnd.nextInt(5))(pe(0)))).toList
+      // dep-rule priorities must be event-stage (> 5): parse rejects lower
       val depRules = (0 until rnd.nextInt(3)).map(k =>
-        DepRule(s"d${i}_$k", 1 + rnd.nextInt(20), kind(), safeRe(),
+        DepRule(s"d${i}_$k", 6 + rnd.nextInt(15), kind(), safeRe(),
           rnd.nextBoolean(), Seq.fill(1 + rnd.nextInt(3))(depArg()),
           if (rnd.nextBoolean()) "" else safeRe())).toList
       val g = Grammar(rules, depRules)
