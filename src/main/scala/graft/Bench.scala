@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    degraded window is self-evident from the artifact alone: if a query's
   *    reading is slow while its adjacent control matches the control minimum,
   *    the code is slow; if the control is elevated too, the host was;
-  *  - kg_pipeline additionally emits ALL rep timings + adjacent controls.
+  *  - kg_pipeline additionally emits ALL rep timings + adjacent controls;
+  *  - every prod-tier query is likewise bracketed: a control before each
+  *    rep and after the last, all emitted per query (`prod_reps` /
+  *    `prod_controls`), so each row adjudicates itself.
   */
 object Bench {
   // headline subset: heavy enough to measure, no quadratic blowups at sf0.1
@@ -113,6 +116,11 @@ object Bench {
           docs.filter("doc_id % 97 = 0")).count(): Unit),
       "text_redact_corpus" -> (() =>
         graft.ops.TextAnalysis.redact(docs).count(): Unit),
+      // tokenizer-aware counting over the corpus (the contract query is the
+      // hand-traced fixture tier; this times the kernel at sf scale)
+      "text_tokens_bpe_corpus" -> (() =>
+        graft.ops.TextAnalysis.bpeTokenCounts(docs,
+          SparkEntry.bpeDemoMerges).count(): Unit),
       // the contract text_fingerprint query is the seeded VALUES tier; this
       // times winnowing over the full sf corpus
       "text_fingerprint_corpus" -> (() =>
@@ -132,9 +140,22 @@ object Bench {
             Seq("spark", "join", "vector")).count(): Unit
         }
       }
-    ).map { case (name, f) =>
-      control()
-      name -> (1 to reps).map(_ => time(f())).min
+    )
+    // every prod-tier rep is BRACKETED by controls (one before each rep,
+    // one after the last) and all readings are emitted per query — each row
+    // is self-adjudicating against host slow-mode windows without needing
+    // to line the global control series up by index (VERDICT r4 item 2)
+    val prodReps = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    val prodControls = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    val prodResults = prod.map { case (name, f) =>
+      val cs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val rs = (1 to reps).map { _ => cs += control(); time(f()) }
+      cs += control()
+      prodReps(name) = rs
+      prodControls(name) = cs.toSeq
+      name -> rs.min
     }
 
     // KG pipeline throughput: generated corpus incl. skewed mega-conversation.
@@ -151,7 +172,7 @@ object Bench {
     val kgSec = kgReps.min
     val kgRate = nTurns / kgSec
 
-    val all = results ++ prod :+ ("kg_pipeline" -> kgSec)
+    val all = results ++ prodResults :+ ("kg_pipeline" -> kgSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
@@ -161,8 +182,11 @@ object Bench {
     val ctl = controls.toSeq
     val ctlStats =
       f""""control":{"min":${ctl.min}%.3f,"median":${ctl.sorted.apply(ctl.size / 2)}%.3f,"max":${ctl.max}%.3f,"readings":${arr(ctl)}}"""
+    def objOf(m: scala.collection.Map[String, Seq[Double]]) =
+      m.map { case (k, v) => "\"" + k + s"\":${arr(v)}" }
+        .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,$ctlStats,"kg_pipeline_reps":${arr(kgReps)},"kg_pipeline_controls":${arr(kgControls.toSeq)},"kg_turns":$nTurns,"kg_edges":$nEdges,"kg_turns_per_sec":$kgRate%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,$ctlStats,"prod_reps":${objOf(prodReps)},"prod_controls":${objOf(prodControls)},"kg_pipeline_reps":${arr(kgReps)},"kg_pipeline_controls":${arr(kgControls.toSeq)},"kg_turns":$nTurns,"kg_edges":$nEdges,"kg_turns_per_sec":$kgRate%.1f}""")
     spark.stop()
   }
 }

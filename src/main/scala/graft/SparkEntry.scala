@@ -180,6 +180,21 @@ object SparkEntry {
     * activations are invalid MITRE mentions; the RAF event is family-grounded
     * (pfam); XYZQ99 grounds to the uaz failsafe; the binding is seen once.
     */
+  /** Small BPE merge table for the text_tokens_bpe oracle — the Sennrich
+    * merges format parsed from text exactly as a user's merges file is.
+    */
+  private[graft] lazy val bpeDemoMerges: Seq[(String, String)] =
+    graft.ops.TextAnalysis.parseBpeMerges(
+      """# demo merges (rank = line order)
+        |t h
+        |th e
+        |i n
+        |a n
+        |an d
+        |e r
+        |l o
+        |lo w""".stripMargin)
+
   private val mitreFixture: Seq[(String, Int, String)] = Seq(
     ("mt1", 0, "MEK1 phosphorylates ERK2."),
     ("mt1", 1, "MEK1 phosphorylates ERK2."),
@@ -581,6 +596,20 @@ object SparkEntry {
     "text_tokens" -> { (s, dir) =>
       implicit val sp = s
       TextAnalysis.tokenCounts(t(dir, "documents"))
+    },
+    "text_tokens_bpe" -> { (s, dir) =>
+      // tokenizer-aware counting: true greedy BPE under a merges-as-data
+      // vocabulary, over a hand-traceable fixture (VALUES oracle — BPE's
+      // merge loop is not SQL-expressible; every count below is traced by
+      // hand in the scaladoc of TextAnalysis.bpeTokenizeWord's spec)
+      import s.implicits._
+      TextAnalysis.bpeTokenCounts(
+        Seq(
+          (1L, "the lower band"),
+          (2L, "in the end"),
+          (3L, "thin thread"),
+          (4L, "\tthe the\n")).toDF("doc_id", "text"),
+        bpeDemoMerges)
     },
     "text_quality" -> { (s, dir) =>
       implicit val sp = s
@@ -1420,6 +1449,16 @@ object SparkEntry {
          | $pred AS pred_lang
          |FROM (SELECT doc_id, $scoreExprs FROM documents)""".stripMargin
     },
+    "text_tokens_bpe" ->
+      // hand-traced: the=[the]; lower=[low,er]; band=[b,and]; in=[in];
+      // end=[e,n,d]; thin=[th,in]; thread=[th,r,e,a,d]; doc 4's tab/newline
+      // edges collapse to two "the" words under the pinned normalization
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+        |) AS t(doc_id, n_words, bpe_tokens)""".stripMargin,
     "text_repetition" ->
       """WITH b AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts

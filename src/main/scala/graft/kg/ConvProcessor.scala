@@ -67,9 +67,11 @@ final case class StageBRow(
   * are handled by chunked processing ([[maxChunk]]) mirroring the reference's
   * standoff grouping (ReachSystem.scala:143-145); context/coref never look
   * forward under the default policy, so chunk boundaries only truncate
-  * lookback windows (under [[PolicyBidirectional]] the 3-turn forward half
-  * is truncated at a chunk edge the same way — bounded loss, no cross-chunk
-  * state).
+  * lookback windows. Under [[PolicyBidirectional]] each chunk additionally
+  * receives a context-only overlap of the following chunks' context
+  * mentions within `contextBound` turns, so the Policy4 forward window is
+  * exact across chunk edges (the overlap is consulted by the context
+  * engine only and never re-emitted — still no cross-chunk fold state).
   */
 object ConvProcessor {
 
@@ -99,8 +101,9 @@ object ConvProcessor {
 
   def process(convId: String, mentionsIn: Seq[MentionRow],
               kb: Link.KbIndex,
-              contextPolicy: String = PolicyBackward): Seq[StageBRow] = {
-    if (mentionsIn.size <= maxChunk)
+              contextPolicy: String = PolicyBackward,
+              chunkSize: Int = maxChunk): Seq[StageBRow] = {
+    if (mentionsIn.size <= chunkSize)
       processChunk(convId, mentionsIn, kb, contextPolicy)
     else {
       // chunk on turn boundaries, preserving order
@@ -109,22 +112,48 @@ object ConvProcessor {
       var cur = mutable.ArrayBuffer.empty[MentionRow]
       var lastTurn = Int.MinValue
       sorted.foreach { m =>
-        if (cur.size >= maxChunk && m.turn_idx != lastTurn) {
+        if (cur.size >= chunkSize && m.turn_idx != lastTurn) {
           chunks += cur.toSeq; cur = mutable.ArrayBuffer.empty
         }
         cur += m; lastTurn = m.turn_idx
       }
       if (cur.nonEmpty) chunks += cur.toSeq
-      chunks.flatMap(c => processChunk(convId, c, kb, contextPolicy)).toSeq
+      // Policy4's forward context half looks ahead up to contextBound
+      // turns, so give each chunk a CONTEXT-ONLY overlap of the following
+      // chunks' context mentions within the bound — the forward window is
+      // then exact across chunk edges (the overlap mentions are consulted
+      // by the context engine only, never re-emitted). Backward policy
+      // needs no overlap: it only truncates lookback, by design.
+      val tails: Seq[Seq[MentionRow]] =
+        if (contextPolicy != PolicyBidirectional) chunks.map(_ => Nil).toSeq
+        else {
+          var consumed = 0
+          chunks.map { c =>
+            consumed += c.size
+            val lastT = c.last.turn_idx
+            sorted.view.drop(consumed)
+              .takeWhile(_.turn_idx <= lastT + contextBound)
+              .filter(m => !m.is_event && isCtxLabel(m.labels.head))
+              .toSeq
+          }.toSeq
+        }
+      chunks.zip(tails).flatMap { case (c, tail) =>
+        processChunk(convId, c, kb, contextPolicy, tail)
+      }.toSeq
     }
   }
+
+  private val ctxTypes = Seq("Species", "CellLine", "CellType", "Organ")
+  private def isCtxLabel(h: String): Boolean =
+    h == "Species" || h == "CellLine" || h == "CellType" || h == "Organ"
 
   private def sortMentions(ms: Seq[MentionRow]): Seq[MentionRow] =
     ms.sortBy(m => (m.turn_idx, m.sent_idx, m.start_tok, m.end_tok, m.mention_id))
 
   private def processChunk(convId: String, mentionsIn: Seq[MentionRow],
                            kb: Link.KbIndex,
-                           contextPolicy: String): Seq[StageBRow] = {
+                           contextPolicy: String,
+                           ctxTail: Seq[MentionRow] = Nil): Seq[StageBRow] = {
     val mentions = sortMentions(mentionsIn)
     val byId = mutable.Map.empty[Long, MentionRow]
     mentions.foreach(m => byId(m.mention_id) = m)
@@ -138,11 +167,8 @@ object ConvProcessor {
     // fast path: most conversations carry no context mentions at all — skip
     // every per-type structure then (this fold runs once per conversation;
     // per-conv constant allocations showed up as a 3x stage regression)
-    val ctxTypes = Seq("Species", "CellLine", "CellType", "Organ")
-    val hasCtx = mentions.exists(m => !m.is_event && {
-      val h = m.labels.head
-      h == "Species" || h == "CellLine" || h == "CellType" || h == "Organ"
-    })
+    val hasCtx = ctxTail.nonEmpty ||
+      mentions.exists(m => !m.is_event && isCtxLabel(m.labels.head))
     lazy val ctxByType: Map[String, Seq[MentionRow]] = ctxTypes.map { tpe =>
       tpe -> mentions.filter(m => !m.is_event && m.labels.head == tpe)
     }.toMap
@@ -164,8 +190,11 @@ object ConvProcessor {
       if (best == null && contextPolicy == PolicyBidirectional) {
         // Policy4 forward half (Policies.scala:94-98): nearest following
         // turn within the bound; within it, the FIRST mention in document
-        // order (the reference's forward scan takes the first value)
-        ctxByType(tpe).foreach { m =>
+        // order (the reference's forward scan takes the first value). The
+        // ctxTail overlap extends the scan across a mega-conversation
+        // chunk edge, making the forward window exact there too.
+        (ctxByType(tpe).iterator ++
+          ctxTail.iterator.filter(_.labels.head == tpe)).foreach { m =>
           if (m.turn_idx > turn && m.turn_idx - turn <= contextBound &&
               (best == null || m.turn_idx < best.turn_idx)) best = m
         }
@@ -669,8 +698,13 @@ object ConvProcessor {
     def ctxGid(tpe: String, turn: Int): String =
       if (!hasCtx) ""
       else ctxGidCache.getOrElseUpdate((tpe, turn),
-        nearestCtx(tpe, turn)
-          .flatMap(m => groundings.get(m.mention_id)).map(gidOf).getOrElse(""))
+        nearestCtx(tpe, turn).map { m =>
+          // a ctxTail overlap mention (next chunk, Policy4 forward window)
+          // is not in this chunk's grounding map — resolve it the same way
+          // the chunk grounds its own context mentions
+          gidOf(groundings.getOrElse(m.mention_id,
+            kb.resolve(m.text, m.labels.head, "")))
+        }.getOrElse(""))
 
     // ---- triple emission (S9 semantics) ----------------------------------
     kept.filter(_.labels.head != "Alias").foreach { e =>

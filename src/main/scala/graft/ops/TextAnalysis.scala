@@ -26,6 +26,92 @@ object TextAnalysis {
         .as("subword_tokens"),
       length(col("text")).as("chars"))
 
+  // ---- tokenizer-aware (BPE) token counting ------------------------------
+
+  /** Parse a BPE merges file: one `left right` pair per line, rank = line
+    * position — the public merges.txt format of Sennrich et al. 2016
+    * ("Neural Machine Translation of Rare Words with Subword Units") and
+    * the GPT-2 vocabulary release. `#` comments and blank lines skipped.
+    * Merges are DATA, like the rule grammar and the KB bundle: a user
+    * points at their tokenizer's merges file, no recompilation.
+    */
+  def parseBpeMerges(text: String): Seq[(String, String)] =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        l.split("\\s+") match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"merges line must be 'left right': '$l'")
+        }
+      }.toSeq
+
+  /** True greedy BPE over one word: repeatedly merge ALL occurrences of the
+    * lowest-rank adjacent symbol pair present (the reference algorithm —
+    * NOT a single sequential replace pass per merge, which diverges when a
+    * merge's output enables an earlier-ranked pair; OpsSpec pins the
+    * counterexample). Starts from characters, word-internal merges only
+    * (word boundaries come from the shared [[Dedup.normTokens]]
+    * whitespace tokenization; no end-of-word marker — a simplification
+    * over Sennrich's `</w>`, documented and irrelevant for counting when
+    * the merges data follows the same convention).
+    */
+  def bpeTokenizeWord(word: String,
+                      ranks: Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        // merge every (left-to-right, non-overlapping) occurrence of the
+        // best pair in one pass
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+                == bestRank) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Per-document BPE token counts for training-data budgeting: `n_words`
+    * (whitespace words via the shared normalization) and `bpe_tokens`
+    * (sum of per-word BPE symbol counts under the given merges).
+    *
+    * Scale shape: the merges table is dimension data (MBs for a 50k-merge
+    * vocabulary) shipped once per executor via broadcast; the count itself
+    * is a narrow one-pass map over the scan — no shuffle at all.
+    */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bRanks = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val words = Dedup.normTokens(t).filter(_.nonEmpty)
+        var n = 0L
+        words.foreach(w => n += bpeTokenizeWord(w, bRanks.value).length)
+        (id, words.length.toLong, n)
+      }
+      .toDF("doc_id", "n_words", "bpe_tokens")
+  }
+
   /** Quality heuristics: length, mean word length, alpha ratio, punctuation
     * ratio, stopword ratio, repetition ratio; composite score in [0,1].
     */

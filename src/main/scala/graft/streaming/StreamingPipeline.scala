@@ -25,6 +25,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * turn) resolve exactly as in batch: alias defs accumulate in the
   * per-conversation state and extraction runs inside the fold with them.
   *
+  * Second known deviation: the Policy4 bidirectional context window
+  * ([[graft.kg.ConvProcessor.PolicyBidirectional]]) is batch-only — its
+  * forward half would require holding each turn's triples back until
+  * `contextBound` further turns (or a watermark) arrive, i.e.
+  * watermark-delayed emission, which this append-mode fold deliberately
+  * does not do (a turn's triples emit in the micro-batch that processes
+  * the turn). Streaming always folds with the backward policy — the
+  * reference's own default (Policies.scala Policy2/3) — regardless of
+  * [[graft.kg.Pipeline.contextPolicy]]; StreamingSpec pins this.
+  *
   * Scale: state is O(lookback x mentions-per-turn) per live conversation;
   * with watermarking on `ts` (caller adds `withWatermark` upstream) idle
   * conversations age out via the processing-time timeout.

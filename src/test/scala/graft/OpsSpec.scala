@@ -113,6 +113,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE token counting: true greedy merge loop, merges-as-data, " +
+       "normalization parity") {
+    import TextAnalysis._
+    // the ordering counterexample that separates true BPE from a
+    // sequential replace-per-merge pass: ("ab","c") ranks BEFORE ("a","b"),
+    // but only becomes applicable AFTER the later-ranked merge fires.
+    // True BPE: abc -> [ab, c] -> [abc] (1 token); a sequential pass would
+    // stop at [ab, c] (2 tokens).
+    val tricky = Map(("ab", "c") -> 0, ("a", "b") -> 1)
+    assert(bpeTokenizeWord("abc", tricky).toSeq == Seq("abc"))
+    // non-overlapping left-to-right merge of the chosen pair
+    assert(bpeTokenizeWord("aaa", Map(("a", "a") -> 0)).toSeq ==
+      Seq("aa", "a"))
+    assert(bpeTokenizeWord("", Map.empty).isEmpty)
+    // merges file format: rank = line order, comments/blanks skipped
+    val merges = parseBpeMerges("# c\nt h\n\nth e\n")
+    assert(merges == Seq(("t", "h"), ("th", "e")))
+    assert(bpeTokenizeWord("the", merges.zipWithIndex.toMap).toSeq ==
+      Seq("the"))
+    intercept[IllegalArgumentException](parseBpeMerges("a b c"))
+    // counts run through the shared normTokens (spaces-only trim pinned in
+    // the shingles parity test): tab/newline edges never add words
+    val df = Seq((1L, "the lower band"), (2L, "\tthe the\n"))
+      .toDF("doc_id", "text")
+    val got = bpeTokenCounts(df,
+      parseBpeMerges("t h\nth e\ni n\na n\nan d\ne r\nl o\nlo w"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 5L), (2L, 2L, 2L)))
+  }
+
   test("redaction: URL-first precedence, counts chained, placeholders stable") {
     val d = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or see https://h.io/p?u=x@y.zz end"),
