@@ -64,6 +64,41 @@ class KbLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded fuzz: 100 random bundles round-trip render ∘ load exactly") {
+    val rnd = new scala.util.Random(20260820L)
+    // surfaces/ids over a tame but representative alphabet (spaces, case,
+    // digits, dash/slash/quote — the characters the built-in KB uses)
+    def word(chars: String, n: Int): String =
+      Seq.fill(1 + rnd.nextInt(n))(chars(rnd.nextInt(chars.length))).mkString
+    def surface(): String =
+      Seq.fill(1 + rnd.nextInt(3))(
+        word("abcdefgXYZ0123-/'", 8)).mkString(" ")
+    val labels = Seq("Gene_or_gene_product", "Family", "Complex",
+      "Simple_chemical", "Species", "Site")
+    for (i <- 1 to 100) {
+      val lex = Seq.fill(rnd.nextInt(20))(
+        (surface(), labels(rnd.nextInt(labels.size))))
+      val kb = Seq.fill(rnd.nextInt(20))(graft.model.KBEntry(
+        surface(), word("A-Z0-9", 8), if (rnd.nextBoolean()) "human" else "",
+        word("abcdefgh", 6), rnd.nextInt(5) - 2,
+        labels(rnd.nextInt(labels.size)), rnd.nextBoolean(), rnd.nextBoolean()))
+      val stop = Seq.fill(rnd.nextInt(6))(word("abcdefgh", 6))
+        .map(_.toLowerCase).toSet
+      // taxonomy: a random forest — parent of node k is a random node < k
+      val names = (0 until rnd.nextInt(12)).map(k => s"L${i}n$k" + word("abc", 3))
+        .distinct
+      val tax = names.zipWithIndex.drop(1).collect {
+        case (n, k) if rnd.nextBoolean() =>
+          n -> names(rnd.nextInt(k))
+      }.toMap
+      val data = KbData(lex, kb, stop, tax)
+      val dir = tmpDir(s"kbfuzz$i")
+      KbLoader.render(data, dir)
+      val back = KbLoader.merge(data, KbLoader.load(dir), replace = true)
+      assert(back == data, s"bundle $i failed to round-trip")
+    }
+  }
+
   test("kb.tsv / lexicon.tsv errors carry file and line") {
     val dir = tmpDir("kberr")
     write(dir, "kb.tsv", "# header\nGOODPROT\tP00001\n\tmissing-text")

@@ -137,10 +137,13 @@ class OpsSpec extends AnyFunSuite {
     // the shingles parity test): tab/newline edges never add words
     val df = Seq((1L, "the lower band"), (2L, "\tthe the\n"))
       .toDF("doc_id", "text")
-    val got = bpeTokenCounts(df,
+    val counted = bpeTokenCounts(df,
       parseBpeMerges("t h\nth e\ni n\na n\nan d\ne r\nl o\nlo w"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val got = counted.as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 3L, 5L), (2L, 2L, 2L)))
+    // 100 TB shape: one narrow kernel pass over the scan — no shuffle
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "BPE counting must stay narrow")
   }
 
   test("redaction: URL-first precedence, counts chained, placeholders stable") {
