@@ -29,7 +29,7 @@ object Bench {
     "q1_agg", "q_join_broadcast", "q_window_running", "q_events_window",
     "q_topk", "q_setops", "kg_turns", "kg_mentions", "kg_context_window",
     "kg_link_firsthit", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "text_tokens", "text_quality",
+    "dedup_embedding", "ann_brute", "ann_lsh", "ann_ivf", "text_tokens", "text_quality", "text_quality_filter",
     "text_langid", "text_fingerprint", "text_search", "text_search_phrase",
     "text_repetition", "text_ngram_topk", "text_sample_stratified", "mm_attach",
     "mm_resize", "mm_features")

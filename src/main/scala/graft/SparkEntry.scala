@@ -180,6 +180,18 @@ object SparkEntry {
     * activations are invalid MITRE mentions; the RAF event is family-grounded
     * (pfam); XYZQ99 grounds to the uaz failsafe; the binding is seen once.
     */
+  /** Demo quality-filter weights (the text format a trainer emits; parsed
+    * by `TextAnalysis.parseQualityWeights` exactly as a user's file is).
+    */
+  private[graft] val demoQualityWeights: String =
+    """# linear quality-filter model over graft quality features
+      |bias           -1.2
+      |len_norm        1.0
+      |distinct_ratio  1.0
+      |alpha_ratio     0.8
+      |stopword_ratio  0.6
+      |""".stripMargin
+
   /** Small BPE merge table for the text_tokens_bpe oracle — the Sennrich
     * merges format parsed from text exactly as a user's merges file is.
     */
@@ -614,6 +626,14 @@ object SparkEntry {
     "text_quality" -> { (s, dir) =>
       implicit val sp = s
       TextAnalysis.quality(t(dir, "documents"))
+    },
+    "text_quality_filter" -> { (s, dir) =>
+      // model-based quality filtering with WEIGHTS AS DATA: the demo model
+      // is parsed from the same text format a trainer would emit
+      implicit val sp = s
+      val (bias, w) = graft.ops.TextAnalysis.parseQualityWeights(
+        demoQualityWeights)
+      graft.ops.TextAnalysis.qualityClassify(t(dir, "documents"), bias, w)
     },
     "text_langid" -> { (s, dir) =>
       implicit val sp = s
@@ -1459,6 +1479,37 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT)),
         |  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT))
         |) AS t(doc_id, n_words, bpe_tokens)""".stripMargin,
+    "text_quality_filter" ->
+      // same accumulation order as qualityClassify's foldLeft over
+      // qualityFeatures: bias + w·len_norm + w·mean_word_len + w·alpha +
+      // w·stop + w·distinct (absent features carry weight 0.0)
+      """SELECT doc_id,
+        | round(-1.2 + 1.0 * len_norm + 0.0 * mean_word_len +
+        |        0.8 * alpha_ratio + 0.6 * stopword_ratio +
+        |        1.0 * distinct_ratio, 6) AS q_score,
+        | CASE WHEN isnan(round(-1.2 + 1.0 * len_norm + 0.0 * mean_word_len +
+        |        0.8 * alpha_ratio + 0.6 * stopword_ratio +
+        |        1.0 * distinct_ratio, 6)) THEN FALSE
+        |      ELSE round(-1.2 + 1.0 * len_norm + 0.0 * mean_word_len +
+        |        0.8 * alpha_ratio + 0.6 * stopword_ratio +
+        |        1.0 * distinct_ratio, 6) >= 0.5 END AS q_keep
+        |FROM (
+        |  SELECT doc_id,
+        |    round(least(1.0, nt / 100.0), 4) AS len_norm,
+        |    round((nc - (nt - 1)) / nt, 4) AS mean_word_len,
+        |    round(al / nc, 4) AS alpha_ratio,
+        |    round(st / nt, 4) AS stopword_ratio,
+        |    round(dr, 4) AS distinct_ratio
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nt,
+        |      CAST(length(text) AS DOUBLE) AS nc,
+        |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS al,
+        |      CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        w -> lower(w) IN ('the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS DOUBLE) AS st,
+        |      len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) /
+        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dr
+        |    FROM documents))""".stripMargin,
     "text_repetition" ->
       """WITH b AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts

@@ -142,6 +142,71 @@ object TextAnalysis {
       round(score, 4).as("quality_score"))
   }
 
+  // ---- model-based quality filtering (weights as data) -------------------
+
+  /** Feature columns the quality classifier scores over — the rounded-4dp
+    * outputs of [[quality]] plus the clamped length feature. Rounded inputs
+    * + a fixed left-to-right accumulation order make the linear score
+    * bit-reproducible by any IEEE SQL engine (the oracle requirement).
+    */
+  val qualityFeatures: Seq[String] = Seq("len_norm", "mean_word_len",
+    "alpha_ratio", "stopword_ratio", "distinct_ratio")
+
+  /** Parse a weights file: one `feature<ws>weight` per line, `#` comments;
+    * the special name `bias` is the intercept. Unknown feature names are
+    * rejected (a typo must not silently zero a weight). Like the rule
+    * grammar, the KB bundle, and the BPE merges, the quality model is
+    * DATA — a trainer emits it, a user edits it, nothing recompiles.
+    */
+  def parseQualityWeights(text: String): (Double, Map[String, Double]) = {
+    val entries = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        l.split("\\s+") match {
+          case Array(n, v) =>
+            try n -> v.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"weight must be a number: '$l'") }
+          case _ => throw new IllegalArgumentException(
+            s"weights line must be 'feature weight': '$l'")
+        }
+      }.toSeq
+    val unknown = entries.map(_._1).filterNot(n =>
+      n == "bias" || qualityFeatures.contains(n))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown feature(s): ${unknown.mkString(", ")} " +
+          s"(known: bias, ${qualityFeatures.mkString(", ")})")
+    val m = entries.toMap
+    (m.getOrElse("bias", 0.0), m - "bias")
+  }
+
+  /** Linear quality classifier — the model-based quality-filter step of a
+    * curation pipeline (fastText/CCNet-style learned filters) reduced to
+    * its deterministic core: `q_score = bias + Σ w_f · f` over
+    * [[qualityFeatures]], `q_keep = q_score >= threshold` (NaN-guarded
+    * identically on both engines). Scale shape: identical to [[quality]] —
+    * a narrow projection over the scan, zero shuffles; the weights are a
+    * handful of doubles baked into the plan as literals.
+    */
+  def qualityClassify(docs: DataFrame, bias: Double,
+                      weights: Map[String, Double],
+                      threshold: Double = 0.5): DataFrame = {
+    val unknown = weights.keys.filterNot(qualityFeatures.contains)
+    require(unknown.isEmpty, s"unknown feature(s): ${unknown.mkString(", ")}")
+    val q = quality(docs).withColumn("len_norm",
+      round(least(lit(1.0), col("n_tokens") / 100.0), 4))
+    val score = qualityFeatures.foldLeft(lit(bias)) { (acc, f) =>
+      acc + lit(weights.getOrElse(f, 0.0)) * col(f)
+    }
+    q.withColumn("q_score", round(score, 6))
+      .withColumn("q_keep",
+        when(isnan(col("q_score")), false)
+          .otherwise(col("q_score") >= threshold))
+      .select("doc_id", "q_score", "q_keep")
+  }
+
   /** Marker-word language-ID heuristic: per-language stopword lists; score =
     * count of marker hits; argmax wins (deterministic tie-break by language
     * code). A real system would use char n-gram profiles; the *shape* (score

@@ -146,6 +146,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "BPE counting must stay narrow")
   }
 
+  test("quality classifier: weights-as-data parsing, linear score, " +
+       "narrow plan") {
+    import TextAnalysis._
+    val (bias, w) = parseQualityWeights(
+      "# c\nbias -1.0\nlen_norm 2.0\ndistinct_ratio 0.5\n")
+    assert(bias == -1.0 && w == Map("len_norm" -> 2.0,
+      "distinct_ratio" -> 0.5))
+    intercept[IllegalArgumentException](parseQualityWeights("typo_feat 1.0"))
+    intercept[IllegalArgumentException](parseQualityWeights("bias x"))
+    // hand-check: "a b c" -> n_tokens 3 -> len_norm 0.03, distinct 1.0
+    // score = -1.0 + 2.0*0.03 + 0.5*1.0 = -0.44; "a a a a" -> distinct
+    // 0.25 -> score = -1.0 + 2.0*0.04 + 0.5*0.25 = -0.795
+    val d = Seq((1L, "a b c"), (2L, "a a a a")).toDF("doc_id", "text")
+    val r = qualityClassify(d, bias, w, threshold = -0.5)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, -0.44, true), (2L, -0.795, false)), r.toSeq)
+    // 100 TB shape: narrow projection, zero shuffles
+    val plan = qualityClassify(d, bias, w).queryExecution.executedPlan
+      .toString
+    assert(!plan.contains("Exchange"), "quality filter must stay narrow")
+  }
+
   test("redaction: URL-first precedence, counts chained, placeholders stable") {
     val d = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or see https://h.io/p?u=x@y.zz end"),
