@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -187,31 +187,48 @@ object Similarity {
     * the list id — no cross join; recall < 1 by construction, tunable via
     * nprobe (contrast with lshTopK, whose recall is tuned by tables/bits).
     */
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
-              assign: Int = 2): DataFrame = {
+  private def unit(v: Array[Float]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 }
+    out
+  }
+
+  private def topCents(cents: Array[Array[Double]], v: Array[Double],
+                       m: Int): Array[Int] = {
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var i = 0
+      val cv = cents(c)
+      while (i < cv.length) { s += cv(i) * v(i); i += 1 }
+      sims(c) = s; c += 1
+    }
+    sims.zipWithIndex.sortBy(x => (-x._1, x._2)).take(m).map(_._2)
+  }
+
+  /** A built IVF coarse-quantizer index: the trained centroids (nlist ×
+    * dim — KBs, broadcast at search time) and the inverted lists as a
+    * `(neighbor_id, list)` DataFrame. Vectors are NOT duplicated into the
+    * lists — candidates join back to the embeddings table at search time,
+    * so the index is id-only and `assign`-fold smaller than a FAISS-style
+    * vector-carrying IVF (the right trade at 100 TB, where the embedding
+    * table is columnar and the join is one broadcast-probe shuffle).
+    * Persist with [[saveIvfIndex]] / [[loadIvfIndex]] — build once, query
+    * many (re-running k-means per query batch is the anti-pattern).
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+                            lists: DataFrame, assign: Int)
+
+  /** Train the coarse quantizer + materialize the inverted lists (the
+    * build half of [[ivfTopK]], same deterministic seeding/iteration).
+    */
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int = 16, iters: Int = 3,
+                    assign: Int = 2): IvfIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    def unit(v: Array[Float]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s)
-      val out = new Array[Double](v.length)
-      i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 }
-      out
-    }
-    def topCents(cents: Array[Array[Double]], v: Array[Double],
-                 m: Int): Array[Int] = {
-      val sims = new Array[Double](cents.length)
-      var c = 0
-      while (c < cents.length) {
-        var s = 0.0; var i = 0
-        val cv = cents(c)
-        while (i < cv.length) { s += cv(i) * v(i); i += 1 }
-        sims(c) = s; c += 1
-      }
-      sims.zipWithIndex.sortBy(x => (-x._1, x._2)).take(m).map(_._2)
-    }
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     // seed sample: the sampleN smallest splitmix64(vec_id) keys — a uniform
@@ -256,6 +273,40 @@ object Similarity {
     val lists = corpus.flatMap { case (id, v) =>
       topCents(bc.value, unit(v), assign).map(l => (id, l))
     }.toDF("neighbor_id", "list")
+    IvfIndex(centroids, lists, assign)
+  }
+
+  /** Persist an index: centroids + inverted lists as parquet tables. */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (v, cid) => (cid, v) }.toSeq
+      .toDF("cid", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    index.lists.write.mode("overwrite").parquet(s"$dir/lists")
+    Seq(index.assign).toDF("assign").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val assign = spark.read.parquet(s"$dir/meta")
+      .as[Int].head()
+    IvfIndex(cents, spark.read.parquet(s"$dir/lists"), assign)
+  }
+
+  /** Probe + exact-rank against a built index (the search half of
+    * [[ivfTopK]]; the embeddings table supplies candidate vectors).
+    */
+  def ivfSearch(index: IvfIndex, embeddings: DataFrame, queries: DataFrame,
+                k: Int, nprobe: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val lists = index.lists
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -281,6 +332,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("rank"))
   }
+
+  /** One-shot build + search (the contract/oracle entry point; production
+    * callers build once with [[buildIvfIndex]], persist, and
+    * [[ivfSearch]] many times).
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
+              assign: Int = 2): DataFrame =
+    ivfSearch(buildIvfIndex(embeddings, nlist, iters, assign),
+      embeddings, queries, k, nprobe)
 
   /** LSH-bucketed ANN: `tables` independent hyperplane tables of `bits` bits;
     * a corpus vector is a candidate for a query if they share any table's

@@ -217,6 +217,20 @@ class OpsSpec extends AnyFunSuite {
     val ivf2 = Similarity.ivfTopK(emb, queries, 10)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf1 == ivf2, "IVF result not deterministic across runs")
+
+    // build-once / query-many: a persisted index searches identically
+    // after a save + load round trip (and identically to the one-shot
+    // path, which is build ∘ search by construction)
+    val idx = Similarity.buildIvfIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.assign == idx.assign)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      idx.centroids.map(_.toSeq).toSeq, "centroids must round-trip exactly")
+    val viaLoaded = Similarity.ivfSearch(loaded, emb, queries, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaLoaded == ivf1, "persisted index must search identically")
   }
 
   test("IVF k-means++ seeding: recall holds on a clustered corpus") {
