@@ -64,7 +64,10 @@ object KbLoader {
   private val GGP = "Gene_or_gene_product"
 
   private def dataLines(p: Path): Seq[(String, Int)] =
+    // UTF-8 BOM stripped; linesIterator handles \n, \r and \r\n, so
+    // Windows-authored bundles load unchanged
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .stripPrefix("\uFEFF")
       .linesIterator.zipWithIndex
       .map { case (l, i) => (l.replaceAll("\\s+$", ""), i + 1) }
       .filter { case (l, _) => l.trim.nonEmpty && !l.trim.startsWith("#") }

@@ -71,6 +71,33 @@ object TextSearch {
     SearchIndex(postings, docLen, n, if (n == 0) 0.0 else total.toDouble / n)
   }
 
+  /** Persist an index: postings hash-distributed and SORTED by term within
+    * each file (the parquet row-group min/max statistics on `term` then
+    * prune a search's `term IN (...)` predicate at the scan — the
+    * distributed analogue of Lucene's term dictionary), plus doc lengths
+    * and the corpus statistics. Build once, search many: a production
+    * deployment materializes this next to the corpus and every query is a
+    * pure lazy plan over it.
+    */
+  def saveIndex(idx: SearchIndex, dir: String): Unit = {
+    idx.postings
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    idx.docLen.write.mode("overwrite").parquet(s"$dir/doclen")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    Seq((idx.nDocs, idx.avgDl)).toDF("n_docs", "avg_dl").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): SearchIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    SearchIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclen"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Double]("avg_dl"))
+  }
+
   /** TF-IDF top-k search (NxmlSearcher.search analogue). `mode` "any" ranks
     * by summed tf*ln(N/df) over matching terms; "all" additionally requires
     * every query term to appear (Lucene's conjunctive BooleanQuery).

@@ -99,6 +99,17 @@ class KbLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("Windows-authored bundles load unchanged: UTF-8 BOM + CRLF") {
+    val dir = tmpDir("kbcrlf")
+    write(dir, "lexicon.tsv",
+      "\uFEFF# comment\r\nFOXO3\tGene_or_gene_product\r\nHOPE\r\n")
+    write(dir, "taxonomy.yml", "\uFEFFA:\r\n  B:\r\n")
+    val d = KbLoader.load(dir)
+    assert(d.lexicon.contains(Seq(
+      ("FOXO3", "Gene_or_gene_product"), ("HOPE", "Gene_or_gene_product"))))
+    assert(d.taxonomyParents.contains(Map("B" -> "A")))
+  }
+
   test("kb.tsv / lexicon.tsv errors carry file and line") {
     val dir = tmpDir("kberr")
     write(dir, "kb.tsv", "# header\nGOODPROT\tP00001\n\tmissing-text")

@@ -342,6 +342,21 @@ class OpsSpec extends AnyFunSuite {
     assert(bPlan.collect().head.getAs[Long]("doc_id") == 5L)
     // stopwords and 1-char tokens never enter the index
     assert(idx.filter(col("term").isin(TextSearch.stopwords: _*)).count() == 0)
+
+    // build-once persistence: a saved + loaded index searches identically
+    // (TF-IDF, BM25, and phrase), and the stats survive the round trip
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    TextSearch.saveIndex(built, dir)
+    val loaded = TextSearch.loadIndex(spark, dir)
+    assert(loaded.nDocs == built.nDocs && loaded.avgDl == built.avgDl)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextSearch.search(loaded.postings, loaded.nDocs,
+        Seq("spark", "join"), topK = 5)) ==
+      rows(TextSearch.search(built.postings, built.nDocs,
+        Seq("spark", "join"), topK = 5)))
+    assert(rows(TextSearch.searchBm25(loaded, Seq("vector"), topK = 1)) ==
+      rows(TextSearch.searchBm25(built, Seq("vector"), topK = 1)))
   }
 
   test("text search: phrase mode matches consecutive raw positions only") {
