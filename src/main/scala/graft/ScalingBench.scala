@@ -46,12 +46,7 @@ object ScalingBench {
         // seed = splitmix-mixed (sl, k): a linear combination collides
         // across pairs (sl=7919,k=0 vs sl=0,k=131) and can fuse two
         // identical sentence streams at large mega sizes (ADVICE r4)
-        def mix(x0: Long): Long = {
-          var x = x0 + 0x9e3779b97f4a7c15L
-          x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-          x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-          x ^ (x >>> 31)
-        }
+        def mix(x0: Long): Long = graft.ops.Dedup.splitmix64(x0)
         val streams = (0 until d).map(k =>
           Transcripts.genConv(mix(42L ^ mix(sl)) ^ mix(1000L + k), 999999L,
             len, withCoref = false)._1)

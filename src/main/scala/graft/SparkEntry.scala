@@ -174,12 +174,6 @@ object SparkEntry {
     ("p24", 2, "We then analyzed the data."),
     ("p24", 3, "BAD binds BCL2."))
 
-  /** MITRE-filter fixture (reference: ExportFilters.MITREfilter:105-122).
-    * Each block exercises one requirement: the phosphorylation is seen 3x
-    * across 2 conversations (survives); the activation is seen 3x but
-    * activations are invalid MITRE mentions; the RAF event is family-grounded
-    * (pfam); XYZQ99 grounds to the uaz failsafe; the binding is seen once.
-    */
   /** Demo quality-filter weights (the text format a trainer emits; parsed
     * by `TextAnalysis.parseQualityWeights` exactly as a user's file is).
     */
@@ -207,6 +201,12 @@ object SparkEntry {
         |l o
         |lo w""".stripMargin)
 
+  /** MITRE-filter fixture (reference: ExportFilters.MITREfilter:105-122).
+    * Each block exercises one requirement: the phosphorylation is seen 3x
+    * across 2 conversations (survives); the activation is seen 3x but
+    * activations are invalid MITRE mentions; the RAF event is family-grounded
+    * (pfam); XYZQ99 grounds to the uaz failsafe; the binding is seen once.
+    */
   private val mitreFixture: Seq[(String, Int, String)] = Seq(
     ("mt1", 0, "MEK1 phosphorylates ERK2."),
     ("mt1", 1, "MEK1 phosphorylates ERK2."),

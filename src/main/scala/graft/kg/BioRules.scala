@@ -260,11 +260,19 @@ object BioRules {
       * one rule whose pattern is derived from the NER lexicon
       * ([[Lexicon.multiwordHeadsOf]]); a KB reload with new multi-word
       * surfaces rebuilds it so data-added entities get anaphora support.
+      * Only the STOCK pattern (the alternation derived from the built-in
+      * lexicon) is rewritten: a user grammar that redefined
+      * `generic_head_np`'s heads via `--rules` keeps its own pattern — a
+      * KB reload must never silently clobber a data-defined rule.
       */
     def withLexiconHeads(heads: Set[String]): Grammar = {
-      val re = if (heads.isEmpty) "(?!)" else heads.toSeq.sorted.mkString("|")
+      def headsRe(hs: Set[String]): String =
+        if (hs.isEmpty) "(?!)" else hs.toSeq.sorted.mkString("|")
+      val stockRe = headsRe(Lexicon.multiwordHeads)
+      val re = headsRe(heads)
       copy(rules = rules.map {
-        case r @ Rule("generic_head_np", _, _, List(det, W(_))) =>
+        case r @ Rule("generic_head_np", _, _, List(det, W(cur)))
+            if cur == stockRe =>
           r.copy(pattern = List(det, W(re)))
         case r => r
       })

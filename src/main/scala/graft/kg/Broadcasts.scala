@@ -52,6 +52,20 @@ object Broadcasts {
       (trie, kb)
     }
 
+  /** Atomic snapshot of all three broadcasts. Planners that capture more
+    * than one of (trie, KB index, grammar) MUST take them from one call —
+    * two separate synchronized calls could straddle a concurrent
+    * [[reloadKb]] and pair a new trie with an old KB index (a data-added
+    * surface would match but ground to the failsafe for one job).
+    */
+  def all(sc: SparkContext): (Broadcast[Annotate.Trie],
+                              Broadcast[Link.KbIndex],
+                              Broadcast[BioRules.Grammar]) =
+    synchronized {
+      ensure(sc)
+      (trie, kb, gram)
+    }
+
   /** The current matcher-table broadcast (built-in grammar until a reload). */
   def grammar(sc: SparkContext): Broadcast[BioRules.Grammar] =
     synchronized {

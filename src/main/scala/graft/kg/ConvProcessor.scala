@@ -701,9 +701,11 @@ object ConvProcessor {
         nearestCtx(tpe, turn).map { m =>
           // a ctxTail overlap mention (next chunk, Policy4 forward window)
           // is not in this chunk's grounding map — resolve it the same way
-          // the chunk grounds its own context mentions
+          // the chunk grounds its own context mentions, including the
+          // species context visible at ITS turn (a multi-species surface
+          // must not re-rank differently on either side of a chunk edge)
           gidOf(groundings.getOrElse(m.mention_id,
-            kb.resolve(m.text, m.labels.head, "")))
+            kb.resolve(m.text, m.labels.head, ctxSpecies(m.turn_idx))))
         }.getOrElse(""))
 
     // ---- triple emission (S9 semantics) ----------------------------------

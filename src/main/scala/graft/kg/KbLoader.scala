@@ -123,30 +123,52 @@ object KbLoader {
       val label = l.trim.stripSuffix(":").trim
       if (label.isEmpty) throw KbFileError(file, ln, "empty label")
       stack = stack.dropWhile(_._1 >= indent)
-      stack.headOption.foreach { case (_, parent) =>
-        parents.get(label).filter(_ != parent).foreach { other =>
-          throw KbFileError(file, ln,
-            s"'$label' already has parent '$other' (single inheritance)")
-        }
-        parents += label -> parent
+      stack.headOption match {
+        case Some((_, parent)) =>
+          parents.get(label).filter(_ != parent).foreach { other =>
+            throw KbFileError(file, ln,
+              s"'$label' already has parent '$other' (single inheritance)")
+          }
+          parents += label -> parent
+        case None =>
+          // a ROOT re-declaration of a label that already has a parent is
+          // the same single-inheritance conflict — reject it rather than
+          // silently keeping the old parent
+          parents.get(label).foreach { other =>
+            throw KbFileError(file, ln,
+              s"'$label' already has parent '$other' (single inheritance; " +
+                "re-declaring it at root level would not detach it)")
+          }
       }
       stack = (indent, label) :: stack
     }
     parents.toMap
   }
 
-  /** Load whichever of the four files exist under `dir`. */
+  /** Load whichever of the four files exist under `dir`. A missing
+    * directory or a directory containing NONE of the four files is an
+    * error, not an empty delta — a mistyped `--kb` path must fail loudly,
+    * not silently run on built-ins while reporting success.
+    */
   def load(dir: String): KbDelta = {
     val d = Paths.get(dir)
+    if (!Files.isDirectory(d))
+      throw new IllegalArgumentException(s"KB bundle dir not found: $dir")
     def opt[T](name: String)(f: Seq[(String, Int)] => T): Option[T] = {
       val p = d.resolve(name)
       if (Files.isRegularFile(p)) Some(f(dataLines(p))) else None
     }
-    KbDelta(
+    val delta = KbDelta(
       opt("lexicon.tsv")(parseLexicon(_, "lexicon.tsv")),
       opt("kb.tsv")(parseKb(_, "kb.tsv")),
       opt("stoplist.txt")(parseStopList),
       opt("taxonomy.yml")(parseTaxonomy(_, "taxonomy.yml")))
+    if (delta.lexicon.isEmpty && delta.kb.isEmpty &&
+        delta.stopList.isEmpty && delta.taxonomyParents.isEmpty)
+      throw new IllegalArgumentException(
+        s"KB bundle dir has none of lexicon.tsv / kb.tsv / stoplist.txt / " +
+          s"taxonomy.yml: $dir")
+    delta
   }
 
   /** Combine a delta onto a base bundle. `replace = false` (extend, the
@@ -177,6 +199,9 @@ object KbLoader {
     * builtin`).
     */
   def render(data: KbData, dir: String): Unit = {
+    // fail fast on a cyclic taxonomy: with a cycle the roots computation
+    // below (values minus keys) would silently drop the whole component
+    Taxonomy(data.taxonomyParents).validated
     val d = Paths.get(dir)
     Files.createDirectories(d)
     def write(name: String, text: String): Unit =

@@ -150,8 +150,7 @@ object Pipeline {
   def aliasDefsDs(spark: SparkSession,
                   turns: Dataset[Turn]): Dataset[(String, String, String)] = {
     import spark.implicits._
-    val (bTrie, _) = Broadcasts.get(spark.sparkContext)
-    val bG = Broadcasts.grammar(spark.sparkContext)
+    val (bTrie, _, bG) = Broadcasts.all(spark.sparkContext)
     // cheap candidate pre-filter: the alias patterns all carry a parenthesis
     // or "known as" — the pre-pass annotates only those turns, so the extra
     // scan reads text once and tokenizes almost nothing
@@ -164,8 +163,7 @@ object Pipeline {
   def stageMentions(spark: SparkSession, turns: Dataset[Turn],
                     runId: String, acc: CollectionAccumulator[Lineage]): Dataset[MentionRow] = {
     import spark.implicits._
-    val (bTrie, _) = Broadcasts.get(spark.sparkContext)
-    val bG = Broadcasts.grammar(spark.sparkContext)
+    val (bTrie, _, bG) = Broadcasts.all(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
     val defs = aliasDefsDs(spark, turns)
     val thr = aliasJoinThreshold
@@ -226,8 +224,7 @@ object Pipeline {
   def stageB(spark: SparkSession, mentions: Dataset[MentionRow],
              runId: String, acc: CollectionAccumulator[Lineage]): Dataset[StageBRow] = {
     import spark.implicits._
-    val (_, bKb) = Broadcasts.get(spark.sparkContext)
-    val bG = Broadcasts.grammar(spark.sparkContext) // taxonomy for closures
+    val (_, bKb, bG) = Broadcasts.all(spark.sparkContext) // bG: taxonomy
     val policy = contextPolicy // driver-side capture, ships with the closure
     // the label closure is a pure function of the head label
     // (Lexicon.labelClosure) — shipping 5-7 closure strings per mention

@@ -17,12 +17,19 @@ object Dedup {
 
   /** Kernel mirror of the Catalyst token chain `split(norm(text), " ")`:
     * spaces-only trim (Spark/DuckDB `trim` strips 0x20 only — Java
-    * `String.trim` would also strip \t\n\r and diverge), locale-free
-    * lowercase (Locale.ROOT — a Turkish default JVM locale would map I->ı),
-    * `\s+` collapse, and a split that keeps leading/trailing empty tokens
-    * exactly as Spark's `split(..., -1)` does. Every JIT'd kernel in this
-    * package tokenizes through here so kernel output is token-for-token
-    * identical to the pinned Catalyst/DuckDB oracle semantics (ADVICE r4).
+    * `String.trim` would also strip \t\n\r and diverge), Locale.ROOT
+    * lowercase, `\s+` collapse, and a split that keeps leading/trailing
+    * empty tokens exactly as Spark's `split(..., -1)` does. Every JIT'd
+    * kernel in this package tokenizes through here so kernel output is
+    * token-for-token identical to the pinned Catalyst/DuckDB oracle
+    * semantics (ADVICE r4). Locale scope: the ROOT pin matches DuckDB
+    * (locale-free ICU) and Spark's ASCII fast path unconditionally; for
+    * NON-ASCII text Spark's `lower` falls back to default-locale
+    * `String.toLowerCase`, so under an exotic default JVM locale (e.g.
+    * Turkish I->ı) it is SPARK that diverges from both this kernel and the
+    * DuckDB oracle — run production JVMs with -Duser.language=en (or set
+    * user.language explicitly) when corpora carry non-ASCII text, as this
+    * repo's forked test JVM does.
     */
   private[ops] def normTokens(text: String): Array[String] = {
     if (text == null) return Array.empty
@@ -91,7 +98,10 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def splitmix64(x0: Long): Long = {
+  /** Shared 64-bit mixer (Steele et al. SplitMix64 finalizer) — the ONE
+    * definition; Similarity and ScalingBench reuse it so the constants can
+    * never silently diverge between persisted-signature producers. */
+  private[graft] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

@@ -54,12 +54,7 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"), col("rank"))
   }
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def splitmix64(x0: Long): Long = Dedup.splitmix64(x0)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-1, 1) — no RNG state, reproducible across executors.

@@ -56,8 +56,7 @@ object StreamingPipeline {
   def triples(spark: SparkSession, turns: Dataset[Turn],
               idleTimeout: Option[String] = None): Dataset[PreTriple] = {
     import spark.implicits._
-    val (bTrie, bKb) = Broadcasts.get(spark.sparkContext)
-    val bG = Broadcasts.grammar(spark.sparkContext)
+    val (bTrie, bKb, bG) = Broadcasts.all(spark.sparkContext)
 
     // stage 1 (stateless, streaming-safe): annotate per turn. Rule matching
     // moves into the stateful fold so FORWARD alias uses (definition in an

@@ -99,6 +99,49 @@ class KbLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("a mistyped --kb path fails loudly; so does a dir with none of the " +
+       "four bundle files") {
+    intercept[IllegalArgumentException](
+      KbLoader.load("/nonexistent/kb/path"))
+    val dir = tmpDir("kbempty")
+    write(dir, "lexicon.txt", "WRONG-EXTENSION\n") // .txt, not .tsv
+    val e = intercept[IllegalArgumentException](KbLoader.load(dir))
+    assert(e.getMessage.contains("none of"))
+  }
+
+  test("taxonomy: root re-declaration of a parented label is rejected; " +
+       "render refuses a cyclic map") {
+    val dir = tmpDir("kbroot")
+    write(dir, "taxonomy.yml", "A:\n  C:\nC:\n  D:\n")
+    val e = intercept[KbLoader.KbFileError](KbLoader.load(dir))
+    assert(e.getMessage.contains("single inheritance"))
+    intercept[IllegalArgumentException](
+      KbLoader.render(KbData.builtin.copy(
+        taxonomyParents = Map("A" -> "B", "B" -> "A")), tmpDir("kbcyc")))
+  }
+
+  test("a user-redefined generic_head_np pattern survives withLexiconHeads " +
+       "(KB reload must not clobber data-defined rules)") {
+    import BioRules._
+    import Matcher.W
+    val stock = BioRules.default
+    // stock pattern IS rewritten by a new head set
+    val re = stock.withLexiconHeads(Set("zzzz"))
+    val rewritten = re.rules.collectFirst {
+      case Rule("generic_head_np", _, _, List(_, W(r))) => r }
+    assert(rewritten.contains("zzzz"))
+    // a customized pattern is left alone
+    val custom = stock.copy(rules = stock.rules.map {
+      case r @ Rule("generic_head_np", _, _, List(det, W(_))) =>
+        r.copy(pattern = List(det, W("receptor|ligand")))
+      case r => r
+    })
+    val after = custom.withLexiconHeads(Set("zzzz"))
+    val kept = after.rules.collectFirst {
+      case Rule("generic_head_np", _, _, List(_, W(r))) => r }
+    assert(kept.contains("receptor|ligand"))
+  }
+
   test("Windows-authored bundles load unchanged: UTF-8 BOM + CRLF") {
     val dir = tmpDir("kbcrlf")
     write(dir, "lexicon.tsv",
