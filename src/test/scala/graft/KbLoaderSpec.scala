@@ -142,6 +142,31 @@ class KbLoaderSpec extends AnyFunSuite {
     assert(kept.contains("receptor|ligand"))
   }
 
+  test("a reference-format 2/3-column TSV KB file loads directly " +
+       "(TsvIMKBFactory column order: text, id, species; lookup is " +
+       "case-insensitive through the canonical key, TestTsvKBs semantics)") {
+    val dir = tmpDir("kbrefmt")
+    // the reference's CellLoc-style COL-2 / COL-3 rows, verbatim layout
+    write(dir, "kb.tsv",
+      "dendrite\tGO:0030425\n" +
+        "telomere\tGO:0000781\n" +
+        "shelterin\tGO:0070187\thuman\n")
+    val entries = KbLoader.load(dir).kb.get
+    assert(entries.map(e => (e.text, e.id, e.species)) == Seq(
+      ("dendrite", "GO:0030425", ""),
+      ("telomere", "GO:0000781", ""),
+      ("shelterin", "GO:0070187", "human")))
+    // defaults fill the engine-side columns
+    assert(entries.forall(e => e.kb_rank == 0 && e.namespace == "user"))
+    // case-insensitive lookup (imkb2.lookup("DENDRITE") / ("dendrite"))
+    val idx = new Link.KbIndex(entries.map(_.copy(
+      label = "Cellular_component")))
+    for (t <- Seq("DENDRITE", "dendrite", "Dendrite"))
+      assert(idx.resolve(t, "Cellular_component", "").id == "GO:0030425", t)
+    assert(idx.resolve("NOT-IN-KB", "Cellular_component", "")
+      .namespace == "uaz") // falls through to the failsafe, as lookup=None
+  }
+
   test("Windows-authored bundles load unchanged: UTF-8 BOM + CRLF") {
     val dir = tmpDir("kbcrlf")
     write(dir, "lexicon.tsv",
