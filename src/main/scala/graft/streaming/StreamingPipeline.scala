@@ -25,15 +25,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * turn) resolve exactly as in batch: alias defs accumulate in the
   * per-conversation state and extraction runs inside the fold with them.
   *
-  * Second known deviation: the Policy4 bidirectional context window
-  * ([[graft.kg.ConvProcessor.PolicyBidirectional]]) is batch-only — its
-  * forward half would require holding each turn's triples back until
-  * `contextBound` further turns (or a watermark) arrive, i.e.
-  * watermark-delayed emission, which this append-mode fold deliberately
-  * does not do (a turn's triples emit in the micro-batch that processes
-  * the turn). Streaming always folds with the backward policy — the
-  * reference's own default (Policies.scala Policy2/3) — regardless of
-  * [[graft.kg.Pipeline.contextPolicy]]; StreamingSpec pins this.
+  * Policy4 (the bidirectional context window,
+  * [[graft.kg.ConvProcessor.PolicyBidirectional]]) is supported via
+  * DELAYED EMISSION: a turn's triples are held back until `contextBound`
+  * further turns of its conversation have arrived (so the forward window
+  * is complete — the sealed turns emit with exactly the batch pipeline's
+  * context), and the unsealed tail flushes on the idle timeout — at which
+  * point no further turns exist, which is precisely the batch pipeline's
+  * situation at conversation end, so the flush is batch-exact too. The
+  * cost is latency (up to `contextBound` turns + the timeout), never
+  * correctness; pass `contextPolicy = PolicyBidirectional` explicitly
+  * (the session-global [[graft.kg.Pipeline.contextPolicy]] is
+  * deliberately not consulted here — a streaming query outlives driver
+  * mutations; StreamingSpec pins both facts). The default backward
+  * policy keeps the original emit-immediately behavior.
   *
   * Scale: state is O(lookback x mentions-per-turn) per live conversation;
   * with watermarking on `ts` (caller adds `withWatermark` upstream) idle
@@ -43,8 +48,28 @@ object StreamingPipeline {
 
   val lookback = 4 // turns kept in state: covers context bound 3 + coref 1
 
+  /** `emittedThrough` matters only under Policy4 delayed emission: the
+    * highest turn_idx whose triples have been emitted (sealed turns);
+    * backward policy emits immediately and leaves it at Int.MaxValue.
+    */
   final case class ConvState(mentions: Seq[MentionRow],
-                             aliasDefs: Seq[(String, String)], maxTurn: Int)
+                             aliasDefs: Seq[(String, String)], maxTurn: Int,
+                             emittedThrough: Int = Int.MaxValue)
+
+  /** The Policy4 idle-timeout flush body (factored out so the flush
+    * semantics are unit-testable without a wall clock — processing-time
+    * timeouts make `processAllAvailable` spin on continuous timeout-check
+    * micro-batches, so a deterministic spec drives this function with the
+    * state the handler would hold instead of sleeping): fold the retained
+    * window and emit everything past the sealed frontier.
+    */
+  private[graft] def flushPending(convId: String, st: ConvState,
+                                  kb: Link.KbIndex,
+                                  contextPolicy: String): Iterator[PreTriple] =
+    ConvProcessor.process(convId, st.mentions, kb, contextPolicy)
+      .flatMap(_.triple)
+      .filter(_.turn_idx > st.emittedThrough)
+      .iterator
 
   // cheap token guard: only turns that can possibly DEFINE an alias pay the
   // defs pre-scan (mirrors the batch pre-filter in Pipeline.aliasDefsDs)
@@ -54,9 +79,17 @@ object StreamingPipeline {
         w == "designated" || w == "termed" || w == "named"))
 
   def triples(spark: SparkSession, turns: Dataset[Turn],
-              idleTimeout: Option[String] = None): Dataset[PreTriple] = {
+              idleTimeout: Option[String] = None,
+              contextPolicy: String = ConvProcessor.PolicyBackward): Dataset[PreTriple] = {
     import spark.implicits._
     val (bTrie, bKb, bG) = Broadcasts.all(spark.sparkContext)
+    val bidi = contextPolicy == ConvProcessor.PolicyBidirectional
+    // Policy4 retention: an unsealed turn (up to contextBound behind the
+    // frontier) still needs ITS backward windows when it seals later, so
+    // the state keeps contextBound extra turns beyond the backward policy's
+    // lookback
+    val keepTurns = if (bidi) ConvProcessor.contextBound + lookback
+                    else lookback
 
     // stage 1 (stateless, streaming-safe): annotate per turn. Rule matching
     // moves into the stateful fold so FORWARD alias uses (definition in an
@@ -77,8 +110,14 @@ object StreamingPipeline {
         else GroupStateTimeout.NoTimeout)(
         (convId: String, it: Iterator[AnnotatedTurn], state: GroupState[ConvState]) => {
           if (state.hasTimedOut) {
+            // Policy4 flush: no further turns will arrive, which is the
+            // batch pipeline's exact situation at conversation end — the
+            // unsealed tail folds with whatever forward context exists
+            val pending = state.getOption
             state.remove()
-            Iterator.empty
+            if (!bidi) Iterator.empty
+            else pending.map(flushPending(convId, _, bKb.value,
+              contextPolicy)).getOrElse(Iterator.empty)
           } else {
             val incoming = it.toSeq.sortBy(_.turn_idx)
             val prior = state.getOption.map(_.mentions).getOrElse(Seq.empty)
@@ -95,14 +134,26 @@ object StreamingPipeline {
               if (incoming.isEmpty) Int.MaxValue
               else incoming.map(_.turn_idx).min
             val all = prior ++ newMentions
-            val out = ConvProcessor.process(convId, all, bKb.value)
-              .flatMap(_.triple)
-              .filter(_.turn_idx >= newMinTurn)
             val maxTurn =
               if (all.isEmpty) state.getOption.map(_.maxTurn).getOrElse(0)
               else all.map(_.turn_idx).max
+            val folded = ConvProcessor.process(convId, all, bKb.value,
+              contextPolicy).flatMap(_.triple)
+            val (out, emittedThrough) =
+              if (!bidi) (folded.filter(_.turn_idx >= newMinTurn),
+                Int.MaxValue)
+              else {
+                // delayed emission: seal turns whose full forward window
+                // (contextBound further turns) has arrived
+                val prevEmitted = state.getOption.map(_.emittedThrough)
+                  .getOrElse(-1)
+                val seal = maxTurn - ConvProcessor.contextBound
+                (folded.filter(t => t.turn_idx > prevEmitted &&
+                  t.turn_idx <= seal), math.max(prevEmitted, seal))
+              }
             state.update(ConvState(
-              all.filter(_.turn_idx > maxTurn - lookback), defs, maxTurn))
+              all.filter(_.turn_idx > maxTurn - keepTurns), defs, maxTurn,
+              emittedThrough))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }

@@ -4,6 +4,7 @@ import graft.kg._
 import graft.model._
 import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming mode == batch mode on in-order turn arrival, including
@@ -50,16 +51,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming folds with the backward context policy regardless of the " +
-       "session Policy4 setting (documented deviation: the forward window " +
-       "would need watermark-delayed emission)") {
+  test("streaming Policy4 delayed emission: turns seal once their forward " +
+       "window is complete; the idle-timeout flush makes streaming ≡ batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // under Policy4 the batch pipeline would fill ctx_species from the
-    // FOLLOWING turn (mouse); streaming must emit the turn-0 triple in the
-    // micro-batch that processes turn 0, before the species ever arrives —
-    // so its ctx_species stays the backward-policy value ("") even with
-    // Pipeline.contextPolicy = bidirectional
+    val turns = Seq(
+      Transcripts.mkTurn("p4", 0, "user", "ERK2 was phosphorylated at T669."),
+      Transcripts.mkTurn("p4", 1, "assistant", "We studied mouse fibroblasts."),
+      Transcripts.mkTurn("p4", 2, "user", "Data handling followed procedures."),
+      Transcripts.mkTurn("p4", 3, "assistant", "Additional runs were recorded."),
+      Transcripts.mkTurn("p4", 4, "user", "JAK3 phosphorylates HuR."))
+
+    // batch Policy4 reference output
+    val saved = Pipeline.contextPolicy
+    val batch = try {
+      Pipeline.contextPolicy = ConvProcessor.PolicyBidirectional
+      Pipeline.extract(spark, spark.createDataset(turns)).edges
+        .select("turn_idx", "pred", "ctx_species")
+        .as[(Int, String, String)].collect().toSet
+    } finally Pipeline.contextPolicy = saved
+
+    // no idleTimeout in the streamed part: processing-time timeouts spin
+    // continuous timeout-check micro-batches that defeat
+    // processAllAvailable in a deterministic test — the flush body is
+    // exercised directly below with the exact state the handler holds
+    val stream = MemoryStream[Turn]
+    val out = StreamingPipeline.triples(spark, stream.toDS(),
+      contextPolicy = ConvProcessor.PolicyBidirectional)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("triples_p4d").start()
+    val sealedOut =
+      try {
+        stream.addData(turns)
+        q.processAllAvailable()
+        spark.table("triples_p4d").filter(col("conv_id") === "p4")
+          .select("turn_idx", "pred", "ctx_species")
+          .as[(Int, String, String)].collect().toSet
+      } finally q.stop()
+    // frontier is turn 4 -> sealed through turn 1: the turn-0 event
+    // emits WITH the forward-filled species (full Policy4 window)...
+    assert(sealedOut.contains((0, "Phosphorylation", "taxonomy:10090")),
+      sealedOut.toString)
+    // ...but the frontier turn's triples are held back (no forward
+    // window yet — emitting now would freeze ctx prematurely)
+    assert(!sealedOut.exists(_._1 == 4), sealedOut.toString)
+
+    // idle-timeout flush ≡ batch end-of-conversation: drive the factored
+    // flush body with the state the handler holds after the batch above
+    // (mentions of the retained window, frontier sealed through turn 1)
+    val trie = Annotate.buildTrie(Lexicon.nerLexicon)
+    val mentions = turns.flatMap(t =>
+      BioRules.extractTurn(AnnotatedTurn(t.conv_id, t.turn_idx, t.role,
+        Annotate.annotateText(trie, t.text))))
+    val st = StreamingPipeline.ConvState(mentions, Nil, maxTurn = 4,
+      emittedThrough = 1)
+    val flushed = StreamingPipeline.flushPending("p4", st,
+        new Link.KbIndex(Lexicon.kb), ConvProcessor.PolicyBidirectional)
+      .map(t => (t.turn_idx, t.pred, t.ctx_species)).toSet
+    assert(flushed.forall(_._1 > 1), flushed.toString)
+    val streamedTotal = sealedOut ++ flushed
+    assert(streamedTotal == batch,
+      s"missing=${batch -- streamedTotal}\nspurious=${streamedTotal -- batch}")
+  }
+
+  test("streaming defaults to the backward policy and never consults the " +
+       "session Pipeline.contextPolicy (a streaming query outlives driver " +
+       "mutations; Policy4 is opted into via the explicit parameter)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // with the DEFAULT (backward) policy the turn-0 triple emits in the
+    // micro-batch that processes turn 0, before the species arrives, so
+    // its ctx_species stays "" even when the session global is flipped to
+    // bidirectional — delayed emission happens only via the explicit
+    // contextPolicy parameter (previous test)
     val turns = Seq(
       Transcripts.mkTurn("sp4", 0, "user", "ERK2 was phosphorylated at T669."),
       Transcripts.mkTurn("sp4", 1, "assistant", "We studied mouse fibroblasts."))
