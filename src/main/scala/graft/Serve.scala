@@ -53,23 +53,28 @@ object Serve {
       Transcripts.mkTurn(convId, 0, "user", text)))
     val acc = new org.apache.spark.util.CollectionAccumulator[graft.model.Lineage]
     spark.sparkContext.register(acc)
+    // cache stage_b exactly as Pipeline.extract does: the indexcard path
+    // consumes it four times (canon count + collect, edges, nodes) and
+    // would otherwise replay the whole extraction per consumer
     val b = Pipeline.stageB(spark,
-      Pipeline.stageMentions(spark, turns, convId, acc), convId, acc)
-    outFormat match {
-      case "fries" =>
-        // the `fries` column is already the rendered JSON document
-        Emit.friesFrameGraph(b.toDF(), Some(turns.toDF()))
-          .select(col("fries")).as[String].collect()
-          .headOption.getOrElse("{}")
-      case "indexcard" =>
-        val canon = Pipeline.stageCanon(spark, b)
-        val (edges, nodes) = Pipeline.stageMaterialize(spark, b, canon)
-        val cards = Emit.indexCardJson(Emit.indexCardFlat(edges, nodes))
-          .as[String].collect()
-        cards.mkString("[", ",", "]")
-      case f => throw new IllegalArgumentException(
-        s"unknown output format '$f' (fries|indexcard)")
-    }
+      Pipeline.stageMentions(spark, turns, convId, acc), convId, acc).cache()
+    try {
+      outFormat match {
+        case "fries" =>
+          // the `fries` column is already the rendered JSON document
+          Emit.friesFrameGraph(b.toDF(), Some(turns.toDF()))
+            .select(col("fries")).as[String].collect()
+            .headOption.getOrElse("{}")
+        case "indexcard" =>
+          val canon = Pipeline.stageCanon(spark, b)
+          val (edges, nodes) = Pipeline.stageMaterialize(spark, b, canon)
+          val cards = Emit.indexCardJson(Emit.indexCardFlat(edges, nodes))
+            .as[String].collect()
+          cards.mkString("[", ",", "]")
+        case f => throw new IllegalArgumentException(
+          s"unknown output format '$f' (fries|indexcard)")
+      }
+    } finally b.unpersist(blocking = false)
   }
 
   /** Start the server on `port` (0 = ephemeral; read the bound port from
@@ -107,7 +112,8 @@ object Serve {
             val json =
               try Right(annotateText(spark, text, outFormat, reqId))
               catch {
-                case e: IllegalArgumentException => Left((400, e.getMessage))
+                case e: IllegalArgumentException =>
+                  Left((400, Option(e.getMessage).getOrElse(e.toString)))
                 case e: Throwable => Left((500, String.valueOf(e)))
               }
             json match {

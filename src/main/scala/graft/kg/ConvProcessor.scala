@@ -183,7 +183,14 @@ object ConvProcessor {
     def nearestCtx(tpe: String, turn: Int): Option[MentionRow] = {
       if (!hasCtx) return None
       var best: MentionRow = null
-      ctxByType(tpe).foreach { m =>
+      // the backward half also consults the ctxTail overlap: tail turns
+      // are all beyond this chunk's own query turns, so for CHUNK queries
+      // the <= turn bound excludes them — but a ctxSpecies probe AT a tail
+      // turn (ctxGid grounding a tail context mention) must see tail
+      // species at or before it, or the two sides of a chunk edge could
+      // ground the same mention under different contexts
+      (ctxByType(tpe).iterator ++
+        ctxTail.iterator.filter(_.labels.head == tpe)).foreach { m =>
         if (m.turn_idx <= turn && turn - m.turn_idx <= contextBound &&
             (best == null || m.turn_idx >= best.turn_idx)) best = m
       }

@@ -42,6 +42,10 @@ object KbData {
   *   taxonomy.yml  indentation tree: a label's parent is the nearest
   *                 shallower line above it; an optional trailing ':' is
   *                 stripped so the file reads as YAML. Spaces only.
+  *                 Re-opening a label at root level continues it (new
+  *                 children nest under it, its parent is kept); declaring
+  *                 it under a DIFFERENT parent is a single-inheritance
+  *                 error.
   * }}}
   *
   * `#` comment lines and blank lines are skipped everywhere. Errors carry
@@ -123,23 +127,18 @@ object KbLoader {
       val label = l.trim.stripSuffix(":").trim
       if (label.isEmpty) throw KbFileError(file, ln, "empty label")
       stack = stack.dropWhile(_._1 >= indent)
-      stack.headOption match {
-        case Some((_, parent)) =>
-          parents.get(label).filter(_ != parent).foreach { other =>
-            throw KbFileError(file, ln,
-              s"'$label' already has parent '$other' (single inheritance)")
-          }
-          parents += label -> parent
-        case None =>
-          // a ROOT re-declaration of a label that already has a parent is
-          // the same single-inheritance conflict — reject it rather than
-          // silently keeping the old parent
-          parents.get(label).foreach { other =>
-            throw KbFileError(file, ln,
-              s"'$label' already has parent '$other' (single inheritance; " +
-                "re-declaring it at root level would not detach it)")
-          }
+      stack.headOption.foreach { case (_, parent) =>
+        parents.get(label).filter(_ != parent).foreach { other =>
+          throw KbFileError(file, ln,
+            s"'$label' already has parent '$other' (single inheritance)")
+        }
+        parents += label -> parent
       }
+      // a ROOT-level re-declaration of an already-parented label is the
+      // flat-continuation idiom ("A:\n  B:\nB:\n  C:" nests C under B,
+      // which KEEPS its parent A): it declares no parent, so it cannot
+      // conflict — and there is deliberately no detach syntax (a label's
+      // one parent comes from its one indented occurrence)
       stack = (indent, label) :: stack
     }
     parents.toMap

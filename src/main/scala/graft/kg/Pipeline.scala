@@ -149,8 +149,20 @@ object Pipeline {
 
   def aliasDefsDs(spark: SparkSession,
                   turns: Dataset[Turn]): Dataset[(String, String, String)] = {
-    import spark.implicits._
     val (bTrie, _, bG) = Broadcasts.all(spark.sparkContext)
+    aliasDefsDs(spark, turns, bTrie, bG)
+  }
+
+  /** Snapshot-threaded variant: stageMentions passes ITS broadcasts so the
+    * pre-pass and the main pass can never straddle a concurrent
+    * [[Broadcasts.reloadKb]] (the atomic-snapshot invariant —
+    * [[Broadcasts.all]]).
+    */
+  private def aliasDefsDs(spark: SparkSession, turns: Dataset[Turn],
+                          bTrie: org.apache.spark.broadcast.Broadcast[Annotate.Trie],
+                          bG: org.apache.spark.broadcast.Broadcast[BioRules.Grammar])
+      : Dataset[(String, String, String)] = {
+    import spark.implicits._
     // cheap candidate pre-filter: the alias patterns all carry a parenthesis
     // or "known as" — the pre-pass annotates only those turns, so the extra
     // scan reads text once and tokenizes almost nothing
@@ -165,7 +177,7 @@ object Pipeline {
     import spark.implicits._
     val (bTrie, _, bG) = Broadcasts.all(spark.sparkContext)
     val annotated = Annotate(spark, turns, bTrie)
-    val defs = aliasDefsDs(spark, turns)
+    val defs = aliasDefsDs(spark, turns, bTrie, bG)
     val thr = aliasJoinThreshold
     val useJoin =
       defs.limit(math.min(thr + 1, Int.MaxValue.toLong).toInt).count() > thr

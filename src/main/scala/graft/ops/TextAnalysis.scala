@@ -178,6 +178,14 @@ object TextAnalysis {
       throw new IllegalArgumentException(
         s"unknown feature(s): ${unknown.mkString(", ")} " +
           s"(known: bias, ${qualityFeatures.mkString(", ")})")
+    // same fail-loudly stance as the unknown-name check: a duplicated
+    // feature line (trainer bug, merge artifact) must not silently keep
+    // only the last value
+    val dups = entries.groupBy(_._1).collect {
+      case (n, vs) if vs.size > 1 => n }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate feature line(s): ${dups.toSeq.sorted.mkString(", ")}")
     val m = entries.toMap
     (m.getOrElse("bias", 0.0), m - "bias")
   }

@@ -34,7 +34,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * point no further turns exist, which is precisely the batch pipeline's
   * situation at conversation end, so the flush is batch-exact too. The
   * cost is latency (up to `contextBound` turns + the timeout), never
-  * correctness; pass `contextPolicy = PolicyBidirectional` explicitly
+  * correctness — PROVIDED an `idleTimeout` is configured (without one the
+  * unsealed tail of an idle conversation never flushes; a warning is
+  * printed). Pass `contextPolicy = PolicyBidirectional` explicitly
   * (the session-global [[graft.kg.Pipeline.contextPolicy]] is
   * deliberately not consulted here — a streaming query outlives driver
   * mutations; StreamingSpec pins both facts). The default backward
@@ -51,6 +53,12 @@ object StreamingPipeline {
   /** `emittedThrough` matters only under Policy4 delayed emission: the
     * highest turn_idx whose triples have been emitted (sealed turns);
     * backward policy emits immediately and leaves it at Int.MaxValue.
+    *
+    * State-schema note: adding this field changed the
+    * flatMapGroupsWithState state encoding (round 5) — a streaming query
+    * CHECKPOINTED on an earlier build cannot restart on this one (Spark's
+    * state-store schema check fails); restart such queries with a fresh
+    * checkpoint location. In-flight processing is unaffected.
     */
   final case class ConvState(mentions: Seq[MentionRow],
                              aliasDefs: Seq[(String, String)], maxTurn: Int,
@@ -84,6 +92,11 @@ object StreamingPipeline {
     import spark.implicits._
     val (bTrie, bKb, bG) = Broadcasts.all(spark.sparkContext)
     val bidi = contextPolicy == ConvProcessor.PolicyBidirectional
+    if (bidi && idleTimeout.isEmpty)
+      System.err.println("[graft] WARNING: Policy4 streaming without an " +
+        "idleTimeout never flushes the final contextBound turns of an " +
+        "idle conversation — supply idleTimeout in production (the " +
+        "batch-exactness claim is conditional on the flush running)")
     // Policy4 retention: an unsealed turn (up to contextBound behind the
     // frontier) still needs ITS backward windows when it seals later, so
     // the state keeps contextBound extra turns beyond the backward policy's

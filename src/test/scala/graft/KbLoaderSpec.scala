@@ -109,12 +109,14 @@ class KbLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("none of"))
   }
 
-  test("taxonomy: root re-declaration of a parented label is rejected; " +
-       "render refuses a cyclic map") {
+  test("taxonomy: flat-continuation idiom keeps the parent and nests new " +
+       "children; render refuses a cyclic map") {
+    // "C:" at root re-opens C (declaring no parent — no conflict, and no
+    // detach: C keeps its parent A) so D nests under it
     val dir = tmpDir("kbroot")
     write(dir, "taxonomy.yml", "A:\n  C:\nC:\n  D:\n")
-    val e = intercept[KbLoader.KbFileError](KbLoader.load(dir))
-    assert(e.getMessage.contains("single inheritance"))
+    assert(KbLoader.load(dir).taxonomyParents
+      .contains(Map("C" -> "A", "D" -> "C")))
     intercept[IllegalArgumentException](
       KbLoader.render(KbData.builtin.copy(
         taxonomyParents = Map("A" -> "B", "B" -> "A")), tmpDir("kbcyc")))
